@@ -1,0 +1,169 @@
+"""Typed configuration tree.
+
+Replaces the reference's three-level argparse + YAML ``set_defaults`` + wandb
+round-trip (STEM-GNN/utils/args.py:4-142, finetune.py:299-304) with plain
+dataclasses; YAML presets load into these via :func:`from_dict`.  Configs are
+static (hashable) so they can be closed over by jitted step functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Mirrors Encoder(...) kwargs (STEM-GNN/model/encoder.py:132-175)."""
+    input_dim: int = 768
+    hidden_dim: int = 768
+    num_layers: int = 2
+    backbone: str = "sage"            # sage | gat | gcn | gin
+    normalize: str = "batch"          # none | batch | layer (reference applies
+                                      # BatchNorm1d for any non-'none' value,
+                                      # encoder.py:173,313-314)
+    dropout: float = 0.15
+    activation: str = "relu"          # relu | leaky_relu
+    moe: bool = False
+    num_experts: int = 3
+    tau: float = 1.0
+    moe_layers: str = "none"          # none | all | last
+
+    @property
+    def moe_enabled(self) -> bool:
+        return self.moe and self.num_experts > 1
+
+    def moe_layer_flags(self) -> Tuple[bool, ...]:
+        """encoder.py:177-189."""
+        if not self.moe_enabled or self.moe_layers == "none":
+            return tuple([False] * self.num_layers)
+        if self.moe_layers == "all":
+            return tuple([True] * self.num_layers)
+        if self.moe_layers == "last":
+            flags = [False] * self.num_layers
+            if self.num_layers > 0:
+                flags[-1] = True
+            return tuple(flags)
+        raise ValueError(f"Unsupported moe_layers setting: {self.moe_layers}")
+
+
+@dataclass(frozen=True)
+class VQConfig:
+    """Mirrors VectorQuantize(...) kwargs (STEM-GNN/model/vq.py:692-808) with
+    the reference's pinned choices (pretrain.py:105-119, finetune.py:132-146):
+    cosine codebook, separate codebook per head."""
+    dim: int = 768
+    codebook_size: int = 128
+    codebook_dim: int = 768
+    heads: int = 4
+    separate_codebook_per_head: bool = True
+    decay: float = 0.8
+    eps: float = 1e-5
+    commitment_weight: float = 10.0
+    orthogonal_reg_weight: float = 1.0
+    orthogonal_reg_max_codes: Optional[int] = 32
+    orthogonal_reg_active_codes_only: bool = False
+    use_cosine_sim: bool = True
+    kmeans_init: bool = False
+    kmeans_iters: int = 10
+    ema_update: bool = False
+    learnable_codebook: bool = False   # effective value is
+                                       # orthogonal_reg_weight > 0 or this
+                                       # (vq.py:785)
+    threshold_ema_dead_code: float = 0.0
+    stochastic_sample_codes: bool = False
+    sample_codebook_temp: float = 1.0
+    straight_through_gumbel: bool = False
+    sync_codebook: bool = False        # psum codebook stats over mesh axis
+
+    @property
+    def codebook_input_dim(self) -> int:
+        return self.codebook_dim * self.heads
+
+    @property
+    def requires_projection(self) -> bool:
+        return self.codebook_input_dim != self.dim
+
+    @property
+    def num_codebooks(self) -> int:
+        return self.heads if self.separate_codebook_per_head else 1
+
+    @property
+    def effective_learnable(self) -> bool:
+        return self.learnable_codebook or self.orthogonal_reg_weight > 0
+
+
+@dataclass(frozen=True)
+class PretrainConfig:
+    """config/pretrain.yaml equivalents."""
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    vq: VQConfig = field(default_factory=VQConfig)
+    pretrain_dataset: str = "all"
+    epochs: int = 50
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    batch_size: int = 1024
+    fanout: int = 10
+    feat_p: float = 0.2
+    edge_p: float = 0.2
+    topo_recon_ratio: float = 0.1
+    feat_lambda: float = 100.0
+    topo_lambda: float = 0.01
+    topo_sem_lambda: float = 100.0
+    sem_lambda: float = 1.0
+    sem_encoder_decay: float = 0.99
+    lamda_env: float = 0.0
+    use_scheduler: bool = True
+    grad_clip: float = 1.0
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class FinetuneConfig:
+    """config/finetune.yaml equivalents (per task/dataset presets live in
+    configs/finetune.yaml)."""
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    vq: VQConfig = field(default_factory=lambda: VQConfig(kmeans_init=True,
+                                                          commitment_weight=0.25))
+    dataset: str = "cora"
+    task: str = "node"                # node | link | graph
+    epochs: int = 1000
+    early_stop: int = 200
+    batch_size: int = 0               # 0 = full batch
+    lr: float = 5e-4
+    repeat: int = 10
+    use_vq: bool = True
+    freeze_vq: bool = True
+    separate_decoder_for_each_head: bool = True
+    decoder_jac_coeff: float = 0.0
+    lamda_env: float = 0.0
+    num_classes: int = 0
+    fanout: int = 10
+    link_fanout: int = 30
+
+
+def _update(dc, d: dict):
+    names = {f.name for f in dataclasses.fields(dc)}
+    sub = {}
+    for k, v in d.items():
+        if k not in names:
+            continue
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            sub[k] = _update(cur, v)
+        else:
+            sub[k] = v
+    return dataclasses.replace(dc, **sub)
+
+
+def from_dict(cls_or_default, d: dict):
+    """Build a config from a (possibly partial, possibly nested) dict."""
+    dc = cls_or_default if dataclasses.is_dataclass(cls_or_default) else cls_or_default()
+    return _update(dc, d)
+
+
+def load_yaml(path: str) -> dict:
+    import yaml
+    with open(path) as f:
+        return yaml.safe_load(f)

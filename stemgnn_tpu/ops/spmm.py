@@ -1,0 +1,82 @@
+"""Sparse SAGE aggregation: the framework's core message-passing primitive.
+
+Computes, per destination node i over its valid in-edges (j -> i):
+
+    out[i] = reduce_{(j,i) in E} relu(x[j] + edge_feat[(j,i)])
+
+matching the reference's ``MySAGEConv.message`` (``relu(x_j + xe)``,
+STEM-GNN/model/encoder.py:94-97) fused with mean/sum aggregation
+(encoder.py:99-102 uses ``spmm(adj_t, x, reduce='mean')``).
+
+Two execution paths:
+
+  * ``gather_scatter_aggregate`` — pure XLA (gather + segment reduce).  Works
+    on CPU and TPU, is the autodiff reference, and is the default on CPU.
+  * ``stemgnn_tpu.ops.spmm_pallas`` — fused Pallas TPU kernel (gather stays in
+    XLA, message+scatter fused as local one-hot MXU matmuls over
+    receiver-sorted edge blocks).  Selected on TPU when the edge list is
+    receiver-sorted.
+
+Both are exposed through :func:`sage_aggregate`, which dispatches on backend.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from stemgnn_tpu.ops import segment
+
+
+def _messages(x_src, edge_feat, edge_mask, relu: bool):
+    m = x_src if edge_feat is None else x_src + edge_feat
+    if relu:
+        m = jax.nn.relu(m)
+    if edge_mask is not None:
+        m = jnp.where(edge_mask[:, None], m, 0.0)
+    return m
+
+
+def gather_scatter_aggregate(x, senders, receivers, edge_feat=None,
+                             edge_mask=None, num_nodes: Optional[int] = None,
+                             reduce: str = "mean", relu: bool = True,
+                             indices_are_sorted: bool = False):
+    """XLA gather + segment-reduce path (CPU fallback / autodiff reference)."""
+    num_nodes = num_nodes or x.shape[0]
+    x_src = jnp.take(x, senders, axis=0)
+    msg = _messages(x_src, edge_feat, edge_mask, relu)
+    if reduce == "sum":
+        return segment.segment_sum(msg, receivers, num_nodes, mask=edge_mask,
+                                   indices_are_sorted=indices_are_sorted)
+    if reduce == "mean":
+        return segment.segment_mean(msg, receivers, num_nodes, mask=edge_mask,
+                                    indices_are_sorted=indices_are_sorted)
+    if reduce == "max":
+        return segment.segment_max(msg, receivers, num_nodes, mask=edge_mask,
+                                   indices_are_sorted=indices_are_sorted)
+    raise ValueError(f"unsupported reduce: {reduce}")
+
+
+def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
+                   num_nodes: Optional[int] = None, reduce: str = "mean",
+                   relu: bool = True, block_ptr=None):
+    """Dispatching front-end for the fused SAGE aggregation.
+
+    ``block_ptr`` is the per-node-block CSR edge-offset table produced by
+    :func:`stemgnn_tpu.ops.edge_blocks.build_edge_blocks`; passing it asserts
+    the edges are receiver-sorted and unlocks the Pallas TPU kernel.
+    """
+    num_nodes = num_nodes or x.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+    if block_ptr is not None and on_tpu and reduce in ("mean", "sum"):
+        from stemgnn_tpu.ops import spmm_pallas
+        return spmm_pallas.sage_aggregate_pallas(
+            x, senders, receivers, block_ptr, edge_feat=edge_feat,
+            edge_mask=edge_mask, num_nodes=num_nodes, reduce=reduce, relu=relu)
+    return gather_scatter_aggregate(
+        x, senders, receivers, edge_feat=edge_feat, edge_mask=edge_mask,
+        num_nodes=num_nodes, reduce=reduce, relu=relu,
+        indices_are_sorted=block_ptr is not None)

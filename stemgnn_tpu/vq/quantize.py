@@ -1,0 +1,239 @@
+"""Multi-head vector quantization.
+
+Functional re-design of ``VectorQuantize`` (STEM-GNN/model/vq.py:692-1064)
+with the reference's operative configuration: cosine-similarity codebook,
+separate codebook per head, projection in/out (dim 768 -> 4 heads x 768).
+
+Key semantic points carried over:
+
+  * the straight-through estimator and the commitment MSE both operate in the
+    *per-head l2-normalized* space (``transform_input`` runs before the
+    codebook, vq.py:891; ST at vq.py:937; commit at vq.py:1007),
+  * with ``orthogonal_reg_weight > 0`` the codebook is effectively *learnable*
+    (vq.py:785) — distances are computed against the live embed (not
+    detached), so commitment + orthogonal losses train the codebook through
+    the optimizer while ``ema_update=False`` (the reference's actual training
+    mode, pretrain.py:117-118),
+  * EMA statistics (bins / embed_sum) are psum-ed over an optional mesh axis —
+    the analog of the reference's codebook all_reduce (vq.py:666,672),
+  * k-means init is an explicit, separately-jittable call
+    (:func:`vq_kmeans_init`), replacing the lazy init-on-first-forward +
+    dummy-forward-before-load dance (vq.py:646, utils/others.py:160-171).
+
+Shapes: input z [N, dim]; per-head space xh [H, N, d]; codebook
+embed [num_codebooks, C, d]; indices [N, H]; codes [N, H*d].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from stemgnn_tpu.core.config import VQConfig
+from stemgnn_tpu.nn import init as inits
+from stemgnn_tpu.nn.layers import linear_apply, linear_init
+from stemgnn_tpu.vq import codebook as cb
+
+
+def vq_init(key, cfg: VQConfig):
+    """Returns (params, state).
+
+    ``embed`` lives in params (it is trained via commitment/orthogonal losses
+    when effectively learnable; in pure-EMA mode the train step overwrites it
+    from state instead of via gradients).
+    """
+    k_in, k_out, k_embed = jax.random.split(key, 3)
+    params = {}
+    if cfg.requires_projection:
+        params["project_in"] = linear_init(k_in, cfg.dim, cfg.codebook_input_dim)
+        params["project_out"] = linear_init(k_out, cfg.codebook_input_dim, cfg.dim)
+    h, c, d = cfg.num_codebooks, cfg.codebook_size, cfg.codebook_dim
+    if cfg.kmeans_init:
+        embed = jnp.zeros((h, c, d))
+    else:
+        embed = inits.kaiming_uniform(k_embed, (h, c, d), fan_in=d)
+        if cfg.use_cosine_sim:
+            embed = cb.l2norm(embed)
+    params["embed"] = embed
+    state = {
+        "embed_avg": embed,
+        "cluster_size": jnp.zeros((h, c)),
+        "initted": jnp.asarray(not cfg.kmeans_init),
+    }
+    return params, state
+
+
+def _to_heads(cfg: VQConfig, xp):
+    """[N, H*d] -> [num_codebooks, N', d] following vq.py:885-887.
+
+    separate_codebook_per_head: 'b n (h d) -> h (b n) d'.
+    shared codebook:            'b n (h d) -> 1 (b h n) d' — heads interleave
+    into the batch axis."""
+    n = xp.shape[0]
+    if cfg.separate_codebook_per_head:
+        return xp.reshape(n, cfg.heads, cfg.codebook_dim).transpose(1, 0, 2)
+    return xp.reshape(1, n * cfg.heads, cfg.codebook_dim)
+
+
+def _from_heads(cfg: VQConfig, q):
+    """Inverse of :func:`_to_heads` -> [N, H*d] (vq.py:1032-1036)."""
+    if cfg.separate_codebook_per_head:
+        h, n, d = q.shape
+        return q.transpose(1, 0, 2).reshape(n, h * d)
+    _, nh, d = q.shape
+    n = nh // cfg.heads
+    return q.reshape(n, cfg.heads * d)
+
+
+def _ind_to_bn(cfg: VQConfig, ind):
+    """[num_codebooks, N'] -> [N, H] (vq.py:969-973)."""
+    if cfg.separate_codebook_per_head:
+        return ind.transpose(1, 0)
+    return ind.reshape(-1, cfg.heads)
+
+
+def vq_kmeans_init(key, params, state, cfg: VQConfig, z, mask=None,
+                   axis_name: Optional[str] = None):
+    """Explicit k-means codebook init from one batch (vq.py:573-595).
+
+    Call once before training when ``cfg.kmeans_init`` and state['initted'] is
+    False.  Returns (params, state) with embed / embed_avg / cluster_size
+    seeded and initted=True.
+    """
+    xp = linear_apply(params["project_in"], z) if cfg.requires_projection else z
+    xh = _to_heads(cfg, xp)
+    if cfg.use_cosine_sim:
+        xh = cb.l2norm(xh)
+    embed, bins = cb.kmeans(key, xh, cfg.codebook_size,
+                            num_iters=cfg.kmeans_iters,
+                            use_cosine_sim=cfg.use_cosine_sim, mask=mask,
+                            axis_name=axis_name)
+    new_params = dict(params, embed=embed)
+    new_state = dict(state, embed_avg=embed * bins[..., None],
+                     cluster_size=bins, initted=jnp.asarray(True))
+    return new_params, new_state
+
+
+def _orthogonal_loss(key, embed, cfg: VQConfig):
+    """vq.py:1011-1028 + orthogonal_loss_fn (vq.py:232-237)."""
+    num_codes = embed.shape[1]
+    if cfg.orthogonal_reg_max_codes and num_codes > cfg.orthogonal_reg_max_codes:
+        ids = jax.random.permutation(key, num_codes)[: cfg.orthogonal_reg_max_codes]
+        embed = embed[:, ids]
+    h, n = embed.shape[0], embed.shape[1]
+    normed = cb.l2norm(embed)
+    sim = jnp.einsum("hid,hjd->hij", normed, normed)
+    return jnp.sum(sim ** 2) / (h * n ** 2) - 1.0 / n
+
+
+def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
+             rng: Optional[jax.Array] = None, mask=None,
+             freeze_codebook: bool = False,
+             axis_name: Optional[str] = None):
+    """Quantize z [N, dim].
+
+    Returns a dict with:
+      quantize [N, dim]  — project_out of the straight-through codes,
+      indices  [N, H]    — selected code ids,
+      loss     []        — commitment * weight + orthogonal * weight
+                           (0 in eval, vq.py:983-1028),
+      codes    [N, H*d]  — pre-project_out quantized vectors
+                           (``orig_quantize``, vq.py:1040,1064),
+      distances [num_codebooks, N', C],
+      state              — updated EMA state (unchanged unless ema_update).
+    ``mask`` [N] marks valid rows in padded batches: masked rows are excluded
+    from losses and codebook statistics, mirroring vq.py's mask plumbing.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k_gumbel, k_ortho, k_expire = jax.random.split(rng, 3)
+
+    xp = linear_apply(params["project_in"], z) if cfg.requires_projection else z
+    xh = _to_heads(cfg, xp)
+    if cfg.use_cosine_sim:
+        xh = cb.l2norm(xh)
+
+    embed = params["embed"]
+    if not (cfg.effective_learnable and not freeze_codebook):
+        embed = jax.lax.stop_gradient(embed)
+
+    if cfg.use_cosine_sim:
+        dist = cb.cosine_distances(xh, embed)
+    else:
+        dist = cb.euclidean_distances(xh, embed)
+
+    ind, one_hot = cb.gumbel_sample(
+        k_gumbel, dist, temperature=cfg.sample_codebook_temp,
+        stochastic=cfg.stochastic_sample_codes,
+        straight_through=cfg.straight_through_gumbel, training=training)
+
+    if training:
+        # Differentiable one-hot matmul (vq.py:655-657): gradients reach the
+        # (learnable) codebook through the selected rows.
+        quantize_h = jnp.einsum("hnc,hcd->hnd", one_hot, embed)
+    else:
+        # Pure gather in eval (batched_embedding, vq.py:224-228,659).
+        quantize_h = jax.vmap(lambda e, i: e[i])(embed, ind)
+
+    new_state = state
+    if training and cfg.ema_update and not freeze_codebook:
+        hmask = None if mask is None else mask[None, :] if cfg.separate_codebook_per_head \
+            else jnp.repeat(mask, cfg.heads)[None, :]
+        stats_mask = None if hmask is None else hmask[0]
+        new_state, new_embed = cb.ema_codebook_update(
+            state, xh, one_hot, decay=cfg.decay, eps=cfg.eps,
+            use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask,
+            axis_name=axis_name)
+        new_state, new_embed = cb.expire_dead_codes(
+            k_expire, new_state, new_embed, xh,
+            threshold=cfg.threshold_ema_dead_code,
+            reset_cluster_size=cfg.threshold_ema_dead_code,
+            use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask)
+        new_state = dict(new_state, embed_target=new_embed)
+
+    loss = jnp.zeros(())
+    if training:
+        commit_q = quantize_h if (cfg.effective_learnable and not freeze_codebook) \
+            else jax.lax.stop_gradient(quantize_h)
+        # Straight-through in per-head space (vq.py:937).
+        quantize_h = xh + jax.lax.stop_gradient(quantize_h - xh)
+        if cfg.commitment_weight > 0:
+            se = (commit_q - xh) ** 2
+            if mask is not None:
+                m = (mask[None, :, None] if cfg.separate_codebook_per_head
+                     else jnp.repeat(mask, cfg.heads)[None, :, None])
+                commit = jnp.sum(se * m) / jnp.maximum(
+                    jnp.sum(m) * se.shape[0] * se.shape[-1], 1.0)
+            else:
+                commit = jnp.mean(se)
+            loss = loss + commit * cfg.commitment_weight
+        if cfg.orthogonal_reg_weight > 0 and not freeze_codebook:
+            loss = loss + _orthogonal_loss(k_ortho, params["embed"], cfg) \
+                * cfg.orthogonal_reg_weight
+
+    codes = _from_heads(cfg, quantize_h)
+    out = linear_apply(params["project_out"], codes) if cfg.requires_projection \
+        else codes
+    indices = _ind_to_bn(cfg, ind)
+    return {"quantize": out, "indices": indices, "loss": loss, "codes": codes,
+            "distances": dist, "state": new_state}
+
+
+def get_codes_from_indices(params, cfg: VQConfig, indices):
+    """indices [N, H] -> codes [N, H*d] (vq.py:826-843)."""
+    embed = params["embed"]
+    if cfg.separate_codebook_per_head:
+        per_head = jax.vmap(lambda e, i: e[i], in_axes=(0, 1), out_axes=1)(
+            embed, indices)                     # [N, H, d]
+    else:
+        per_head = embed[0][indices]            # [N, H, d]
+    n = indices.shape[0]
+    return per_head.reshape(n, cfg.heads * cfg.codebook_dim)
+
+
+def get_output_from_indices(params, cfg: VQConfig, indices):
+    codes = get_codes_from_indices(params, cfg, indices)
+    return linear_apply(params["project_out"], codes) if cfg.requires_projection \
+        else codes
