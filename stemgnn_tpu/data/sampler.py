@@ -1,0 +1,180 @@
+"""Host-side neighbor sampling producing fixed-shape padded subgraph batches.
+
+Re-design of the reference's loader layer (PyG ``NeighborLoader`` with
+``num_neighbors=[10]*L``, batch 1024, STEM-GNN/pretrain.py:151-153 and
+utils/loader.py:5-45): per seed-node batch, sample up to ``fanout`` incoming
+neighbors per hop, seed-nodes-first ordering (so the ``[:bs]`` loss slicing of
+pt_model.py:43,96 carries over), then pad nodes/edges to fixed buckets for the
+TPU.
+
+The inner loop is vectorized numpy over a CSC-by-destination adjacency; a C++
+sampler (stemgnn_tpu/native) plugs in behind the same interface for
+throughput.  Also hosts the weighted multi-dataset seed resampling
+(``get_train_node_idx``, STEM-GNN/dataset/process_datasets.py:186-198).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from stemgnn_tpu.core.graph import Graph, make_graph, round_up
+
+
+@dataclass
+class CSCGraph:
+    """Compressed adjacency by destination: in-edges of node i are
+    ``edge_ids[indptr[i]:indptr[i+1]]`` with sources ``src[...]``."""
+    indptr: np.ndarray        # [N+1]
+    src: np.ndarray           # [E] source node per in-edge (sorted by dst)
+    edge_id: np.ndarray       # [E] original edge index (for xe lookup)
+    num_nodes: int
+
+    @staticmethod
+    def from_edge_index(edge_index: np.ndarray, num_nodes: int) -> "CSCGraph":
+        dst = edge_index[1]
+        order = np.argsort(dst, kind="stable")
+        sorted_dst = dst[order]
+        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.add.at(indptr, sorted_dst + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return CSCGraph(indptr=indptr, src=edge_index[0][order],
+                        edge_id=order.astype(np.int64), num_nodes=num_nodes)
+
+
+def sample_subgraph(csc: CSCGraph, seeds: np.ndarray, fanouts: Sequence[int],
+                    rng: np.random.Generator):
+    """Fanout-sample incoming neighbors per hop (NeighborLoader semantics:
+    sampling *with replacement disabled* per node up to fanout; we sample
+    without replacement when degree > fanout, else take all).
+
+    Returns (nodes [n], edge_src_local, edge_dst_local, edge_id) with seeds
+    occupying nodes[:len(seeds)].
+    """
+    seeds = np.asarray(seeds, dtype=np.int64)
+    node_list = [seeds]
+    local_of = {int(v): i for i, v in enumerate(seeds)}
+    frontier = seeds
+    e_src, e_dst, e_ids = [], [], []
+
+    for fanout in fanouts:
+        next_frontier = []
+        for v in frontier:
+            lo, hi = csc.indptr[v], csc.indptr[v + 1]
+            deg = hi - lo
+            if deg == 0:
+                continue
+            if fanout >= 0 and deg > fanout:
+                sel = rng.choice(deg, size=fanout, replace=False) + lo
+            else:
+                sel = np.arange(lo, hi)
+            srcs = csc.src[sel]
+            eids = csc.edge_id[sel]
+            dst_local = local_of[int(v)]
+            for s, eid in zip(srcs, eids):
+                s_int = int(s)
+                if s_int not in local_of:
+                    local_of[s_int] = len(local_of)
+                    next_frontier.append(s_int)
+                e_src.append(local_of[s_int])
+                e_dst.append(dst_local)
+                e_ids.append(eid)
+        if next_frontier:
+            node_list.append(np.asarray(next_frontier, dtype=np.int64))
+        frontier = np.asarray(next_frontier, dtype=np.int64)
+
+    nodes = np.concatenate(node_list) if len(node_list) > 1 else seeds
+    return (nodes,
+            np.asarray(e_src, dtype=np.int32),
+            np.asarray(e_dst, dtype=np.int32),
+            np.asarray(e_ids, dtype=np.int64))
+
+
+def get_train_node_idx(ptr: np.ndarray, weights: Sequence[float],
+                       rng: np.random.Generator) -> np.ndarray:
+    """Weighted per-dataset seed repetition (process_datasets.py:186-198):
+    integer part repeats every node, fractional part samples a random subset.
+    ``ptr`` are the node offsets of each dataset segment in the merged graph.
+    """
+    total = []
+    for idx, (s, e) in enumerate(zip(ptr[:-1], ptr[1:])):
+        arr = np.arange(s, e)
+        w = weights[idx]
+        int_w, mod_w = int(w), w - int(w)
+        parts = [np.tile(arr, int_w)]
+        n_extra = int(mod_w * arr.size)
+        if n_extra > 0:
+            parts.append(rng.permutation(arr.size)[:n_extra] + s)
+        total.append(np.concatenate(parts) if parts else arr[:0])
+    return np.concatenate(total)
+
+
+class NeighborBatchIterator:
+    """Shuffled seed batches -> padded device Graphs.
+
+    Padding buckets: nodes to ``node_pad``, edges to ``edge_pad`` (defaults:
+    worst-case fanout closure rounded up), so every batch compiles once.
+    """
+
+    def __init__(self, csc: CSCGraph, node_feat_table: np.ndarray,
+                 edge_feat_table: Optional[np.ndarray],
+                 x_ids: np.ndarray, xe_ids: Optional[np.ndarray],
+                 seeds: np.ndarray, batch_size: int, fanouts: Sequence[int],
+                 rng: np.random.Generator, node_pad: Optional[int] = None,
+                 edge_pad: Optional[int] = None, shuffle: bool = True,
+                 drop_last: bool = False):
+        self.csc = csc
+        self.node_feat_table = node_feat_table
+        self.edge_feat_table = edge_feat_table
+        self.x_ids = x_ids
+        self.xe_ids = xe_ids
+        self.seeds = np.asarray(seeds)
+        self.batch_size = batch_size
+        self.fanouts = list(fanouts)
+        self.rng = rng
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        if node_pad is None:
+            closure = batch_size
+            width = batch_size
+            for f in self.fanouts:
+                width = width * max(f, 1)
+                closure += width
+            node_pad = round_up(min(closure, csc.num_nodes + batch_size), 128)
+        if edge_pad is None:
+            edge_pad = round_up(max(node_pad - batch_size, 128), 128)
+        self.node_pad = node_pad
+        self.edge_pad = edge_pad
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.seeds)) if self.shuffle \
+            else np.arange(len(self.seeds))
+        bs = self.batch_size
+        for i in range(0, len(order), bs):
+            chunk = self.seeds[order[i: i + bs]]
+            if self.drop_last and len(chunk) < bs:
+                break
+            yield self.make_batch(chunk)
+
+    def __len__(self):
+        n, bs = len(self.seeds), self.batch_size
+        return n // bs if self.drop_last else (n + bs - 1) // bs
+
+    def make_batch(self, seed_chunk: np.ndarray):
+        nodes, es, ed, eids = sample_subgraph(self.csc, seed_chunk,
+                                              self.fanouts, self.rng)
+        nodes = nodes[: self.node_pad]          # safety clamp
+        keep = (es < len(nodes)) & (ed < len(nodes))
+        es, ed, eids = es[keep], ed[keep], eids[keep]
+        if len(es) > self.edge_pad:
+            sel = self.rng.choice(len(es), self.edge_pad, replace=False)
+            es, ed, eids = es[sel], ed[sel], eids[sel]
+        feats = self.node_feat_table[self.x_ids[nodes]]
+        ef = None
+        if self.edge_feat_table is not None and self.xe_ids is not None:
+            ef = self.edge_feat_table[self.xe_ids[eids]]
+        g = make_graph(feats, es, ed, edge_feat=ef,
+                       node_pad_to=self.node_pad, edge_pad_to=self.edge_pad)
+        return g, len(seed_chunk), nodes

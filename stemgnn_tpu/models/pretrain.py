@@ -53,10 +53,11 @@ def pretrain_init(key, cfg: PretrainConfig):
         "topo_sem_dec": linear_init(ks[4], 2 * h, h),
         "sem_projector": linear_init(ks[5], h, h),
     }
-    # Teacher starts as an exact copy (deepcopy, pt_model.py:22).
-    teacher_params = jax.tree_util.tree_map(lambda x: x, enc_params)
+    # Teacher starts as an exact copy (deepcopy, pt_model.py:22).  Real
+    # buffer copies (jnp.copy) so donation of params/teacher never aliases.
+    teacher_params = jax.tree_util.tree_map(jnp.copy, enc_params)
     state = {"encoder": enc_state, "vq": vq_state,
-             "sem_encoder": jax.tree_util.tree_map(lambda x: x, enc_state)}
+             "sem_encoder": jax.tree_util.tree_map(jnp.copy, enc_state)}
     return params, teacher_params, state
 
 

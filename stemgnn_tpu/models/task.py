@@ -61,12 +61,15 @@ def encode(params, state, cfg: FinetuneConfig, g: Graph, *, training: bool,
     return z, dict(state, encoder=enc_state), aux
 
 
-def pool_graph(z, g: Graph, pool: str = "mean"):
+def pool_graph(z, g: Graph, pool: str = "mean",
+               num_segments: Optional[int] = None):
     """Graph-level readout over the disjoint batch (ft_model.py:61-69).
-    Returns [n_graph_padded, D]; caller masks invalid graphs."""
+    Returns [num_segments, D]; padding nodes carry an out-of-range graph id
+    and are additionally excluded by the node mask."""
     assert g.node_graph_id is not None, "graph pooling needs node_graph_id"
-    # Safe static upper bound: one graph per node; callers slice [:n_graph].
-    num_segments = int(g.node_graph_id.shape[0])
+    if num_segments is None:
+        # Safe static upper bound: one graph per node.
+        num_segments = int(g.node_graph_id.shape[0])
     fn = {"mean": segment.segment_mean, "sum": segment.segment_sum,
           "max": segment.segment_max}[pool]
     return fn(z, g.node_graph_id, num_segments, mask=g.node_mask)

@@ -1,0 +1,93 @@
+"""Data-parallel pretraining over a device mesh.
+
+Each device processes its own padded subgraph batch; params/optimizer state
+are replicated.  Per step, under ``shard_map``:
+
+  * gradients are pmean-ed over the ``data`` axis,
+  * VQ codebook statistics (bins / embed_sum) are psum-ed inside
+    ``vq_apply`` via ``axis_name`` — the analog of the reference's
+    ``all_reduce_fn`` (STEM-GNN/model/vq.py:666,672),
+  * BatchNorm batch statistics are psum-ed the same way, preserving
+    single-chip numerics.
+
+Inputs arrive as stacked Graph pytrees with a leading device axis
+(``stack_graphs``), sharded ``P('data')``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stemgnn_tpu.core.config import PretrainConfig
+from stemgnn_tpu.core.graph import Graph
+from stemgnn_tpu.models.pretrain import ema_update_teacher, pretrain_forward
+from stemgnn_tpu.train import augment
+
+
+def stack_graphs(graphs) -> Graph:
+    """Stack per-device Graphs into one pytree with a leading device axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *graphs)
+
+
+def make_dp_pretrain_step(cfg: PretrainConfig, tx, mesh, *, bs: int,
+                          axis: str = "data"):
+    """Returns a jitted step:
+    (params, teacher, opt_state, state, stacked_graph, rng[n_dev]) ->
+    (params, teacher, opt_state, state, metrics).
+    """
+
+    def per_device(params, teacher, opt_state, state, g, rng):
+        # shard_map passes shards with the device axis collapsed.
+        g = jax.tree_util.tree_map(lambda x: x[0], g)
+        rng = rng[0]
+        k_f, k_e, k_fwd = jax.random.split(rng, 3)
+        aug_g = g.replace(
+            node_feat=augment.mask_feature(k_f, g.node_feat, cfg.feat_p),
+            edge_mask=augment.dropout_edges_undirected(
+                k_e, g.senders, g.receivers, g.edge_mask, cfg.edge_p))
+
+        def loss_fn(params):
+            return pretrain_forward(params, teacher, state, cfg, aug_g, g,
+                                    bs=bs, rng=k_fwd, training=True,
+                                    axis_name=axis)
+
+        (loss, (aux, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, axis)
+        # Replicated state must stay consistent: average the BN updates
+        # produced from per-device batches (stats were already psum-ed
+        # inside, so they are identical; pmean is a no-op safeguard).
+        new_state = jax.lax.pmean(new_state, axis)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        teacher = ema_update_teacher(teacher, params["encoder"],
+                                     cfg.sem_encoder_decay)
+        metrics = jax.lax.pmean(dict(aux["losses"], loss=loss), axis)
+        return params, teacher, opt_state, new_state, metrics
+
+    rep = P()
+    shd = P(axis)
+    step = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, shd, shd),
+        out_specs=(rep, rep, rep, rep, rep),
+        check_vma=False)
+    return jax.jit(step)
+
+
+def device_put_replicated(tree, mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def device_put_sharded_batch(tree, mesh, axis: str = "data"):
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,314 @@
+"""Finetune driver + task loops (node / link / graph).
+
+Re-design of STEM-GNN/finetune.py:82-293 and STEM-GNN/task/{node,link,graph}.py
+as jitted fixed-shape step functions:
+
+  * full-batch node (task/node.py:45-66): encode full graph, CE over the
+    train mask.  The reference slices ``z[train_mask]`` before the decoder;
+    here the decoder runs over all padded rows and the loss is mask-weighted —
+    identical gradients (per-row ops), static shapes.
+  * full-batch link (task/link.py:19-48): midpoint edge embeddings
+    ``(z_u + z_v)/2`` over labeled edges, CE over the edge train mask.
+  * graph (task/graph.py:7-53): padded disjoint batches, mean pooling,
+    multitask masked BCE, per-task AUC eval.
+
+Per split: fresh TaskModel from (pretrained) encoder/VQ copies + new decoder
+(finetune.py:196-205), AdamW (torch default weight decay 0.01), early stopping
+on val, best-epoch selection via Logger (STEM-GNN/utils/logger.py).
+VQ params are excluded from the optimizer when frozen (finetune.py:179-181).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stemgnn_tpu.core.config import FinetuneConfig
+from stemgnn_tpu.core.graph import batch_graphs, round_up
+from stemgnn_tpu.data.dataset import TAGDataset
+from stemgnn_tpu.models import task as task_model
+from stemgnn_tpu.utils import EarlyStopping, Logger
+from stemgnn_tpu.utils.metrics import evaluate, task2metric
+
+
+def _split_params(params, cfg: FinetuneConfig):
+    """Partition into (trainable, frozen) — frozen VQ stays out of the
+    optimizer so it receives neither updates nor weight decay."""
+    if cfg.freeze_vq:
+        trainable = {k: v for k, v in params.items() if k != "vq"}
+        frozen = {"vq": params["vq"]}
+    else:
+        trainable, frozen = dict(params), {}
+    return trainable, frozen
+
+
+def _merge(trainable, frozen):
+    return {**trainable, **frozen}
+
+
+def _copy(tree):
+    return jax.tree_util.tree_map(lambda x: x, tree)
+
+
+# ------------------------------------------------------------------ node/link
+
+def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
+    """Build jitted (train_step, eval_step) closures for full-batch node/link.
+
+    For links, ``y`` is per-edge and the mask arrays index edges; edge
+    embeddings are midpoints of the graph's labeled edge endpoints.
+    """
+
+    def forward(params, state, rng, training):
+        z, state, aux = task_model.encode(params, state, cfg, graph,
+                                          training=training, rng=rng)
+        if task_kind == "link":
+            z = (z[graph.senders] + z[graph.receivers]) / 2.0
+            row_mask = graph.edge_mask
+        else:
+            row_mask = graph.node_mask
+        logits, commit, state = task_model.task_logits(
+            params, state, cfg, z, training=training, rng=rng, mask=row_mask)
+        return logits, state, aux
+
+    def train_step(trainable, frozen, opt_state, state, rng, train_mask, tx):
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            logits, new_state, aux = forward(params, state, rng, True)
+            act = task_model.activation_loss(logits, y, task="single",
+                                             mask=train_mask.astype(jnp.float32))
+            jac = task_model.decoder_jacobian_penalty(params, cfg)
+            env = cfg.lamda_env * aux["env_reg"]
+            return act + jac + env, (new_state, act, jac, env)
+        (loss, (new_state, act, jac, env)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, new_state, {
+            "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
+
+    def eval_step(trainable, frozen, state):
+        params = _merge(trainable, frozen)
+        logits, _, _ = forward(params, state, jax.random.PRNGKey(0), False)
+        return jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
+
+    return train_step, eval_step
+
+
+def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
+                   pretrained=None, task_kind: str = "node",
+                   verbose: bool = False):
+    graph = ds.to_graph()
+    n_items = ds.num_nodes if task_kind == "node" else ds.num_edges
+    pad_items = graph.num_nodes_padded if task_kind == "node" \
+        else graph.num_edges_padded
+
+    y_np = np.zeros(pad_items, dtype=np.int32)
+    y_np[:n_items] = np.asarray(ds.labels)[:n_items]
+    y = jnp.asarray(y_np)
+
+    splits = ds.splits
+    if len(splits) == 1 and cfg.repeat > 1:
+        splits = splits * cfg.repeat
+    splits = splits[: cfg.repeat]
+
+    logger = Logger()
+    tx = optax.adamw(cfg.lr, weight_decay=0.01)
+    train_step_fn, eval_step_fn = _make_node_steps(cfg, graph, y, task_kind)
+    train_step = jax.jit(lambda t, f, o, s, r, m: train_step_fn(
+        t, f, o, s, r, m, tx))
+    eval_step = jax.jit(eval_step_fn)
+
+    for idx, split in enumerate(splits):
+        key = jax.random.PRNGKey(idx)
+        key, k_init = jax.random.split(key)
+        params, state = task_model.task_model_init(
+            k_init, cfg,
+            encoder_params=None if pretrained is None else _copy(pretrained["encoder_params"]),
+            vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
+            encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
+            vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
+        trainable, frozen = _split_params(params, cfg)
+        opt_state = tx.init(trainable)
+        stopper = EarlyStopping(patience=cfg.early_stop)
+
+        def masks_for(split):
+            out = {}
+            for k in ["train", "valid", "test"]:
+                m = np.zeros(pad_items, dtype=bool)
+                m[:n_items] = np.asarray(split[k])[:n_items]
+                out[k] = m
+            return out
+
+        masks = masks_for(split)
+        train_mask = jnp.asarray(masks["train"])
+
+        for epoch in range(cfg.epochs):
+            key, k_step = jax.random.split(key)
+            trainable, opt_state, state, loss = train_step(
+                trainable, frozen, opt_state, state, k_step, train_mask)
+            pred = np.asarray(eval_step(trainable, frozen, state))
+            result = {
+                "train": evaluate(pred, y_np, masks["train"], cfg.task),
+                "val": evaluate(pred, y_np, masks["valid"], cfg.task),
+                "test": evaluate(pred, y_np, masks["test"], cfg.task),
+                "metric": task2metric[cfg.task],
+            }
+            logger.log(idx, epoch, {k: float(v) for k, v in loss.items()},
+                       result)
+            if stopper(result):
+                if verbose:
+                    print(f"[split {idx}] early stop at epoch {epoch}")
+                break
+        if verbose:
+            b = logger.get_single_best(idx)
+            print(f"[split {idx}] best val={b['val']:.2f} test={b['test']:.2f}")
+
+    return logger
+
+
+# ------------------------------------------------------------------ graph
+
+def _batch_graph_list(graphs, labels, idxs, batch_size: int,
+                      node_bucket: int = 512, edge_bucket: int = 2048):
+    """Host-side batching of molecule graphs into padded disjoint batches.
+
+    Labels are padded to ``batch_size`` rows so device shapes stay fixed;
+    ``n_real`` marks the valid prefix.
+    """
+    num_tasks = labels.shape[1]
+    batches = []
+    for i in range(0, len(idxs), batch_size):
+        chunk = idxs[i: i + batch_size]
+        gs = [graphs[j] for j in chunk]
+        tot_n = sum(g["node_feat"].shape[0] for g in gs)
+        tot_e = sum(len(g["senders"]) for g in gs)
+        g = batch_graphs(gs, node_pad_to=round_up(tot_n + 1, node_bucket),
+                         edge_pad_to=round_up(max(tot_e, 1), edge_bucket))
+        lab = np.full((batch_size, num_tasks), np.nan)
+        lab[: len(chunk)] = np.stack([labels[j] for j in chunk])
+        batches.append((g, lab, len(chunk)))
+    return batches
+
+
+def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
+                    pretrained=None, verbose: bool = False, seed_base: int = 0):
+    num_tasks = labels.shape[1]
+    logger = Logger()
+    tx = optax.adamw(cfg.lr, weight_decay=0.01)
+
+    def make_batches(mask, bs, shuffle_rng=None):
+        idxs = np.where(mask)[0]
+        if shuffle_rng is not None:
+            shuffle_rng.shuffle(idxs)
+        return _batch_graph_list(graphs, labels, idxs, bs)
+
+    batch_size = cfg.batch_size or 64
+
+    @jax.jit
+    def train_step(trainable, frozen, opt_state, state, rng, g, y, valid,
+                   gmask):
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            z, state2, aux = task_model.encode(params, state, cfg, g,
+                                               training=True, rng=rng)
+            pooled = task_model.pool_graph(z, g, "mean",
+                                           num_segments=batch_size)
+            logits, commit, state3 = task_model.task_logits(
+                params, state2, cfg, pooled, training=True, rng=rng,
+                mask=gmask)
+            act = task_model.activation_loss(logits, y, task="multi",
+                                             mask=gmask, valid=valid)
+            jac = task_model.decoder_jacobian_penalty(params, cfg)
+            env = cfg.lamda_env * aux["env_reg"]
+            return act + jac + env, (state3, act, jac, env)
+        (loss, (new_state, act, jac, env)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, new_state, {
+            "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
+
+    @jax.jit
+    def predict(trainable, frozen, state, g):
+        params = _merge(trainable, frozen)
+        z, state2, _ = task_model.encode(params, state, cfg, g,
+                                         training=False)
+        pooled = task_model.pool_graph(z, g, "mean",
+                                       num_segments=batch_size)
+        logits, _, _ = task_model.task_logits(params, state2, cfg, pooled,
+                                              training=False)
+        return jnp.mean(logits, axis=1)
+
+    for idx in range(cfg.repeat):
+        rng_np = np.random.default_rng(seed_base + idx)
+        key = jax.random.PRNGKey(seed_base + idx)
+        key, k_init = jax.random.split(key)
+        params, state = task_model.task_model_init(
+            k_init, cfg,
+            encoder_params=None if pretrained is None else _copy(pretrained["encoder_params"]),
+            vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
+            encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
+            vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
+        trainable, frozen = _split_params(params, cfg)
+        opt_state = tx.init(trainable)
+        stopper = EarlyStopping(patience=cfg.early_stop)
+        eval_batches = {k: make_batches(split[k], cfg.batch_size or 64)
+                        for k in ["train", "valid", "test"]}
+
+        for epoch in range(cfg.epochs):
+            for g, lab, n_real in make_batches(split["train"],
+                                               cfg.batch_size or 64, rng_np):
+                key, k_step = jax.random.split(key)
+                y = jnp.asarray(np.nan_to_num(lab * 2.0 - 1.0))
+                valid = jnp.asarray(~np.isnan(lab))
+                gmask = jnp.arange(batch_size) < n_real
+                trainable, opt_state, state, loss = train_step(
+                    trainable, frozen, opt_state, state, k_step, g, y, valid,
+                    gmask)
+
+            def auc_of(batches):
+                preds, ys = [], []
+                for g, lab, n_real in batches:
+                    p = np.asarray(predict(trainable, frozen, state, g))
+                    preds.append(p[:n_real])
+                    ys.append(lab[:n_real])
+                return evaluate(np.concatenate(preds), np.concatenate(ys),
+                                None, "graph")
+
+            result = {"train": auc_of(eval_batches["train"]),
+                      "val": auc_of(eval_batches["valid"]),
+                      "test": auc_of(eval_batches["test"]),
+                      "metric": "auc"}
+            logger.log(idx, epoch, {k: float(v) for k, v in loss.items()},
+                       result)
+            if stopper(result):
+                break
+        if verbose:
+            b = logger.get_single_best(idx)
+            print(f"[split {idx}] best val={b['val']:.2f} test={b['test']:.2f}")
+    return logger
+
+
+# ------------------------------------------------------------------ front-end
+
+def run_finetune(ds, cfg: FinetuneConfig, pretrained=None,
+                 verbose: bool = False):
+    """Returns the Logger after all repeats (mean±std via get_best()).
+
+    ``ds``: TAGDataset for node/link; (graphs, labels, split) tuple for graph.
+    ``pretrained``: optional dict with encoder_params/encoder_state/vq_params/
+    vq_state from a pretrain checkpoint (finetune.py:174-177).
+    """
+    if cfg.task in ("node", "link"):
+        return _run_node_like(ds, cfg, pretrained, cfg.task, verbose)
+    if cfg.task == "graph":
+        graphs, labels, split = ds
+        return _run_graph_task(graphs, labels, split, cfg, pretrained,
+                               verbose)
+    raise ValueError(f"Invalid task {cfg.task}")

@@ -1,0 +1,156 @@
+"""Pretraining driver.
+
+Re-design of STEM-GNN/pretrain.py:25-167: per epoch, weighted seed-node
+resampling over the merged multi-dataset graph, neighbor-sampled padded
+batches, one jitted train step per batch (augment -> 4 recon losses + VQ
+losses -> AdamW + clip 1.0 + cosine schedule -> EMA teacher update), encoder
+and VQ checkpoints per epoch.
+
+TPU-native structure: the augmentation (column feature mask + undirected edge
+dropout, pretrain.py:41-45) runs *inside* the jitted step from an RNG key;
+the EMA teacher update is a pure tree lerp fused into the same step (the
+reference calls it per batch, pretrain.py:66).  Under a device mesh the same
+step runs data-parallel with psum-ed gradients + codebook statistics
+(see stemgnn_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stemgnn_tpu.core.config import PretrainConfig
+from stemgnn_tpu.data.sampler import (CSCGraph, NeighborBatchIterator,
+                                      get_train_node_idx)
+from stemgnn_tpu.models.pretrain import (ema_update_teacher, pretrain_forward,
+                                         pretrain_init)
+from stemgnn_tpu.train import augment
+from stemgnn_tpu.train.optim import make_optimizer
+from stemgnn_tpu.utils import checkpoint as ckpt
+
+
+def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
+                       axis_name: Optional[str] = None,
+                       donate: bool = False):
+    # Donation is off by default: freshly-initialized trees can alias
+    # identical constant buffers (zeros/ones, teacher copies), which XLA
+    # rejects when donated twice.  Enable for long TPU runs after the first
+    # step's buffers are unique.
+    """Build the jitted pretrain step.
+
+    Step signature: (params, teacher, opt_state, state, graph, rng) ->
+    (params, teacher, opt_state, state, metrics).
+    """
+
+    def step(params, teacher, opt_state, state, g, rng):
+        k_aug_feat, k_aug_edge, k_fwd = jax.random.split(rng, 3)
+        aug_feat = augment.mask_feature(k_aug_feat, g.node_feat, cfg.feat_p)
+        aug_mask = augment.dropout_edges_undirected(
+            k_aug_edge, g.senders, g.receivers, g.edge_mask, cfg.edge_p)
+        aug_g = g.replace(node_feat=aug_feat, edge_mask=aug_mask)
+
+        def loss_fn(params):
+            return pretrain_forward(params, teacher, state, cfg, aug_g, g,
+                                    bs=bs, rng=k_fwd, training=True,
+                                    axis_name=axis_name)
+
+        (loss, (aux, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        teacher = ema_update_teacher(teacher, params["encoder"],
+                                     cfg.sem_encoder_decay)
+        metrics = dict(aux["losses"], loss=loss)
+        return params, teacher, opt_state, new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
+
+
+def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
+                 save_root: Optional[str] = None, log_fn=None,
+                 max_steps: Optional[int] = None, verbose: bool = True):
+    """Pretrain over a merged multi-dataset payload.
+
+    ``merged``: dict with node_text_feat, edge_text_feat, x, xe,
+    edge_index [2, E], ptr (dataset node offsets) — the analog of the
+    ``Batch.from_data_list`` pretrain graph (process_datasets.py:170-182).
+
+    Returns (params, teacher, state, history).
+    """
+    rng_np = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+
+    params, teacher, state = pretrain_init(k_init, cfg)
+
+    num_nodes = merged["x"].shape[0]
+    csc = CSCGraph.from_edge_index(np.asarray(merged["edge_index"]), num_nodes)
+
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, grad_clip=cfg.grad_clip,
+                        use_scheduler=cfg.use_scheduler, epochs=cfg.epochs,
+                        steps_per_epoch=1)
+    opt_state = tx.init(params)
+    step_fn = make_pretrain_step(cfg, tx, bs=cfg.batch_size)
+
+    history = []
+    total_steps = 0
+    for epoch in range(1, cfg.epochs + 1):
+        seeds = get_train_node_idx(np.asarray(merged["ptr"]), weights, rng_np)
+        it = NeighborBatchIterator(
+            csc, merged["node_text_feat"], merged.get("edge_text_feat"),
+            merged["x"], merged.get("xe"), seeds, cfg.batch_size,
+            [cfg.fanout] * cfg.encoder.num_layers, rng_np, drop_last=True)
+        t0 = time.time()
+        epoch_metrics = []
+        for g, n_seeds, _ in it:
+            key, k_step = jax.random.split(key)
+            params, teacher, opt_state, state, metrics = step_fn(
+                params, teacher, opt_state, state, g, k_step)
+            epoch_metrics.append(metrics)
+            total_steps += 1
+            if log_fn is not None:
+                log_fn({f"losses/{k}": float(v) for k, v in metrics.items()})
+            if max_steps is not None and total_steps >= max_steps:
+                break
+        mean_metrics = {k: float(np.mean([float(m[k]) for m in epoch_metrics]))
+                        for k in epoch_metrics[0]} if epoch_metrics else {}
+        history.append(mean_metrics)
+        if verbose:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in mean_metrics.items())
+            print(f"[pretrain] epoch {epoch}/{cfg.epochs} "
+                  f"({time.time()-t0:.1f}s, {len(epoch_metrics)} steps) {msg}")
+        if save_root is not None:
+            save_checkpoint(save_root, epoch, params, teacher, state)
+        if max_steps is not None and total_steps >= max_steps:
+            break
+    return params, teacher, state, history
+
+
+def save_checkpoint(save_root: str, epoch: int, params, teacher, state):
+    """Separable encoder/VQ checkpoints (pretrain.py:160-165 analog) plus the
+    full bundle for resume."""
+    os.makedirs(save_root, exist_ok=True)
+    ckpt.save_pytree(os.path.join(save_root, f"encoder_{epoch}.npz"),
+                     {"params": params["encoder"],
+                      "state": state["encoder"]})
+    ckpt.save_pytree(os.path.join(save_root, f"vq_{epoch}.npz"),
+                     {"params": params["vq"], "state": state["vq"]})
+    ckpt.save_pytree(os.path.join(save_root, f"full_{epoch}.npz"),
+                     {"params": params, "teacher": teacher, "state": state})
+
+
+def load_pretrained_for_finetune(path_encoder: str, path_vq: str):
+    """Load the separable checkpoints into the finetune bundle format
+    (finetune.py:174-177)."""
+    enc = ckpt.load_pytree(path_encoder)
+    vq = ckpt.load_pytree(path_vq)
+    return {"encoder_params": enc["params"], "encoder_state": enc["state"],
+            "vq_params": vq["params"], "vq_state": vq["state"]}

@@ -1,0 +1,72 @@
+"""Evaluation metrics (STEM-GNN/utils/eval.py): node/link accuracy x100,
+graph mean per-task AUC x100 (nan-task tolerant)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+task2metric = {"node": "acc", "link": "acc", "graph": "auc"}
+
+
+def eval_acc(pred, y, mask=None):
+    """pred [N, C] probabilities/logits, y [N] int labels."""
+    pred = np.asarray(pred)
+    y = np.asarray(y)
+    if mask is not None:
+        mask = np.asarray(mask).astype(bool)
+        pred, y = pred[mask], y[mask]
+    if len(y) == 0:
+        return float("nan")
+    return float((pred.argmax(-1) == y).mean())
+
+
+def _binary_auc(y_true, y_score):
+    """Rank-based ROC-AUC (Mann-Whitney U), no sklearn dependency in the hot
+    path; ties handled by average ranks."""
+    y_true = np.asarray(y_true).astype(bool)
+    y_score = np.asarray(y_score, dtype=np.float64)
+    n_pos = int(y_true.sum())
+    n_neg = len(y_true) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(y_score, kind="mergesort")
+    ranks = np.empty(len(y_score), dtype=np.float64)
+    sorted_scores = y_score[order]
+    i = 0
+    while i < len(sorted_scores):
+        j = i
+        while j + 1 < len(sorted_scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return float((ranks[y_true].sum() - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg))
+
+
+def eval_auc(pred, y):
+    """Mean per-task ROC-AUC over tasks with both classes present
+    (STEM-GNN/utils/eval.py:33-48); NaN labels excluded per task."""
+    pred = np.asarray(pred)
+    y = np.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+        pred = pred[:, None] if pred.ndim == 1 else pred
+    rocs = []
+    for i in range(y.shape[1]):
+        yi = y[:, i]
+        valid = ~np.isnan(yi)
+        yi = yi[valid]
+        if (yi == 1).sum() > 0 and (yi == 0).sum() > 0:
+            rocs.append(_binary_auc(yi, pred[valid, i]))
+    if not rocs:
+        return float("nan")
+    return float(np.mean(rocs))
+
+
+def evaluate(pred, y, mask=None, task: str = "node"):
+    metric = task2metric[task]
+    if metric == "acc":
+        return eval_acc(pred, y, mask) * 100
+    if metric == "auc":
+        return eval_auc(pred, y) * 100
+    raise ValueError(f"Metric {metric} is not supported.")

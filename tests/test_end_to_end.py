@@ -1,0 +1,95 @@
+"""End-to-end slices: finetune node/link/graph on synthetic data, pretrain
+loop + checkpoint round-trip, pretrain->finetune handoff (SURVEY.md §4 #5)."""
+
+import numpy as np
+import pytest
+
+from stemgnn_tpu.core.config import (EncoderConfig, FinetuneConfig,
+                                     PretrainConfig, VQConfig)
+from stemgnn_tpu.data.merge import merge_datasets
+from stemgnn_tpu.data.synthetic import (synthetic_graph_dataset,
+                                        synthetic_link_dataset,
+                                        synthetic_node_dataset)
+from stemgnn_tpu.train.finetune_loop import run_finetune
+from stemgnn_tpu.train.pretrain_loop import (load_pretrained_for_finetune,
+                                             run_pretrain)
+
+D = 32
+
+
+def small_enc(normalize="none"):
+    return EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                         normalize=normalize, dropout=0.1)
+
+
+def small_vq(**kw):
+    kw.setdefault("commitment_weight", 0.25)
+    return VQConfig(dim=D, codebook_size=16, codebook_dim=16, heads=4, **kw)
+
+
+def test_finetune_node_accuracy():
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=4, feat_dim=D,
+                                train_per_split=40, val_per_split=80,
+                                num_splits=2, seed=0)
+    cfg = FinetuneConfig(encoder=small_enc(), vq=small_vq(), task="node",
+                         epochs=50, early_stop=25, lr=5e-3, repeat=2,
+                         num_classes=4)
+    best = run_finetune(ds, cfg).get_best()
+    assert best["test"]["mean"] > 80, best
+
+
+def test_finetune_link_accuracy():
+    ds = synthetic_link_dataset(num_entities=200, num_relations=4,
+                                num_edges=1500, feat_dim=D, seed=0)
+    cfg = FinetuneConfig(encoder=small_enc("batch"), vq=small_vq(),
+                         task="link", epochs=50, early_stop=25, lr=5e-3,
+                         repeat=1, num_classes=4)
+    best = run_finetune(ds, cfg).get_best()
+    assert best["test"]["mean"] > 60, best
+
+
+def test_finetune_graph_auc():
+    bundle = synthetic_graph_dataset(num_graphs=100, num_tasks=2, feat_dim=D,
+                                     seed=0)
+    cfg = FinetuneConfig(encoder=small_enc("batch"), vq=small_vq(),
+                         task="graph", epochs=20, early_stop=10, lr=1e-2,
+                         repeat=1, batch_size=32, num_classes=2,
+                         freeze_vq=False)
+    best = run_finetune(bundle, cfg).get_best()
+    assert best["test"]["mean"] > 55, best
+
+
+def test_pretrain_then_finetune(tmp_path):
+    ds = synthetic_node_dataset(num_nodes=250, num_classes=4, feat_dim=D,
+                                train_per_split=40, val_per_split=60,
+                                num_splits=1, seed=3)
+    merged = merge_datasets([ds])
+    pt_cfg = PretrainConfig(
+        encoder=small_enc("batch"),
+        vq=small_vq(commitment_weight=10.0, orthogonal_reg_weight=1.0,
+                    orthogonal_reg_max_codes=8),
+        epochs=2, batch_size=32, fanout=4, lr=1e-3)
+    _, _, _, hist = run_pretrain(merged, pt_cfg, weights=[1.0],
+                                 save_root=str(tmp_path), verbose=False)
+    assert np.isfinite(hist[-1]["loss"])
+
+    bundle = load_pretrained_for_finetune(str(tmp_path / "encoder_2.npz"),
+                                          str(tmp_path / "vq_2.npz"))
+    ft_cfg = FinetuneConfig(
+        encoder=small_enc("batch"),
+        vq=small_vq(kmeans_init=True), task="node", epochs=30, early_stop=15,
+        lr=5e-3, repeat=1, num_classes=4)
+    best = run_finetune(ds, ft_cfg, pretrained=bundle).get_best()
+    assert best["test"]["mean"] > 50, best
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from stemgnn_tpu.utils.checkpoint import load_pytree, save_pytree
+    tree = {"a": np.arange(5.0), "b": [{"w": np.ones((2, 3))}, None],
+            "c": {"deep": {"x": np.asarray(3)}}}
+    save_pytree(str(tmp_path / "t.npz"), tree)
+    back = load_pytree(str(tmp_path / "t.npz"))
+    np.testing.assert_array_equal(back["a"], tree["a"])
+    np.testing.assert_array_equal(back["b"][0]["w"], tree["b"][0]["w"])
+    assert back["b"][1] is None
+    assert back["c"]["deep"]["x"] == 3

