@@ -1,19 +1,24 @@
 """Benchmark: SpMM (SAGE aggregation) fwd+bwd edges/s/chip.
 
 The driver's primary metric (BASELINE.json): edges/s/chip for the sparse
-aggregation that dominates the model's FLOP/byte profile
-(SURVEY.md §3.3 — MySAGEConv's gather + relu(x_j+xe) + segment-mean and its
-backward scatter).
+aggregation that dominates the model (SURVEY.md §3.3 — MySAGEConv's gather +
+relu(x_j+xe) + segment-mean and its backward scatter), on an arxiv-class
+power-law graph.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is the fraction of the per-chip HBM-bandwidth roofline
-achieved (the reference publishes no numbers — BASELINE.md — so
-speed-of-light fraction is the comparable scalar; 1.0 == roofline).
+Measures BOTH execution paths and reports the best:
+  * xla   — gather + sorted segment-sum (the portable baseline),
+  * fused — XLA gather + Pallas one-hot-matmul scatter kernel, bf16 messages
+            (stemgnn_tpu.ops.fused_sage / scatter_pallas).
 
-Roofline model per edge (no cache reuse assumed, f32):
-  fwd: read src row (D*4 B) ; amortized writes O(N*D) << E*D
-  bwd: read grad-out row via dst + scatter-add src grad row (2 * D*4 B)
-  => ~3 * D * 4 bytes/edge fwd+bwd.
+Timing discipline for the tunneled TPU: iterations run as a *dependent*
+lax.scan inside one jit (per-dispatch overhead ~3 ms and repeated identical
+dispatches can be cached by the remote runtime, so naive loops mis-measure);
+a scalar readback forces completion.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+``vs_baseline`` is the fraction of the per-chip HBM-roofline edges/s
+(~3*D*4 bytes/edge fwd+bwd at f32; the reference publishes no numbers —
+BASELINE.md — so speed-of-light fraction is the comparable scalar).
 """
 
 import json
@@ -24,7 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Per-chip HBM bandwidth (B/s) by platform for the roofline denominator.
 _HBM_BW = {
     "tpu v5 lite": 819e9,     # v5e
     "tpu v5": 2765e9,         # v5p
@@ -42,53 +46,77 @@ def _detect_bw():
     return _HBM_BW["cpu"]
 
 
+def _bench(step_fn, x0, iters):
+    """Dependent-chain scan timing with forced scalar readback."""
+
+    @jax.jit
+    def run(x0):
+        def body(x, _):
+            out = step_fn(x)
+            probe = out[0, 0]
+            x = x * 0.9999 + probe * 1e-9
+            return x, probe
+        x, probes = jax.lax.scan(body, x0, None, length=iters)
+        return jnp.sum(probes)
+
+    float(run(x0))                       # compile + warm
+    t0 = time.perf_counter()
+    float(run(x0))
+    return max((time.perf_counter() - t0 - 0.003) / iters, 1e-9)
+
+
 def main():
+    from stemgnn_tpu.core.graph import round_up
     from stemgnn_tpu.data.synthetic import random_power_law_graph
+    from stemgnn_tpu.ops.edge_layout import build_edge_layout
+    from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
     from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
 
     on_tpu = jax.default_backend() == "tpu"
-    # arxiv-class workload on TPU; small on CPU.
     if on_tpu:
-        n, e, d = 169_343, 1_166_243, 768
+        n, e, d, iters = 169_343, 1_166_243, 768, 10
     else:
-        n, e, d = 20_000, 100_000, 256
+        n, e, d, iters = 20_000, 100_000, 256, 3
 
-    x_np, s_np, r_np, _ = random_power_law_graph(n, e, d, seed=0,
-                                                 with_edge_feat=False)
-    # receiver-sorted edges (the framework's canonical layout)
+    _, s_np, r_np, _ = random_power_law_graph(n, e, d, seed=0,
+                                              with_edge_feat=False)
+    n_pad = round_up(n, 128)
     order = np.argsort(r_np, kind="stable")
-    s_np, r_np = s_np[order], r_np[order]
+    s_sorted, r_sorted = jnp.asarray(s_np[order]), jnp.asarray(r_np[order])
+    layout = jax.device_put(build_edge_layout(s_np, r_np, n_pad,
+                                              edge_chunk=512))
+    x0 = jax.jit(lambda k: jax.random.normal(k, (n_pad, d), jnp.float32))(
+        jax.random.PRNGKey(0))
 
-    x = jnp.asarray(x_np)
-    s = jnp.asarray(s_np)
-    r = jnp.asarray(r_np)
+    def xla_step(x):
+        return jax.grad(lambda x: jnp.sum(gather_scatter_aggregate(
+            x, s_sorted, r_sorted, None, num_nodes=n_pad, reduce="mean",
+            relu=True, indices_are_sorted=True) ** 2))(x)
 
-    def loss(x):
-        out = gather_scatter_aggregate(x, s, r, None, num_nodes=n,
-                                       reduce="mean", relu=True,
-                                       indices_are_sorted=True)
-        return jnp.sum(out * out)
+    candidates = {"xla_f32": xla_step}
+    if on_tpu:
+        def fused_step(x):
+            return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
+                x, layout, None, reduce="mean", relu=True,
+                bf16_messages=True) ** 2))(x)
+        candidates["fused_bf16"] = fused_step
 
-    step = jax.jit(jax.grad(loss))
-
-    g = step(x)
-    g.block_until_ready()           # compile + warmup
-    iters = 10 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(x)
-    g.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-
+    results = {}
+    for name, fn in candidates.items():
+        try:
+            results[name] = _bench(fn, x0, iters)
+        except Exception as exc:  # keep the bench robust to one path failing
+            print(f"# {name} failed: {type(exc).__name__}", flush=True)
+    best_name = min(results, key=results.get)
+    dt = results[best_name]
     edges_per_s = e / dt
     roofline = _detect_bw() / (3 * d * 4)
-    result = {
+    print(json.dumps({
         "metric": "spmm_fwd_bwd_edges_per_s_per_chip",
         "value": round(edges_per_s),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / roofline, 4),
-    }
-    print(json.dumps(result))
+    }))
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
                      rng: jax.Array, training: bool = True,
                      no_codebook: bool = False,
                      axis_name: Optional[str] = None,
-                     block_ptr=None):
+                     layout=None, edge_table=None):
     """Full pretrain forward (pt_model.py:116-142).
 
     ``aug_g`` / ``orig_g`` share node/edge layout; augmentation only altered
@@ -107,7 +107,7 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         aug_g.node_feat, aug_g.senders, aug_g.receivers,
         edge_feat=aug_g.edge_feat, edge_mask=aug_g.edge_mask,
         node_mask=aug_g.node_mask, training=training, rng=k_enc,
-        block_ptr=block_ptr, axis_name=axis_name)
+        layout=layout, edge_table=edge_table, axis_name=axis_name)
 
     vq_res = vq_apply(params["vq"], state["vq"], cfg.vq, z,
                       training=training, rng=k_vq, mask=aug_g.node_mask,
@@ -166,7 +166,7 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         orig_g.node_feat, orig_g.senders, orig_g.receivers,
         edge_feat=orig_g.edge_feat, edge_mask=orig_g.edge_mask,
         node_mask=orig_g.node_mask, training=training, rng=k_teacher,
-        block_ptr=block_ptr, axis_name=axis_name)
+        layout=layout, edge_table=edge_table, axis_name=axis_name)
     tz = jax.lax.stop_gradient(tz)
     hproj = linear_apply(params["sem_projector"], query)
 

@@ -27,7 +27,7 @@ from stemgnn_tpu.core.graph import Graph
 from stemgnn_tpu.nn.encoder import encoder_apply, encoder_init
 from stemgnn_tpu.nn.layers import linear_apply, linear_init
 from stemgnn_tpu.ops import segment
-from stemgnn_tpu.vq import vq_apply, vq_init
+from stemgnn_tpu.vq import vq_apply, vq_init, vq_kmeans_init
 
 
 def task_model_init(key, cfg: FinetuneConfig, encoder_params=None,
@@ -51,14 +51,33 @@ def task_model_init(key, cfg: FinetuneConfig, encoder_params=None,
 
 
 def encode(params, state, cfg: FinetuneConfig, g: Graph, *, training: bool,
-           rng=None, block_ptr=None, axis_name: Optional[str] = None):
+           rng=None, layout=None, edge_table=None,
+                  axis_name: Optional[str] = None):
     """Encoder forward on a padded graph; returns (z, new_state, aux)."""
     z, enc_state, aux = encoder_apply(
         params["encoder"], state["encoder"], cfg.encoder,
         g.node_feat, g.senders, g.receivers, edge_feat=g.edge_feat,
         edge_mask=g.edge_mask, node_mask=g.node_mask, training=training,
-        rng=rng, block_ptr=block_ptr, axis_name=axis_name)
+        rng=rng, layout=layout, edge_table=edge_table, axis_name=axis_name)
     return z, dict(state, encoder=enc_state), aux
+
+
+def maybe_kmeans_init_vq(params, state, cfg: FinetuneConfig, g: Graph,
+                         rng=None):
+    """k-means-init the VQ codebook from the first batch when configured and
+    not yet initted — the analog of the reference's lazy init-on-first-forward
+    (vq.py:646, triggered via utils/others.py:168-170's dummy forward).
+    Host-side gate: call once before training."""
+    if not cfg.use_vq or bool(state["vq"]["initted"]):
+        return params, state
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    z, _, _ = encoder_apply(
+        params["encoder"], state["encoder"], cfg.encoder,
+        g.node_feat, g.senders, g.receivers, edge_feat=g.edge_feat,
+        edge_mask=g.edge_mask, node_mask=g.node_mask, training=False)
+    vq_params, vq_state = vq_kmeans_init(rng, params["vq"], state["vq"],
+                                         cfg.vq, z, mask=g.node_mask)
+    return dict(params, vq=vq_params), dict(state, vq=vq_state)
 
 
 def pool_graph(z, g: Graph, pool: str = "mean",

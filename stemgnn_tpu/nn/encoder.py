@@ -78,7 +78,8 @@ def _gumbel_softmax(key, logits, tau: float):
 def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
                   edge_feat=None, edge_mask=None, node_mask=None, *,
                   training: bool = False, rng: Optional[jax.Array] = None,
-                  block_ptr=None, axis_name: Optional[str] = None):
+                  layout=None, edge_table=None,
+                  axis_name: Optional[str] = None):
     """Forward pass (encoder.py:283-323).
 
     ``axis_name``: mesh axis for cross-shard BatchNorm statistics in the
@@ -127,7 +128,7 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
         elif cfg.backbone == "sage":
             z = convs.sage_apply(layer_p, z, senders, receivers,
                                  edge_feat=edge_feat, edge_mask=edge_mask,
-                                 block_ptr=block_ptr)
+                                 layout=layout, edge_table=edge_table)
         elif cfg.backbone == "gcn":
             z = convs.gcn_apply(layer_p, z, senders, receivers,
                                 edge_mask=edge_mask, node_mask=node_mask)

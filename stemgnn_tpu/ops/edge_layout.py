@@ -1,0 +1,149 @@
+"""Precomputed edge layouts for the fused TPU aggregation kernels.
+
+Host-side, once per graph: sort the COO edge list by receiver (forward
+scatter) and by sender (backward scatter), record per-node-block edge offsets
+(``block_ptr``) so the Pallas kernel can walk each output block's contiguous
+edge range, and keep edge-type ids in both orders so per-edge features are
+gathered from the small type table on the fly (never materialized [E, D] in
+host memory).
+
+This is the TPU-native replacement for PyG's SparseTensor/CSC machinery
+behind ``spmm`` (reference STEM-GNN/model/encoder.py:99-102).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from stemgnn_tpu.core.graph import round_up
+
+
+@struct.dataclass
+class EdgeLayout:
+    """Device-resident, static per graph.  All edge arrays are padded to a
+    multiple of the kernel edge-chunk; padded slots carry receiver sentinel
+    ``num_nodes_padded`` (outside every block range) and mask False."""
+    # receiver-sorted (forward scatter)
+    senders_r: jax.Array          # [E_pad] int32
+    receivers_r: jax.Array        # [E_pad] int32
+    xe_r: Optional[jax.Array]     # [E_pad] int32 edge-type ids or None
+    mask_r: jax.Array             # [E_pad] bool
+    block_ptr_r: jax.Array        # [N_pad/NB + 1] int32
+    onehot_r: jax.Array           # [NB, E_pad] bf16, onehot_r[n, e] =
+                                  #   (receiver[e] mod NB == n) — transposed so
+                                  #   the kernel's PᵀM is a plain MXU matmul
+    # sender-sorted (backward scatter)
+    senders_s: jax.Array          # [E_pad] int32 (sorted)
+    receivers_s: jax.Array        # [E_pad] int32
+    xe_s: Optional[jax.Array]     # [E_pad] int32
+    mask_s: jax.Array             # [E_pad] bool
+    block_ptr_s: jax.Array        # [N_pad/NB + 1] int32
+    onehot_s: jax.Array           # [NB, E_pad] bf16 (sender mod NB, transposed)
+    # degrees for mean-reduction (valid in-edges per node)
+    in_degree: jax.Array          # [N_pad] float32
+    # static metadata
+    node_block: int = struct.field(pytree_node=False, default=128)
+    edge_chunk: int = struct.field(pytree_node=False, default=512)
+
+    @property
+    def num_edges_padded(self) -> int:
+        return self.senders_r.shape[0]
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.in_degree.shape[0]
+
+
+def _block_ptr(sorted_keys: np.ndarray, n_pad: int, nb: int) -> np.ndarray:
+    bounds = np.arange(0, n_pad + nb, nb)
+    return np.searchsorted(sorted_keys, bounds, side="left").astype(np.int32)
+
+
+def build_edge_layout(senders, receivers, num_nodes_padded: int,
+                      xe_ids=None, edge_mask=None, node_block: int = 128,
+                      edge_chunk: int = 512) -> EdgeLayout:
+    """Host numpy prep.  ``senders``/``receivers`` may include padded slots
+    (edge_mask False); they are re-pointed at the sentinel and sorted last."""
+    senders = np.asarray(senders, np.int32)
+    receivers = np.asarray(receivers, np.int32)
+    e = senders.shape[0]
+    if edge_mask is None:
+        edge_mask = np.ones(e, bool)
+    else:
+        edge_mask = np.asarray(edge_mask, bool)
+    if num_nodes_padded % node_block != 0:
+        raise ValueError(f"num_nodes_padded {num_nodes_padded} not a multiple "
+                         f"of node_block {node_block}")
+    xe_ids = None if xe_ids is None else np.asarray(xe_ids, np.int32)
+
+    sentinel = num_nodes_padded
+    s = np.where(edge_mask, senders, sentinel)
+    r = np.where(edge_mask, receivers, sentinel)
+
+    e_pad = round_up(max(e, edge_chunk), edge_chunk)
+
+    def pack(sort_key, a, b, xe, mask):
+        order = np.argsort(sort_key, kind="stable")
+        out = {}
+        for name, arr, fill in (("a", a[order], sentinel),
+                                ("b", b[order], sentinel),
+                                ("m", mask[order], False)):
+            full = np.full(e_pad, fill, dtype=arr.dtype)
+            full[:e] = arr
+            out[name] = full
+        if xe is not None:
+            fullx = np.zeros(e_pad, np.int32)
+            fullx[:e] = xe[order]
+            out["xe"] = fullx
+        else:
+            out["xe"] = None
+        return out, order
+
+    fw, _ = pack(r, s, r, xe_ids, edge_mask)
+    bw, _ = pack(s, s, r, xe_ids, edge_mask)
+
+    bp_r = _block_ptr(fw["b"], num_nodes_padded, node_block)
+    bp_s = _block_ptr(bw["a"], num_nodes_padded, node_block)
+
+    deg = np.zeros(num_nodes_padded, np.float32)
+    np.add.at(deg, receivers[edge_mask], 1.0)
+
+    to_dev = lambda x: None if x is None else jnp.asarray(x)
+
+    @jax.jit
+    def onehot_mod(keys, mask):
+        # Built on-device from the [E] int arrays: the [NB, E_pad] one-hot is
+        # ~NB x larger than the ids, and host->device transfer can be the
+        # bottleneck (remote/tunneled TPUs).
+        local = jnp.where(mask, keys % node_block, node_block)
+        return jax.nn.one_hot(local, node_block, dtype=jnp.bfloat16, axis=0)
+
+    recv_r, mask_r_d = to_dev(fw["b"]), to_dev(fw["m"])
+    send_s, mask_s_d = to_dev(bw["a"]), to_dev(bw["m"])
+    return EdgeLayout(
+        senders_r=to_dev(fw["a"]), receivers_r=recv_r,
+        xe_r=to_dev(fw["xe"]), mask_r=mask_r_d,
+        block_ptr_r=to_dev(bp_r), onehot_r=onehot_mod(recv_r, mask_r_d),
+        senders_s=send_s, receivers_s=to_dev(bw["b"]),
+        xe_s=to_dev(bw["xe"]), mask_s=mask_s_d,
+        block_ptr_s=to_dev(bp_s), onehot_s=onehot_mod(send_s, mask_s_d),
+        in_degree=to_dev(deg),
+        node_block=node_block, edge_chunk=edge_chunk)
+
+
+def layout_from_graph(g, node_block: int = 128,
+                      edge_chunk: int = 512) -> EdgeLayout:
+    """Build a layout from a padded Graph whose nodes are already a multiple
+    of ``node_block`` (re-pad first if not)."""
+    n_pad = g.num_nodes_padded
+    if n_pad % node_block:
+        raise ValueError("re-pad graph nodes to a multiple of node_block")
+    return build_edge_layout(
+        np.asarray(g.senders), np.asarray(g.receivers), n_pad,
+        edge_mask=np.asarray(g.edge_mask),
+        node_block=node_block, edge_chunk=edge_chunk)

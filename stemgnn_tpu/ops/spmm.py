@@ -62,21 +62,23 @@ def gather_scatter_aggregate(x, senders, receivers, edge_feat=None,
 
 def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                    num_nodes: Optional[int] = None, reduce: str = "mean",
-                   relu: bool = True, block_ptr=None):
+                   relu: bool = True, layout=None, edge_table=None,
+                   bf16_messages: bool = True):
     """Dispatching front-end for the fused SAGE aggregation.
 
-    ``block_ptr`` is the per-node-block CSR edge-offset table produced by
-    :func:`stemgnn_tpu.ops.edge_blocks.build_edge_blocks`; passing it asserts
-    the edges are receiver-sorted and unlocks the Pallas TPU kernel.
+    ``layout`` is an :class:`stemgnn_tpu.ops.edge_layout.EdgeLayout`
+    (receiver/sender-sorted edge blocks + one-hot scatter matrices); passing
+    it on TPU unlocks the Pallas scatter kernel with ``edge_table`` [T, D]
+    per-edge-type features gathered on the fly.  Without it, the portable XLA
+    gather + segment-reduce path runs (with ``edge_feat`` [E, D] materialized
+    features).
     """
     num_nodes = num_nodes or x.shape[0]
     on_tpu = jax.default_backend() == "tpu"
-    if block_ptr is not None and on_tpu and reduce in ("mean", "sum"):
-        from stemgnn_tpu.ops import spmm_pallas
-        return spmm_pallas.sage_aggregate_pallas(
-            x, senders, receivers, block_ptr, edge_feat=edge_feat,
-            edge_mask=edge_mask, num_nodes=num_nodes, reduce=reduce, relu=relu)
+    if layout is not None and on_tpu and reduce in ("mean", "sum"):
+        from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
+        return fused_sage_aggregate(x, layout, edge_table, reduce=reduce,
+                                    relu=relu, bf16_messages=bf16_messages)
     return gather_scatter_aggregate(
         x, senders, receivers, edge_feat=edge_feat, edge_mask=edge_mask,
-        num_nodes=num_nodes, reduce=reduce, relu=relu,
-        indices_are_sorted=block_ptr is not None)
+        num_nodes=num_nodes, reduce=reduce, relu=relu)

@@ -133,6 +133,8 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
+        params, state = task_model.maybe_kmeans_init_vq(params, state, cfg,
+                                                        graph, rng=k_init)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)
@@ -255,11 +257,14 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
+        eval_batches = {k: make_batches(split[k], cfg.batch_size or 64)
+                        for k in ["train", "valid", "test"]}
+        if eval_batches["train"]:
+            params, state = task_model.maybe_kmeans_init_vq(
+                params, state, cfg, eval_batches["train"][0][0], rng=k_init)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)
-        eval_batches = {k: make_batches(split[k], cfg.batch_size or 64)
-                        for k in ["train", "valid", "test"]}
 
         for epoch in range(cfg.epochs):
             for g, lab, n_real in make_batches(split["train"],
