@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Finetune driver CLI.
+
+Re-design of /root/reference/STEM-GNN/finetune.py: per-task/per-dataset YAML
+presets (config/finetune.yaml nesting), pretrain checkpoint resolution
+(ckpts/pretrain_model/<run_id>/{encoder,vq}_{epoch}.npz), frozen-VQ default,
+repeated splits with per-split seed, best-epoch selection and final mean±std.
+
+Examples:
+  python finetune.py --use_params --finetune_dataset cora_synthetic
+  python finetune.py --finetune_dataset kg_synthetic --epochs 100
+"""
+
+import argparse
+import os.path as osp
+
+from stemgnn_tpu.core import config as cfglib
+from stemgnn_tpu.data.registry import dataset2task, load_dataset
+from stemgnn_tpu.train.finetune_loop import run_finetune
+from stemgnn_tpu.train.pretrain_loop import load_pretrained_for_finetune
+from stemgnn_tpu.utils.seeding import seed_everything
+
+ROOT = osp.dirname(osp.abspath(__file__))
+
+
+def get_args():
+    p = argparse.ArgumentParser("Finetune")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--use_params", action="store_true")
+    p.add_argument("--setting", default="standard", choices=["standard"])
+    p.add_argument("--pretrain_dataset", "--pt_data", default="na")
+    p.add_argument("--pretrain_task", "--pt_task", default="all")
+    p.add_argument("--pretrain_model_epoch", "--pt_epochs", type=int,
+                   default=25)
+    p.add_argument("--pretrain_run_id", "--pt_run_id", default="")
+    p.add_argument("--pretrain_path", default="")
+    p.add_argument("--feat_dim", "--input_dim", type=int, default=768)
+    p.add_argument("--hidden_dim", type=int, default=768)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--activation", "--act", default="relu")
+    p.add_argument("--backbone", default="sage")
+    p.add_argument("--normalize", default="batch")
+    p.add_argument("--dropout", type=float, default=0.15)
+    p.add_argument("--code_dim", type=int, default=768)
+    p.add_argument("--codebook_size", type=int, default=128)
+    p.add_argument("--codebook_head", type=int, default=4)
+    p.add_argument("--codebook_decay", type=float, default=0.8)
+    p.add_argument("--commit_weight", type=float, default=0.25)
+    p.add_argument("--ortho_reg_weight", type=float, default=1)
+    p.add_argument("--ortho_reg_max_codes", type=int, default=32)
+    p.add_argument("--use_vq", type=int, default=1, choices=[0, 1])
+    p.add_argument("--moe", action="store_true")
+    p.add_argument("--moe_layers", default="none",
+                   choices=["none", "all", "last"])
+    p.add_argument("--moe_experts", "--K", type=int, default=3)
+    p.add_argument("--moe_tau", "--tau", type=float, default=1.0)
+    p.add_argument("--lamda_env", type=float, default=0.0)
+    p.add_argument("--finetune_dataset", "--dataset", "--data",
+                   default="cora_synthetic")
+    p.add_argument("--freeze_vq", type=int, default=1, choices=[0, 1])
+    p.add_argument("--repeat", type=int, default=10)
+    p.add_argument("--finetune_epochs", "--epochs", type=int, default=1000)
+    p.add_argument("--early_stop", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=0)
+    p.add_argument("--finetune_lr", "--lr", type=float, default=1e-3)
+    p.add_argument("--finetune_seed", type=int, default=None)
+    p.add_argument("--separate_decoder_for_each_head", type=int, default=1)
+    p.add_argument("--decoder_jac_coeff", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main():
+    parser = get_args()
+    args = parser.parse_args()
+    name = args.finetune_dataset
+    task = dataset2task[name]
+    if args.use_params:
+        presets = cfglib.load_yaml(osp.join(ROOT, "configs", "finetune.yaml"))
+        preset = presets.get(task, {}).get(name, {})
+        flat = {}
+        for k, v in preset.items():
+            if k == "encoder":
+                flat.update(v)
+            elif k == "dataset":
+                flat["finetune_dataset"] = v
+            elif k == "epochs":
+                flat["finetune_epochs"] = v
+            elif k == "lr":
+                flat["finetune_lr"] = v
+            else:
+                flat[k] = v
+        parser.set_defaults(**{k: v for k, v in flat.items()
+                               if hasattr(args, k)})
+        args = parser.parse_args()
+
+    seed_everything(args.seed)
+    ds = load_dataset(name, feat_dim=args.feat_dim, seed=args.seed)
+    if task == "graph":
+        graphs, labels, split = ds
+        num_classes = labels.shape[1]
+        payload = (graphs, labels, split)
+    else:
+        num_classes = ds.num_classes
+        payload = ds
+
+    pretrained = None
+    path = args.pretrain_path
+    if not path and args.pretrain_dataset != "na":
+        run_id = args.pretrain_run_id or "default"
+        path = osp.join(ROOT, "ckpts", "pretrain_model", run_id)
+    if path:
+        enc_p = osp.join(path, f"encoder_{args.pretrain_model_epoch}.npz")
+        vq_p = osp.join(path, f"vq_{args.pretrain_model_epoch}.npz")
+        if not osp.exists(enc_p):
+            raise FileNotFoundError(
+                f"Cannot find encoder checkpoint {enc_p}. "
+                "Set --pretrain_path to a valid folder.")
+        pretrained = load_pretrained_for_finetune(enc_p, vq_p)
+        print("Loaded pretrained encoder and VQ.")
+
+    cfg = cfglib.FinetuneConfig(
+        encoder=cfglib.EncoderConfig(
+            input_dim=args.feat_dim, hidden_dim=args.hidden_dim,
+            num_layers=args.num_layers, backbone=args.backbone,
+            normalize=args.normalize, dropout=args.dropout,
+            activation=args.activation, moe=args.moe,
+            num_experts=args.moe_experts, tau=args.moe_tau,
+            moe_layers=args.moe_layers),
+        vq=cfglib.VQConfig(
+            dim=args.hidden_dim, codebook_size=args.codebook_size,
+            codebook_dim=args.code_dim, heads=args.codebook_head,
+            decay=args.codebook_decay, commitment_weight=args.commit_weight,
+            orthogonal_reg_weight=args.ortho_reg_weight,
+            orthogonal_reg_max_codes=args.ortho_reg_max_codes,
+            kmeans_init=True),
+        dataset=name, task=task, epochs=args.finetune_epochs,
+        early_stop=args.early_stop, batch_size=args.batch_size,
+        lr=args.finetune_lr,
+        repeat=1 if args.finetune_seed is not None else args.repeat,
+        use_vq=bool(args.use_vq), freeze_vq=bool(args.freeze_vq),
+        separate_decoder_for_each_head=bool(args.separate_decoder_for_each_head),
+        decoder_jac_coeff=args.decoder_jac_coeff, lamda_env=args.lamda_env,
+        num_classes=num_classes)
+
+    logger = run_finetune(payload, cfg, pretrained=pretrained, verbose=True)
+    best = logger.get_best()
+    print("final/train: {:.2f} ± {:.2f}".format(best["train"]["mean"],
+                                                best["train"]["std"]))
+    print("final/val:   {:.2f} ± {:.2f}".format(best["val"]["mean"],
+                                                best["val"]["std"]))
+    print("final/test:  {:.2f} ± {:.2f}".format(best["test"]["mean"],
+                                                best["test"]["std"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -124,7 +124,7 @@ class NeighborBatchIterator:
                  seeds: np.ndarray, batch_size: int, fanouts: Sequence[int],
                  rng: np.random.Generator, node_pad: Optional[int] = None,
                  edge_pad: Optional[int] = None, shuffle: bool = True,
-                 drop_last: bool = False):
+                 drop_last: bool = False, use_native: bool = True):
         self.csc = csc
         self.node_feat_table = node_feat_table
         self.edge_feat_table = edge_feat_table
@@ -147,6 +147,10 @@ class NeighborBatchIterator:
             edge_pad = round_up(max(node_pad - batch_size, 128), 128)
         self.node_pad = node_pad
         self.edge_pad = edge_pad
+        self._native = False
+        if use_native:
+            from stemgnn_tpu.data import native_sampler
+            self._native = native_sampler.native_available()
 
     def __iter__(self):
         order = self.rng.permutation(len(self.seeds)) if self.shuffle \
@@ -163,8 +167,15 @@ class NeighborBatchIterator:
         return n // bs if self.drop_last else (n + bs - 1) // bs
 
     def make_batch(self, seed_chunk: np.ndarray):
-        nodes, es, ed, eids = sample_subgraph(self.csc, seed_chunk,
-                                              self.fanouts, self.rng)
+        if self._native:
+            from stemgnn_tpu.data import native_sampler
+            seed64 = int(self.rng.integers(0, 2**62))
+            nodes, es, ed, eids = native_sampler.sample_subgraph_native(
+                self.csc, seed_chunk, self.fanouts, seed64,
+                node_cap=self.node_pad, edge_cap=self.edge_pad)
+        else:
+            nodes, es, ed, eids = sample_subgraph(self.csc, seed_chunk,
+                                                  self.fanouts, self.rng)
         nodes = nodes[: self.node_pad]          # safety clamp
         keep = (es < len(nodes)) & (ed < len(nodes))
         es, ed, eids = es[keep], ed[keep], eids[keep]

@@ -149,11 +149,13 @@ def random_power_law_graph(num_nodes: int, num_edges: int, feat_dim: int,
     """Benchmark graph with Zipf-ish in-degree skew (arxiv-like).  Returns
     host arrays (node_feat, senders, receivers, edge_feat)."""
     rng = np.random.default_rng(seed)
-    # receiver popularity ~ power law
+    # receiver popularity ~ power law (inverse-CDF sampling; rng.choice with
+    # explicit p is ~100x slower at this scale)
     ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
     p = ranks ** (-alpha)
-    p /= p.sum()
-    receivers = rng.choice(num_nodes, size=num_edges, p=p).astype(np.int32)
+    cdf = np.cumsum(p)
+    cdf /= cdf[-1]
+    receivers = np.searchsorted(cdf, rng.random(num_edges)).astype(np.int32)
     senders = rng.integers(0, num_nodes, num_edges).astype(np.int32)
     node_feat = rng.standard_normal((num_nodes, feat_dim)).astype(np.float32)
     edge_feat = rng.standard_normal((num_edges, feat_dim)).astype(np.float32) \
