@@ -100,6 +100,125 @@ def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
     return train_step, eval_step
 
 
+def _make_minibatch_train_step(cfg: FinetuneConfig, tx, task_kind: str):
+    """Jitted minibatch step for node/link (reference task/node.py:73-99,
+    task/link.py:55-81).  Node: loss on the first ``bs`` seed rows.  Link:
+    midpoint embeddings of the batch's labeled edge endpoints."""
+
+    @jax.jit
+    def node_step(trainable, frozen, opt_state, state, rng, g, y_batch,
+                  seed_mask):
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            z, state2, aux = task_model.encode(params, state, cfg, g,
+                                               training=True, rng=rng)
+            bs = y_batch.shape[0]
+            logits, _, state3 = task_model.task_logits(
+                params, state2, cfg, z[:bs], training=True, rng=rng,
+                mask=seed_mask)
+            act = task_model.activation_loss(
+                logits, y_batch, task="single",
+                mask=seed_mask.astype(jnp.float32))
+            jac = task_model.decoder_jacobian_penalty(params, cfg)
+            env = cfg.lamda_env * aux["env_reg"]
+            return act + jac + env, (state3, act, jac, env)
+        (loss, (new_state, act, jac, env)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, new_state, {
+            "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
+
+    @jax.jit
+    def link_step(trainable, frozen, opt_state, state, rng, g, li, ri,
+                  y_batch, label_mask):
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            z, state2, aux = task_model.encode(params, state, cfg, g,
+                                               training=True, rng=rng)
+            edge_z = (z[li] + z[ri]) / 2.0
+            logits, _, state3 = task_model.task_logits(
+                params, state2, cfg, edge_z, training=True, rng=rng,
+                mask=label_mask)
+            act = task_model.activation_loss(
+                logits, y_batch, task="single",
+                mask=label_mask.astype(jnp.float32))
+            jac = task_model.decoder_jacobian_penalty(params, cfg)
+            env = cfg.lamda_env * aux["env_reg"]
+            return act + jac + env, (state3, act, jac, env)
+        (loss, (new_state, act, jac, env)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, new_state, {
+            "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
+
+    return node_step if task_kind == "node" else link_step
+
+
+def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
+                     split, rng_np, step, trainable, frozen, opt_state,
+                     state, key):
+    """One minibatch training epoch (NeighborLoader [fanout]*L semantics,
+    utils/loader.py:10-45)."""
+    from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+    csc = ds.extras.get("_csc")
+    if csc is None:
+        csc = CSCGraph.from_edge_index(np.asarray(ds.edge_index),
+                                       ds.num_nodes)
+        ds.extras["_csc"] = csc
+    labels = np.asarray(ds.labels)
+    losses = []
+    if task_kind == "node":
+        seeds = np.nonzero(np.asarray(split["train"]))[0]
+        it = NeighborBatchIterator(
+            csc, ds.node_text_feat, ds.edge_text_feat, ds.x, ds.xe, seeds,
+            cfg.batch_size, [cfg.fanout] * cfg.encoder.num_layers, rng_np,
+            drop_last=False)
+        for g, n_seeds, nodes in it:
+            key, k = jax.random.split(key)
+            bs = cfg.batch_size
+            y_batch = np.zeros(bs, np.int32)
+            y_batch[:n_seeds] = labels[nodes[:n_seeds]]
+            seed_mask = np.arange(bs) < n_seeds
+            trainable, opt_state, state, loss = step(
+                trainable, frozen, opt_state, state, k, g,
+                jnp.asarray(y_batch), jnp.asarray(seed_mask))
+            losses.append(loss)
+    else:
+        edge_ids = np.nonzero(np.asarray(split["train"]))[0]
+        rng_np.shuffle(edge_ids)
+        bs = cfg.batch_size
+        fanouts = [cfg.link_fanout] * cfg.encoder.num_layers
+        # One iterator with fixed 2*bs seed slots -> stable padded shapes.
+        it = NeighborBatchIterator(
+            csc, ds.node_text_feat, ds.edge_text_feat, ds.x, ds.xe,
+            np.arange(ds.num_nodes), 2 * bs, fanouts, rng_np, shuffle=False)
+        for i in range(0, len(edge_ids), bs):
+            chunk = edge_ids[i: i + bs]
+            u = ds.edge_index[0][chunk]
+            v = ds.edge_index[1][chunk]
+            uniq, inv = np.unique(np.concatenate([u, v]),
+                                  return_inverse=True)
+            seeds = np.full(2 * bs, uniq[0], dtype=uniq.dtype)
+            seeds[:len(uniq)] = uniq
+            g, _, nodes = it.make_batch(seeds)
+            li = np.zeros(bs, np.int32)
+            ri = np.zeros(bs, np.int32)
+            li[:len(chunk)] = inv[:len(chunk)]
+            ri[:len(chunk)] = inv[len(chunk):]
+            y_batch = np.zeros(bs, np.int32)
+            y_batch[:len(chunk)] = labels[chunk]
+            label_mask = np.arange(bs) < len(chunk)
+            key, k = jax.random.split(key)
+            trainable, opt_state, state, loss = step(
+                trainable, frozen, opt_state, state, k, g,
+                jnp.asarray(li), jnp.asarray(ri), jnp.asarray(y_batch),
+                jnp.asarray(label_mask))
+            losses.append(loss)
+    return trainable, opt_state, state, key, losses
+
+
 def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                    pretrained=None, task_kind: str = "node",
                    verbose: bool = False):
@@ -123,6 +242,10 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     train_step = jax.jit(lambda t, f, o, s, r, m: train_step_fn(
         t, f, o, s, r, m, tx))
     eval_step = jax.jit(eval_step_fn)
+    minibatch = cfg.batch_size != 0
+    mb_step = _make_minibatch_train_step(cfg, tx, task_kind) if minibatch \
+        else None
+    rng_np = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 0)
 
     for idx, split in enumerate(splits):
         key = jax.random.PRNGKey(idx)
@@ -151,9 +274,19 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
         train_mask = jnp.asarray(masks["train"])
 
         for epoch in range(cfg.epochs):
-            key, k_step = jax.random.split(key)
-            trainable, opt_state, state, loss = train_step(
-                trainable, frozen, opt_state, state, k_step, train_mask)
+            if minibatch:
+                trainable, opt_state, state, key, mb_losses = \
+                    _minibatch_epoch(ds, cfg, task_kind, masks, rng_np,
+                                     mb_step, trainable, frozen, opt_state,
+                                     state, key)
+                loss = {k: float(np.mean([float(l[k]) for l in mb_losses]))
+                        for k in mb_losses[0]} if mb_losses else {
+                            "loss": 0.0, "act_loss": 0.0, "jac_loss": 0.0,
+                            "env_loss": 0.0}
+            else:
+                key, k_step = jax.random.split(key)
+                trainable, opt_state, state, loss = train_step(
+                    trainable, frozen, opt_state, state, k_step, train_mask)
             pred = np.asarray(eval_step(trainable, frozen, state))
             result = {
                 "train": evaluate(pred, y_np, masks["train"], cfg.task),

@@ -100,37 +100,60 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
     opt_state = tx.init(params)
     step_fn = make_pretrain_step(cfg, tx, bs=cfg.batch_size)
 
+    from stemgnn_tpu.utils.observability import (PreemptionHandler,
+                                                 ThroughputMeter)
+    preempt = PreemptionHandler()
+    meter = ThroughputMeter()
+
     history = []
     total_steps = 0
-    for epoch in range(1, cfg.epochs + 1):
-        seeds = get_train_node_idx(np.asarray(merged["ptr"]), weights, rng_np)
-        it = NeighborBatchIterator(
-            csc, merged["node_text_feat"], merged.get("edge_text_feat"),
-            merged["x"], merged.get("xe"), seeds, cfg.batch_size,
-            [cfg.fanout] * cfg.encoder.num_layers, rng_np, drop_last=True)
-        t0 = time.time()
-        epoch_metrics = []
-        for g, n_seeds, _ in it:
-            key, k_step = jax.random.split(key)
-            params, teacher, opt_state, state, metrics = step_fn(
-                params, teacher, opt_state, state, g, k_step)
-            epoch_metrics.append(metrics)
-            total_steps += 1
-            if log_fn is not None:
-                log_fn({f"losses/{k}": float(v) for k, v in metrics.items()})
-            if max_steps is not None and total_steps >= max_steps:
+    try:
+        for epoch in range(1, cfg.epochs + 1):
+            seeds = get_train_node_idx(np.asarray(merged["ptr"]), weights,
+                                       rng_np)
+            it = NeighborBatchIterator(
+                csc, merged["node_text_feat"], merged.get("edge_text_feat"),
+                merged["x"], merged.get("xe"), seeds, cfg.batch_size,
+                [cfg.fanout] * cfg.encoder.num_layers, rng_np, drop_last=True)
+            t0 = time.time()
+            epoch_metrics = []
+            for g, n_seeds, _ in it:
+                key, k_step = jax.random.split(key)
+                params, teacher, opt_state, state, metrics = step_fn(
+                    params, teacher, opt_state, state, g, k_step)
+                epoch_metrics.append(metrics)
+                meter.update(int(g.num_edges_padded), int(g.num_nodes_padded))
+                total_steps += 1
+                if log_fn is not None:
+                    log_fn({f"losses/{k}": float(v)
+                            for k, v in metrics.items()})
+                if (max_steps is not None and total_steps >= max_steps) \
+                        or preempt.should_stop:
+                    break
+            mean_metrics = {k: float(np.mean([float(m[k])
+                                              for m in epoch_metrics]))
+                            for k in epoch_metrics[0]} if epoch_metrics else {}
+            mean_metrics.update(meter.rates())
+            history.append(mean_metrics)
+            if verbose:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in mean_metrics.items()
+                               if not k.startswith("throughput"))
+                print(f"[pretrain] epoch {epoch}/{cfg.epochs} "
+                      f"({time.time()-t0:.1f}s, {len(epoch_metrics)} steps) "
+                      f"{msg}")
+            if save_root is not None:
+                # per-epoch checkpoint (crash/preemption recovery,
+                # reference pretrain.py:160-165)
+                save_checkpoint(save_root, epoch, params, teacher, state)
+            if (max_steps is not None and total_steps >= max_steps):
                 break
-        mean_metrics = {k: float(np.mean([float(m[k]) for m in epoch_metrics]))
-                        for k in epoch_metrics[0]} if epoch_metrics else {}
-        history.append(mean_metrics)
-        if verbose:
-            msg = " ".join(f"{k}={v:.4f}" for k, v in mean_metrics.items())
-            print(f"[pretrain] epoch {epoch}/{cfg.epochs} "
-                  f"({time.time()-t0:.1f}s, {len(epoch_metrics)} steps) {msg}")
-        if save_root is not None:
-            save_checkpoint(save_root, epoch, params, teacher, state)
-        if max_steps is not None and total_steps >= max_steps:
-            break
+            if preempt.should_stop:
+                if verbose:
+                    print("[pretrain] preemption signal received — "
+                          "checkpointed and stopping")
+                break
+    finally:
+        preempt.restore()
     return params, teacher, state, history
 
 
