@@ -71,6 +71,9 @@ def get_args():
     p.add_argument("--use_schedular", "--use_scheduler", type=bool,
                    default=True)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="data-parallel over all visible devices (psum grads "
+                        "+ VQ codebook stats over the mesh)")
     return p
 
 
@@ -128,8 +131,13 @@ def main():
     run_id = args.pretrain_run_id or "default"
     save_root = osp.join(ROOT, "ckpts", "pretrain_model", run_id)
     os.makedirs(save_root, exist_ok=True)
+    mesh = None
+    if args.data_parallel:
+        from stemgnn_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        print(f"Data-parallel over {mesh.devices.size} devices")
     run_pretrain(merged, cfg, weights=weights, save_root=save_root,
-                 max_steps=args.max_steps)
+                 max_steps=args.max_steps, mesh=mesh)
     print(f"Checkpoints saved under {save_root}")
 
 

@@ -79,11 +79,14 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
                   edge_feat=None, edge_mask=None, node_mask=None, *,
                   training: bool = False, rng: Optional[jax.Array] = None,
                   layout=None, edge_table=None,
-                  axis_name: Optional[str] = None):
+                  axis_name: Optional[str] = None,
+                  edge_shard_axis: Optional[str] = None):
     """Forward pass (encoder.py:283-323).
 
-    ``axis_name``: mesh axis for cross-shard BatchNorm statistics in the
-    edge-partitioned full-graph mode.
+    ``axis_name``: mesh axis for cross-shard BatchNorm statistics (needed
+    when *nodes* are sharded).  ``edge_shard_axis``: mesh axis for the
+    edge-partitioned full-graph mode — per-layer partial aggregation + psum
+    (nodes replicated, so BatchNorm needs no extra sync).
     """
     flags = cfg.moe_layer_flags()
     act = _activation(cfg)
@@ -128,7 +131,8 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
         elif cfg.backbone == "sage":
             z = convs.sage_apply(layer_p, z, senders, receivers,
                                  edge_feat=edge_feat, edge_mask=edge_mask,
-                                 layout=layout, edge_table=edge_table)
+                                 layout=layout, edge_table=edge_table,
+                                 shard_axis=edge_shard_axis)
         elif cfg.backbone == "gcn":
             z = convs.gcn_apply(layer_p, z, senders, receivers,
                                 edge_mask=edge_mask, node_mask=node_mask)

@@ -63,7 +63,7 @@ def gather_scatter_aggregate(x, senders, receivers, edge_feat=None,
 def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                    num_nodes: Optional[int] = None, reduce: str = "mean",
                    relu: bool = True, layout=None, edge_table=None,
-                   bf16_messages: bool = True):
+                   bf16_messages: bool = True, shard_axis: Optional[str] = None):
     """Dispatching front-end for the fused SAGE aggregation.
 
     ``layout`` is an :class:`stemgnn_tpu.ops.edge_layout.EdgeLayout`
@@ -74,6 +74,15 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
     features).
     """
     num_nodes = num_nodes or x.shape[0]
+    if shard_axis is not None:
+        # Edge-partitioned full-graph mode (called under shard_map with
+        # replicated x and per-device edge shards): partial local aggregation
+        # + one psum over the mesh axis.
+        from stemgnn_tpu.parallel.edge_partition import sharded_sage_aggregate
+        return sharded_sage_aggregate(x, senders, receivers, edge_mask,
+                                      shard_edge_feat=edge_feat,
+                                      axis=shard_axis, reduce=reduce,
+                                      relu=relu)
     on_tpu = jax.default_backend() == "tpu"
     if layout is not None and on_tpu and reduce in ("mean", "sum"):
         from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate

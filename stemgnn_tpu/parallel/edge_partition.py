@@ -71,6 +71,8 @@ def sharded_sage_aggregate(x, shard_senders, shard_receivers, shard_edge_mask,
     :func:`stemgnn_tpu.ops.spmm.sage_aggregate` semantics exactly.
     """
     n = x.shape[0]
+    if shard_edge_mask is None:
+        shard_edge_mask = jnp.ones_like(shard_senders, dtype=bool)
     x_src = jnp.take(x, shard_senders, axis=0)
     msg = x_src if shard_edge_feat is None else x_src + shard_edge_feat
     if relu:

@@ -1,0 +1,188 @@
+"""Edge-partitioned full-graph training (the scale-out workload).
+
+The BASELINE.json north star: one large graph trained full-batch with its
+edge list sharded across the mesh's ``edge`` axis — the GNN analog of
+sequence/context parallelism (SURVEY.md §2.7/§7.1).  Node features and
+parameters are replicated; each device aggregates its edge shard and the
+partial per-node sums combine with one psum per layer over ICI.
+
+:func:`run_finetune_edge_parallel` is a full node-classification trainer on
+this layout (the ogbn-arxiv-class config).  Per-step math matches the
+single-device full-batch path exactly (tests/test_parallel.py asserts the
+aggregation equivalence; the loss here is also pmean-checked).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from stemgnn_tpu.core.config import FinetuneConfig
+from stemgnn_tpu.core.graph import round_up
+from stemgnn_tpu.data.dataset import TAGDataset
+from stemgnn_tpu.models import task as task_model
+from stemgnn_tpu.nn.encoder import encoder_apply
+from stemgnn_tpu.parallel.edge_partition import partition_edges_by_destination
+from stemgnn_tpu.train.finetune_loop import _copy, _merge, _split_params
+from stemgnn_tpu.utils import EarlyStopping, Logger
+from stemgnn_tpu.utils.metrics import evaluate, task2metric
+
+
+def prepare_sharded_graph(ds: TAGDataset, num_shards: int):
+    """Host prep: replicated padded node features + per-shard edge arrays
+    (destination-contiguous) with per-shard edge-type features."""
+    n_pad = round_up(ds.num_nodes, 128)
+    feats = np.zeros((n_pad, ds.node_text_feat.shape[1]), np.float32)
+    feats[: ds.num_nodes] = ds.node_features()
+    node_mask = np.zeros(n_pad, bool)
+    node_mask[: ds.num_nodes] = True
+
+    ei = np.asarray(ds.edge_index)
+    shards = partition_edges_by_destination(
+        ei[0].astype(np.int32), ei[1].astype(np.int32), num_shards,
+        edge_feat=ds.edge_features().astype(np.float32))
+    return {
+        "node_feat": jnp.asarray(feats),
+        "node_mask": jnp.asarray(node_mask),
+        "senders": jnp.asarray(shards["senders"]),
+        "receivers": jnp.asarray(shards["receivers"]),
+        "edge_mask": jnp.asarray(shards["edge_mask"]),
+        "edge_feat": jnp.asarray(shards["edge_feat"]),
+        "n_pad": n_pad,
+    }
+
+
+def _encode_sharded(params, state, cfg: FinetuneConfig, sg, *, training,
+                    rng, axis: str):
+    return encoder_apply(
+        params["encoder"], state["encoder"], cfg.encoder,
+        sg["node_feat"], sg["senders"], sg["receivers"],
+        edge_feat=sg["edge_feat"], edge_mask=sg["edge_mask"],
+        node_mask=sg["node_mask"], training=training, rng=rng,
+        edge_shard_axis=axis)
+
+
+def make_edge_parallel_steps(cfg: FinetuneConfig, tx, mesh, y,
+                             axis: str = "edge"):
+    """Jitted (train_step, eval_step) over the edge-sharded layout."""
+
+    def per_device_train(trainable, frozen, opt_state, state, rng,
+                         train_mask, sg):
+        sg = dict(sg, senders=sg["senders"][0], receivers=sg["receivers"][0],
+                  edge_mask=sg["edge_mask"][0], edge_feat=sg["edge_feat"][0])
+
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            z, enc_state, aux = _encode_sharded(params, state, cfg, sg,
+                                                training=True, rng=rng,
+                                                axis=axis)
+            logits, _, st = task_model.task_logits(
+                params, dict(state, encoder=enc_state), cfg, z,
+                training=True, rng=rng, mask=sg["node_mask"])
+            act = task_model.activation_loss(
+                logits, y, task="single", mask=train_mask.astype(jnp.float32))
+            jac = task_model.decoder_jacobian_penalty(params, cfg)
+            return act + jac, st
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        grads = jax.lax.pmean(grads, axis)
+        new_state = jax.lax.pmean(new_state, axis)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, new_state, jax.lax.pmean(loss, axis)
+
+    def per_device_eval(trainable, frozen, state, sg):
+        sg = dict(sg, senders=sg["senders"][0], receivers=sg["receivers"][0],
+                  edge_mask=sg["edge_mask"][0], edge_feat=sg["edge_feat"][0])
+        params = _merge(trainable, frozen)
+        z, enc_state, _ = _encode_sharded(params, state, cfg, sg,
+                                          training=False,
+                                          rng=jax.random.PRNGKey(0),
+                                          axis=axis)
+        logits, _, _ = task_model.task_logits(
+            params, dict(state, encoder=enc_state), cfg, z, training=False,
+            mask=sg["node_mask"])
+        return jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
+
+    rep = P()
+    sg_spec = {"node_feat": rep, "node_mask": rep, "senders": P(axis),
+               "receivers": P(axis), "edge_mask": P(axis),
+               "edge_feat": P(axis), "n_pad": rep}
+    train = jax.jit(jax.shard_map(
+        per_device_train, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, rep, sg_spec),
+        out_specs=(rep, rep, rep, rep), check_vma=False))
+    evals = jax.jit(jax.shard_map(
+        per_device_eval, mesh=mesh,
+        in_specs=(rep, rep, rep, sg_spec), out_specs=rep, check_vma=False))
+    return train, evals
+
+
+def run_finetune_edge_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
+                               pretrained=None, verbose: bool = False,
+                               axis: str = "edge"):
+    """Full-graph node finetune with edges sharded over ``mesh[axis]``."""
+    n_shards = int(mesh.shape[axis])
+    sg = prepare_sharded_graph(ds, n_shards)
+    n, n_pad = ds.num_nodes, sg["n_pad"]
+    y_np = np.zeros(n_pad, np.int32)
+    y_np[:n] = np.asarray(ds.labels)[:n]
+    y = jnp.asarray(y_np)
+
+    tx = optax.adamw(cfg.lr, weight_decay=0.01)
+    train_step, eval_step = make_edge_parallel_steps(cfg, tx, mesh, y,
+                                                     axis=axis)
+    logger = Logger()
+    splits = ds.splits[: cfg.repeat]
+    # sg["n_pad"] is host metadata, not a device array
+    sg_dev = {k: v for k, v in sg.items() if k != "n_pad"}
+    sg_dev["n_pad"] = jnp.asarray(n_pad)
+
+    for idx, split in enumerate(splits):
+        key = jax.random.PRNGKey(idx)
+        key, k_init = jax.random.split(key)
+        params, state = task_model.task_model_init(
+            k_init, cfg,
+            encoder_params=None if pretrained is None else _copy(pretrained["encoder_params"]),
+            vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
+            encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
+            vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
+        if cfg.use_vq and not bool(state["vq"]["initted"]):
+            g_full = ds.to_graph(node_pad_to=n_pad)
+            params, state = task_model.maybe_kmeans_init_vq(
+                params, state, cfg, g_full, rng=k_init)
+        trainable, frozen = _split_params(params, cfg)
+        opt_state = tx.init(trainable)
+        stopper = EarlyStopping(patience=cfg.early_stop)
+
+        masks = {}
+        for k in ("train", "valid", "test"):
+            m = np.zeros(n_pad, bool)
+            m[:n] = np.asarray(split[k])[:n]
+            masks[k] = m
+        train_mask = jnp.asarray(masks["train"])
+
+        for epoch in range(cfg.epochs):
+            key, k_step = jax.random.split(key)
+            trainable, opt_state, state, loss = train_step(
+                trainable, frozen, opt_state, state, k_step, train_mask,
+                sg_dev)
+            pred = np.asarray(eval_step(trainable, frozen, state, sg_dev))
+            result = {k2: evaluate(pred, y_np, masks[k1], cfg.task)
+                      for k1, k2 in [("train", "train"), ("valid", "val"),
+                                     ("test", "test")]}
+            result["metric"] = task2metric[cfg.task]
+            logger.log(idx, epoch, {"loss": float(loss)}, result)
+            if stopper(result):
+                break
+        if verbose:
+            b = logger.get_single_best(idx)
+            print(f"[edge-parallel split {idx}] best val={b['val']:.2f} "
+                  f"test={b['test']:.2f}")
+    return logger

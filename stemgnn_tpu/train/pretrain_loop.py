@@ -76,12 +76,18 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
 
 def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                  save_root: Optional[str] = None, log_fn=None,
-                 max_steps: Optional[int] = None, verbose: bool = True):
+                 max_steps: Optional[int] = None, verbose: bool = True,
+                 mesh=None):
     """Pretrain over a merged multi-dataset payload.
 
     ``merged``: dict with node_text_feat, edge_text_feat, x, xe,
     edge_index [2, E], ptr (dataset node offsets) — the analog of the
     ``Batch.from_data_list`` pretrain graph (process_datasets.py:170-182).
+
+    ``mesh``: a jax.sharding.Mesh with a 'data' axis enables data-parallel
+    training — each device consumes its own seed batch per step; gradients +
+    VQ codebook statistics + BatchNorm stats psum over the axis
+    (parallel.data_parallel).
 
     Returns (params, teacher, state, history).
     """
@@ -98,7 +104,25 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                         use_scheduler=cfg.use_scheduler, epochs=cfg.epochs,
                         steps_per_epoch=1)
     opt_state = tx.init(params)
-    step_fn = make_pretrain_step(cfg, tx, bs=cfg.batch_size)
+    n_dev = 1
+    if mesh is not None:
+        from stemgnn_tpu.parallel.data_parallel import (make_dp_pretrain_step,
+                                                        stack_graphs)
+        n_dev = int(mesh.shape["data"])
+        dp_step = make_dp_pretrain_step(cfg, tx, mesh, bs=cfg.batch_size)
+
+        def step_fn(params, teacher, opt_state, state, graphs_and_key):
+            graphs, k = graphs_and_key
+            rngs = jax.random.split(k, n_dev)
+            return dp_step(params, teacher, opt_state, state,
+                           stack_graphs(graphs), rngs)
+    else:
+        single_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size)
+
+        def step_fn(params, teacher, opt_state, state, graphs_and_key):
+            graphs, k = graphs_and_key
+            return single_step(params, teacher, opt_state, state, graphs[0],
+                               k)
 
     from stemgnn_tpu.utils.observability import (PreemptionHandler,
                                                  ThroughputMeter)
@@ -117,12 +141,18 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 [cfg.fanout] * cfg.encoder.num_layers, rng_np, drop_last=True)
             t0 = time.time()
             epoch_metrics = []
+            pending = []
             for g, n_seeds, _ in it:
+                pending.append(g)
+                if len(pending) < n_dev:
+                    continue
                 key, k_step = jax.random.split(key)
                 params, teacher, opt_state, state, metrics = step_fn(
-                    params, teacher, opt_state, state, g, k_step)
+                    params, teacher, opt_state, state, (pending, k_step))
                 epoch_metrics.append(metrics)
-                meter.update(int(g.num_edges_padded), int(g.num_nodes_padded))
+                meter.update(sum(int(p.num_edges_padded) for p in pending),
+                             sum(int(p.num_nodes_padded) for p in pending))
+                pending = []
                 total_steps += 1
                 if log_fn is not None:
                     log_fn({f"losses/{k}": float(v)
@@ -130,6 +160,11 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 if (max_steps is not None and total_steps >= max_steps) \
                         or preempt.should_stop:
                     break
+            if not epoch_metrics and n_dev > 1:
+                print(f"[pretrain] WARNING: epoch produced 0 steps — fewer "
+                      f"than {n_dev} seed batches per epoch (leftover "
+                      f"batches are dropped in data-parallel mode); reduce "
+                      f"batch_size or raise dataset weights")
             mean_metrics = {k: float(np.mean([float(m[k])
                                               for m in epoch_metrics]))
                             for k in epoch_metrics[0]} if epoch_metrics else {}

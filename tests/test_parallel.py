@@ -115,3 +115,25 @@ def test_dp_grads_match_mean_of_single_device(rng):
     _, _, _, _, metrics = step(params, teacher, opt_state, state, stacked,
                                rngs)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_edge_parallel_finetune_matches_single(rng):
+    """Full-graph edge-partitioned finetune learns the same task as the
+    single-device full-batch path (SURVEY.md §7 scale-out slice)."""
+    from stemgnn_tpu.core.config import FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.full_graph import run_finetune_edge_parallel
+
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=4, feat_dim=D,
+                                train_per_split=50, val_per_split=60,
+                                num_splits=1, seed=1)
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="node", epochs=50, early_stop=25, lr=1e-2, repeat=1,
+        num_classes=4)
+    mesh = make_mesh(axis_names=("edge",))
+    best = run_finetune_edge_parallel(ds, cfg, mesh).get_best()
+    assert best["test"]["mean"] > 75, best
