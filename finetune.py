@@ -152,6 +152,19 @@ def main():
     print("final/test:  {:.2f} ± {:.2f}".format(best["test"]["mean"],
                                                 best["test"]["std"]))
 
+    # Metric schema mirrors the reference's final/ payload (finetune.py:280-291)
+    from stemgnn_tpu.utils.observability import MetricsLogger
+    ml = MetricsLogger(backends=("jsonl",),
+                       jsonl_path=osp.join(ROOT, "metrics",
+                                           f"finetune_{name}.jsonl"),
+                       debug=args.debug)
+    ml.log({f"final/{k}_{m}": best[k][m]
+            for k in ("train", "val", "test") for m in ("mean", "std")})
+    for run_idx, rec in logger.get_best_raw().items():
+        ml.log({f"best/{k}": rec[k] for k in ("train", "val", "test")},
+               step=run_idx)
+    ml.finish()
+
 
 if __name__ == "__main__":
     main()

@@ -119,3 +119,25 @@ def test_k_fold(rng):
     tr, te, va = splits[0]
     assert len(set(tr) & set(te)) == 0 and len(set(te) & set(va)) == 0
     assert len(tr) + len(te) + len(va) == 60
+
+
+def test_pooling_modes(rng):
+    from stemgnn_tpu.zoo.pooling import (attention_pool_apply,
+                                         attention_pool_init, global_pool)
+    z = jnp.asarray(rng.standard_normal((10, 8)).astype(np.float32))
+    gid = jnp.asarray((np.arange(10) // 5).astype(np.int32))
+    for mode in ["mean", "sum", "max"]:
+        out = global_pool(z, gid, 2, mode=mode)
+        assert out.shape == (2, 8)
+    params = attention_pool_init(jax.random.PRNGKey(0), 8)
+    out = attention_pool_apply(params, z, gid, 2)
+    assert out.shape == (2, 8) and np.isfinite(np.asarray(out)).all()
+
+
+def test_grid_and_merge_mod():
+    from stemgnn_tpu.utils.grid import combine_dict, grid_search, merge_mod
+    combos = list(grid_search({"lr": [1, 2], "wd": ["a"]}))
+    assert combos == [{"lr": 1, "wd": "a"}, {"lr": 2, "wd": "a"}]
+    assert combine_dict({"a": 1}, {"a": 2, "b": 3}) == {"a": 2, "b": 3}
+    out = merge_mod({"x": 1}, ["x=5", "name=abc", "flag=True"])
+    assert out == {"x": 5, "name": "abc", "flag": True}
