@@ -12,8 +12,7 @@ datasets (raw triples ship with the reference checkout) are available.
 
 from __future__ import annotations
 
-import os
-from typing import Callable, Dict
+from typing import Dict
 
 from stemgnn_tpu.data import synthetic
 from stemgnn_tpu.data.kg import REFERENCE_KG_ROOT, load_kg_dataset

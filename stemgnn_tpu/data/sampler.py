@@ -16,7 +16,7 @@ throughput.  Also hosts the weighted multi-dataset seed resampling
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -16,8 +16,6 @@ STEM-GNN/dataset/data/*/gen_data.py) for offline testing and benchmarking:
 
 from __future__ import annotations
 
-from typing import List, Optional
-
 import numpy as np
 
 from stemgnn_tpu.data.dataset import TAGDataset, make_index_splits

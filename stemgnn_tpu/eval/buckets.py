@@ -17,7 +17,7 @@ Re-designs of the reference eval scripts' bucketing:
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

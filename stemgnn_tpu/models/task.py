@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from stemgnn_tpu.core.config import EncoderConfig, FinetuneConfig, VQConfig
+from stemgnn_tpu.core.config import FinetuneConfig
 from stemgnn_tpu.core.graph import Graph
 from stemgnn_tpu.nn.encoder import encoder_apply, encoder_init
 from stemgnn_tpu.nn.layers import linear_apply, linear_init

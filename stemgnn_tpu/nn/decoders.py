@@ -8,7 +8,6 @@ Linear(2*hidden, hidden) — STEM-GNN/pretrain.py:121-123).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from stemgnn_tpu.nn.layers import linear_apply, linear_init
 from stemgnn_tpu.ops.sddmm import edge_inner_product

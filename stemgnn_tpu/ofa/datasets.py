@@ -23,7 +23,7 @@ Each ``__getitem__`` returns a prompted-graph dict
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

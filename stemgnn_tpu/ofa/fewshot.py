@@ -11,8 +11,6 @@ them, appends the n_way class nodes, and wires query-NOI -> every class node
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 

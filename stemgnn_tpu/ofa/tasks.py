@@ -20,7 +20,7 @@ Splitters (operating on :class:`TAGDataset`):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

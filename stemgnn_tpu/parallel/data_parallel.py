@@ -16,11 +16,7 @@ Inputs arrive as stacked Graph pytrees with a leading device axis
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P

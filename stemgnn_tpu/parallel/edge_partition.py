@@ -15,7 +15,7 @@ here already produce destination-contiguous shards to enable it.)
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,6 @@ aggregation equivalence; the loss here is also pmean-checked).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

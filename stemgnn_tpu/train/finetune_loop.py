@@ -20,9 +20,6 @@ VQ params are excluded from the optimizer when frozen (finetune.py:179-181).
 
 from __future__ import annotations
 
-import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

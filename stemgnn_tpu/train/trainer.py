@@ -15,7 +15,7 @@ covered by padding-bucket validation at batch build time.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Iterable, Optional
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 

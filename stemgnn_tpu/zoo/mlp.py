@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from stemgnn_tpu.nn.layers import (batchnorm_apply, batchnorm_init, dropout,
                                    linear_apply, linear_init)

@@ -9,7 +9,6 @@ batches, with an attention readout as the learnable variant.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from stemgnn_tpu.nn.layers import linear_apply, linear_init
 from stemgnn_tpu.ops import segment

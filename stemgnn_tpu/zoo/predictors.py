@@ -4,10 +4,7 @@ heads for graph / link / node prediction over zoo GNN stacks."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 
 from stemgnn_tpu.ops import segment
 from stemgnn_tpu.zoo.mlp import mlp_apply, mlp_init

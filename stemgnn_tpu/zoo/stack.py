@@ -18,8 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from stemgnn_tpu.nn.layers import (batchnorm_apply, batchnorm_init, dropout,
-                                   linear_apply, linear_init)
+from stemgnn_tpu.nn.layers import batchnorm_apply, batchnorm_init, dropout
 from stemgnn_tpu.ops import segment
 from stemgnn_tpu.zoo import convs_rel
 from stemgnn_tpu.zoo.mlp import mlp_apply, mlp_init
