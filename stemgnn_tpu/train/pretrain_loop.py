@@ -76,7 +76,7 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
 def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                  save_root: Optional[str] = None, log_fn=None,
                  max_steps: Optional[int] = None, verbose: bool = True,
-                 mesh=None):
+                 mesh=None, resume: bool = False):
     """Pretrain over a merged multi-dataset payload.
 
     ``merged``: dict with node_text_feat, edge_text_feat, x, xe,
@@ -103,6 +103,22 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                         use_scheduler=cfg.use_scheduler, epochs=cfg.epochs,
                         steps_per_epoch=1)
     opt_state = tx.init(params)
+
+    start_epoch = 0
+    if resume and save_root is not None:
+        bundle, saved_epoch = load_resume_bundle(save_root)
+        if bundle is not None:
+            params = ckpt.restore_like(params, bundle["params"])
+            teacher = ckpt.restore_like(teacher, bundle["teacher"])
+            state = ckpt.restore_like(state, bundle["state"])
+            if "opt_state" in bundle:
+                opt_state = ckpt.restore_like(opt_state, bundle["opt_state"])
+            if "rng_key" in bundle:
+                import jax.numpy as jnp
+                key = jnp.asarray(bundle["rng_key"])
+            start_epoch = saved_epoch
+            if verbose:
+                print(f"[pretrain] resumed from epoch {saved_epoch}")
     n_dev = 1
     if mesh is not None:
         from stemgnn_tpu.parallel.data_parallel import (make_dp_pretrain_step,
@@ -131,7 +147,7 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
     history = []
     total_steps = 0
     try:
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch + 1, cfg.epochs + 1):
             seeds = get_train_node_idx(np.asarray(merged["ptr"]), weights,
                                        rng_np)
             it = NeighborBatchIterator(
@@ -178,7 +194,9 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
             if save_root is not None:
                 # per-epoch checkpoint (crash/preemption recovery,
                 # reference pretrain.py:160-165)
-                save_checkpoint(save_root, epoch, params, teacher, state)
+                save_checkpoint(save_root, epoch, params, teacher,
+                                state, opt_state=opt_state,
+                                rng_key=key)
             if (max_steps is not None and total_steps >= max_steps):
                 break
             if preempt.should_stop:
@@ -191,17 +209,33 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
     return params, teacher, state, history
 
 
-def save_checkpoint(save_root: str, epoch: int, params, teacher, state):
+def save_checkpoint(save_root: str, epoch: int, params, teacher, state,
+                    opt_state=None, rng_key=None):
     """Separable encoder/VQ checkpoints (pretrain.py:160-165 analog) plus the
-    full bundle for resume."""
+    full train-state bundle (params + opt + EMA buffers + RNG) for exact
+    resume (SURVEY.md §5 checkpoint/resume)."""
     os.makedirs(save_root, exist_ok=True)
     ckpt.save_pytree(os.path.join(save_root, f"encoder_{epoch}.npz"),
                      {"params": params["encoder"],
                       "state": state["encoder"]})
     ckpt.save_pytree(os.path.join(save_root, f"vq_{epoch}.npz"),
                      {"params": params["vq"], "state": state["vq"]})
-    ckpt.save_pytree(os.path.join(save_root, f"full_{epoch}.npz"),
-                     {"params": params, "teacher": teacher, "state": state})
+    bundle = {"params": params, "teacher": teacher, "state": state,
+              "epoch": np.asarray(epoch)}
+    if opt_state is not None:
+        bundle["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
+    if rng_key is not None:
+        bundle["rng_key"] = np.asarray(rng_key)
+    ckpt.save_pytree(os.path.join(save_root, f"full_{epoch}.npz"), bundle)
+
+
+def load_resume_bundle(save_root: str):
+    """Latest full_<epoch>.npz -> (bundle dict, epoch) or (None, 0)."""
+    path = ckpt.latest_checkpoint(save_root, "full")
+    if path is None:
+        return None, 0
+    bundle = ckpt.load_pytree(path)
+    return bundle, int(bundle.get("epoch", 0))
 
 
 def load_pretrained_for_finetune(path_encoder: str, path_vq: str):

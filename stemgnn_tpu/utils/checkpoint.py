@@ -64,13 +64,36 @@ def load_pytree(path: str):
 
 
 def _listify(node):
-    """Convert {#0: .., #1: ..} dicts back into lists."""
+    """Convert {#0: .., #1: ..} dicts back into lists.
+
+    Indices may be sparse: leafless containers (e.g. optax EmptyState inside
+    a chain) produce no entries when flattened — present children are
+    restored in index order, and :func:`restore_like` re-imposes the exact
+    original structure from a template when one exists."""
     if not isinstance(node, dict):
         return node
     keys = list(node.keys())
     if keys and all(re.fullmatch(r"#\d+", k) for k in keys):
-        return [_listify(node[f"#{i}"]) for i in range(len(keys))]
+        return [_listify(node[k])
+                for k in sorted(keys, key=lambda s: int(s[1:]))]
     return {k: _listify(v) for k, v in node.items()}
+
+
+def restore_like(template, loaded):
+    """Re-impose ``template``'s pytree structure (namedtuples, custom nodes)
+    on a loaded checkpoint whose containers round-tripped as dicts/lists.
+
+    Both trees traverse leaves in the same order (dict keys sorted by
+    tree_flatten; lists positional), so unflattening the loaded leaves with
+    the template's treedef reconstructs e.g. optax optimizer states exactly.
+    """
+    import jax
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    leaves_l = jax.tree_util.tree_leaves(loaded)
+    if len(leaves_t) != len(leaves_l):
+        raise ValueError(f"checkpoint leaf count {len(leaves_l)} != "
+                         f"template {len(leaves_t)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves_l)
 
 
 def load_meta(path: str) -> Optional[dict]:

@@ -64,6 +64,33 @@ def test_pretrain_resume_from_full_checkpoint(tmp_path):
     latest = latest_checkpoint(str(tmp_path), "full")
     assert latest is not None and latest.endswith("full_2.npz")
     bundle = load_pytree(latest)
-    assert set(bundle) == {"params", "teacher", "state"}
+    assert {"params", "teacher", "state", "epoch",
+            "opt_state"} <= set(bundle)
     # params tree structurally valid: encoder weights present
     assert "lin_l" in bundle["params"]["encoder"]["layers"][0]
+
+
+def test_pretrain_resume_continues_epochs(tmp_path):
+    """--resume restores params/opt/teacher/RNG and continues at epoch+1."""
+    from stemgnn_tpu.core.config import (EncoderConfig, PretrainConfig,
+                                         VQConfig)
+    from stemgnn_tpu.data.merge import merge_datasets
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.train.pretrain_loop import run_pretrain
+
+    D = 16
+    ds = synthetic_node_dataset(num_nodes=120, feat_dim=D, seed=0)
+    merged = merge_datasets([ds])
+    base = dict(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch"),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0, orthogonal_reg_weight=0.0),
+        batch_size=16, fanout=3, lr=1e-3)
+    run_pretrain(merged, PretrainConfig(epochs=2, **base), weights=[1.0],
+                 save_root=str(tmp_path), verbose=False)
+    _, _, _, hist = run_pretrain(
+        merged, PretrainConfig(epochs=3, **base), weights=[1.0],
+        save_root=str(tmp_path), verbose=False, resume=True)
+    assert len(hist) == 1          # only epoch 3 ran
+    assert (tmp_path / "encoder_3.npz").exists()
