@@ -31,8 +31,10 @@ def _conv_init(key, kind, in_dim, out_dim, num_relations, heads):
         return convs_rel.rgat_edge_init(key, in_dim, out_dim, num_relations,
                                         heads=heads)
     if kind == "gine":
-        p, s = mlp_init(key, [in_dim, 2 * in_dim, out_dim])
-        return {"mlp": p, "mlp_state": s, "eps": jnp.zeros(())}
+        # inner MLP without BatchNorm (the stack applies its own norm layer;
+        # also keeps the conv params a pure-float tree for jax.grad)
+        p, _ = mlp_init(key, [in_dim, 2 * in_dim, out_dim], batch_norm=False)
+        return {"mlp": p, "eps": jnp.zeros(())}
     raise ValueError(kind)
 
 
@@ -90,10 +92,8 @@ def gnn_stack_apply(params, state, kind: str, x, xe, senders, receivers,
             msg = jax.nn.relu(jnp.take(h, senders, axis=0) + xe)
             agg = segment.segment_sum(msg, receivers, h.shape[0],
                                       mask=edge_mask)
-            out, _ = mlp_apply(conv["mlp"], conv["mlp_state"],
-                               (1 + conv["eps"]) * h + agg,
-                               training=training)
-            h = out
+            h, _ = mlp_apply(conv["mlp"], {"norms": []},
+                             (1 + conv["eps"]) * h + agg, training=training)
         if params["norms"]:
             h, ns = batchnorm_apply(params["norms"][i], state["norms"][i], h,
                                     training=training, mask=node_mask)

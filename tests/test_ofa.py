@@ -173,3 +173,23 @@ def test_multidataset_adaptive_halving():
     assert md.dataset_multiple[0] < 2.0     # halved at least once
     assert md.dataset_multiple[1] == 2.0    # untouched
     assert md.dataset_multiple[0] >= 0.25   # floored
+
+
+def test_ofa_in_context_trainer_mechanics(node_ds):
+    """Trainer wiring: loss decreases markedly when overfitting one batch
+    (convergence tuning of the in-context objective is tracked in
+    ROADMAP.md)."""
+    from stemgnn_tpu.ofa.datasets import SubgraphNodeDataset
+    from stemgnn_tpu.ofa.train import ofa_train_eval
+
+    class_emb = np.eye(4, D, dtype=np.float32)
+    pe = np.ones((5, D), np.float32)
+    dset = SubgraphNodeDataset(node_ds, class_emb, pe,
+                               data_idx=np.arange(16), hier=True)
+    idx = np.arange(16)
+    loss0, _ = ofa_train_eval(dset, idx, idx, dim=D, lr=1e-2, epochs=1,
+                              batch_size=16)
+    loss1, acc = ofa_train_eval(dset, idx, idx, dim=D, lr=1e-2, epochs=120,
+                                batch_size=16)
+    assert loss1 < loss0 * 0.8, (loss0, loss1)
+    assert acc >= 0.25  # above 4-class chance on the overfit set
