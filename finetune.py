@@ -118,6 +118,31 @@ def main():
                 "Set --pretrain_path to a valid folder.")
         pretrained = load_pretrained_for_finetune(enc_p, vq_p)
         print("Loaded pretrained encoder and VQ.")
+        # Adopt the architecture hyperparams saved next to the checkpoint
+        # (replaces the reference's MoE-settings-from-dir-name inference,
+        # e.g. degree_shift_ood.py:472-494).
+        cfg_json = osp.join(path, "config.json")
+        if osp.exists(cfg_json):
+            import json
+            with open(cfg_json) as f:
+                saved = json.load(f)
+            enc_saved = saved.get("encoder", {})
+            vq_saved = saved.get("vq", {})
+            for k_src, k_dst in [("hidden_dim", "hidden_dim"),
+                                 ("num_layers", "num_layers"),
+                                 ("backbone", "backbone"),
+                                 ("moe", "moe"),
+                                 ("num_experts", "moe_experts"),
+                                 ("tau", "moe_tau"),
+                                 ("moe_layers", "moe_layers")]:
+                if k_src in enc_saved:
+                    setattr(args, k_dst, enc_saved[k_src])
+            for k_src, k_dst in [("codebook_size", "codebook_size"),
+                                 ("codebook_dim", "code_dim"),
+                                 ("heads", "codebook_head")]:
+                if k_src in vq_saved:
+                    setattr(args, k_dst, vq_saved[k_src])
+            print("Adopted architecture hyperparams from config.json")
 
     cfg = cfglib.FinetuneConfig(
         encoder=cfglib.EncoderConfig(

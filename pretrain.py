@@ -134,6 +134,16 @@ def main():
     run_id = args.pretrain_run_id or "default"
     save_root = osp.join(ROOT, "ckpts", "pretrain_model", run_id)
     os.makedirs(save_root, exist_ok=True)
+    # Persist the config next to the checkpoints (replaces the reference's
+    # parse-hyperparams-from-directory-name hack, SURVEY.md §5 config note).
+    import dataclasses
+    import json
+    with open(osp.join(save_root, "config.json"), "w") as f:
+        json.dump({"encoder": dataclasses.asdict(cfg.encoder),
+                   "vq": dataclasses.asdict(cfg.vq),
+                   "pretrain": {k: v for k, v in dataclasses.asdict(cfg).items()
+                                if k not in ("encoder", "vq")}},
+                  f, indent=2, default=str)
     mesh = None
     if args.data_parallel:
         from stemgnn_tpu.parallel.mesh import make_mesh

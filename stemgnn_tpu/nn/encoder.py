@@ -129,6 +129,13 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
             z = jnp.sum(weights[:, :, None] * expert_out, axis=1)
             env_idx += 1
         elif cfg.backbone == "sage":
+            if edge_feat is not None and edge_feat.shape[-1] != z.shape[-1]:
+                raise ValueError(
+                    f"edge feature dim {edge_feat.shape[-1]} must equal every "
+                    f"layer's input dim (layer {i} gets {z.shape[-1]}): with "
+                    f"per-edge features, hidden_dim must equal input_dim "
+                    f"(the reference has the same latent constraint — its "
+                    f"message is x_j + xe at every layer, encoder.py:94-97)")
             z = convs.sage_apply(layer_p, z, senders, receivers,
                                  edge_feat=edge_feat, edge_mask=edge_mask,
                                  layout=layout, edge_table=edge_table,
