@@ -81,13 +81,15 @@ def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
                                              mask=train_mask.astype(jnp.float32))
             jac = task_model.decoder_jacobian_penalty(params, cfg)
             env = cfg.lamda_env * aux["env_reg"]
-            return act + jac + env, (new_state, act, jac, env)
-        (loss, (new_state, act, jac, env)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable)
+            return act + jac + env, (new_state, act, jac, env,
+                                     aux["moe_stats"])
+        (loss, (new_state, act, jac, env, moe_stats)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, new_state, {
-            "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
+        losses = {"loss": loss, "act_loss": act, "jac_loss": jac,
+                  "env_loss": env}
+        return trainable, opt_state, new_state, losses, moe_stats
 
     def eval_step(trainable, frozen, state):
         params = _merge(trainable, frozen)
@@ -242,6 +244,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     minibatch = cfg.batch_size != 0
     mb_step = _make_minibatch_train_step(cfg, tx, task_kind) if minibatch \
         else None
+    moe_print_interval = max(1, cfg.epochs // 20)
     rng_np = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 0)
 
     for idx, split in enumerate(splits):
@@ -282,8 +285,18 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                             "env_loss": 0.0}
             else:
                 key, k_step = jax.random.split(key)
-                trainable, opt_state, state, loss = train_step(
+                trainable, opt_state, state, loss, moe_stats = train_step(
                     trainable, frozen, opt_state, state, k_step, train_mask)
+                if moe_stats and (epoch % moe_print_interval == 0):
+                    # reference finetune.py:239-254 MoE usage printing
+                    for st in moe_stats:
+                        cnt = max(float(st["count"]), 1.0)
+                        avg = ", ".join(f"{float(v)/cnt:.3f}"
+                                        for v in np.asarray(st["sum_prob"]))
+                        top1 = ", ".join(f"{float(v)/cnt:.3f}"
+                                         for v in np.asarray(st["sum_top1"]))
+                        print(f"[MoE] Layer {st['layer']} avg_prob=[{avg}] "
+                              f"top1_frac=[{top1}]")
             pred = np.asarray(eval_step(trainable, frozen, state))
             result = {
                 "train": evaluate(pred, y_np, masks["train"], cfg.task),
