@@ -68,20 +68,23 @@ def batchnorm_apply(params, state, x, *, training: bool, mask=None,
     if training:
         if mask is not None:
             m = mask.astype(x.dtype)[:, None]
-            n = jnp.maximum(jnp.sum(m), 1.0)
+            n_raw = jnp.sum(m)
+            n = jnp.maximum(n_raw, 1.0)
             mean = jnp.sum(x * m, axis=0) / n
             var = jnp.sum(((x - mean) ** 2) * m, axis=0) / n
         else:
-            n = jnp.asarray(x.shape[0], x.dtype)
+            n_raw = n = jnp.asarray(x.shape[0], x.dtype)
             mean = jnp.mean(x, axis=0)
             var = jnp.mean((x - mean) ** 2, axis=0)
         if axis_name is not None:
-            # Cross-shard moments: average of means and of second moments.
-            cnt = jax.lax.psum(n, axis_name)
-            mean_sum = jax.lax.psum(mean * n, axis_name)
+            # Cross-shard moments: psum of raw sums (mean * n_raw recovers the
+            # unclamped local sum — zero for empty shards, so padding-only
+            # shards contribute nothing to the global statistics).
+            cnt = jnp.maximum(jax.lax.psum(n_raw, axis_name), 1.0)
+            mean_sum = jax.lax.psum(mean * n_raw, axis_name)
             g_mean = mean_sum / cnt
-            sq_sum = jax.lax.psum((var + mean ** 2) * n, axis_name)
-            var = sq_sum / cnt - g_mean ** 2
+            sq_sum = jax.lax.psum((var + mean ** 2) * n_raw, axis_name)
+            var = jnp.maximum(sq_sum / cnt - g_mean ** 2, 0.0)
             mean, n = g_mean, cnt
         unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new_state = {

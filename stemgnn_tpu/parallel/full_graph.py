@@ -121,6 +121,162 @@ def make_edge_parallel_steps(cfg: FinetuneConfig, tx, mesh, y,
     return train, evals
 
 
+def prepare_halo_graph(ds: TAGDataset, num_shards: int,
+                       pad_multiple: int = 128):
+    """Host prep for the halo layout: node features/labels/masks sharded by
+    1-D destination-range ownership + the static halo-exchange plan."""
+    from stemgnn_tpu.parallel.halo import build_halo_partition
+
+    ei = np.asarray(ds.edge_index)
+    part, nb, _ = build_halo_partition(
+        ei[0].astype(np.int64), ei[1].astype(np.int64), ds.num_nodes,
+        num_shards, edge_feat=ds.edge_features().astype(np.float32),
+        pad_multiple=pad_multiple)
+    S = num_shards
+    d = ds.node_text_feat.shape[1]
+    feats = np.zeros((S * nb, d), np.float32)
+    feats[: ds.num_nodes] = ds.node_features()
+    node_mask = np.zeros(S * nb, bool)
+    node_mask[: ds.num_nodes] = True
+    sg = {k: jnp.asarray(v) for k, v in part.items()}
+    sg["node_feat"] = jnp.asarray(feats.reshape(S, nb, d))
+    sg["node_mask"] = jnp.asarray(node_mask.reshape(S, nb))
+    return sg, nb
+
+
+def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge"):
+    """Jitted (train_step, eval_step) over the halo (node-sharded) layout.
+
+    ``y`` [S, Nb] owner-sharded labels.  Loss = global masked mean via psum
+    of per-shard sums; grads psum-ed (each device's backward covers only its
+    contribution paths, including cotangents arriving through the all_to_all
+    transpose of the halo exchange).
+    """
+    from stemgnn_tpu.parallel.halo import _local, halo_encoder_apply
+
+    def per_device_train(trainable, frozen, opt_state, state, rng,
+                         train_mask, y_loc, sg):
+        part = _local({k: v for k, v in sg.items()
+                       if k not in ("node_feat", "node_mask")})
+        x_loc, nm_loc = sg["node_feat"][0], sg["node_mask"][0]
+        y_l, tm = y_loc[0], train_mask[0]
+
+        def loss_fn(trainable):
+            params = _merge(trainable, frozen)
+            z, enc_state, _ = halo_encoder_apply(
+                params["encoder"], state["encoder"], cfg.encoder, x_loc,
+                part, axis=axis, training=True, rng=rng, node_mask=nm_loc)
+            logits, _, st = task_model.task_logits(
+                params, dict(state, encoder=enc_state), cfg, z,
+                training=True, rng=rng, mask=nm_loc)
+            logp = jax.nn.log_softmax(jnp.mean(logits, axis=1), axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, y_l[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            w = tm.astype(logp.dtype)
+            num = jax.lax.psum(jnp.sum(nll * w), axis)
+            den = jax.lax.psum(jnp.sum(w), axis)
+            act = num / jnp.maximum(den, 1.0)
+            return act + task_model.decoder_jacobian_penalty(params, cfg), st
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        grads = jax.lax.psum(grads, axis)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, new_state, loss
+
+    def per_device_eval(trainable, frozen, state, sg):
+        part = _local({k: v for k, v in sg.items()
+                       if k not in ("node_feat", "node_mask")})
+        params = _merge(trainable, frozen)
+        z, enc_state, _ = halo_encoder_apply(
+            params["encoder"], state["encoder"], cfg.encoder,
+            sg["node_feat"][0], part, axis=axis, training=False,
+            node_mask=sg["node_mask"][0])
+        logits, _, _ = task_model.task_logits(
+            params, dict(state, encoder=enc_state), cfg, z, training=False,
+            mask=sg["node_mask"][0])
+        probs = jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
+        return jax.lax.all_gather(probs, axis, tiled=True)
+
+    rep = P()
+    sg_spec = {k: P(axis) for k in
+               ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
+                "send_idx", "ef_loc", "ef_rem", "node_feat", "node_mask")}
+    train = jax.jit(jax.shard_map(
+        per_device_train, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), sg_spec),
+        out_specs=(rep, rep, rep, rep), check_vma=False))
+    evals = jax.jit(jax.shard_map(
+        per_device_eval, mesh=mesh,
+        in_specs=(rep, rep, rep, sg_spec), out_specs=rep, check_vma=False))
+    return train, evals
+
+
+def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
+                               pretrained=None, verbose: bool = False,
+                               axis: str = "edge", pad_multiple: int = 128):
+    """Full-graph node finetune on the halo layout (communication =
+    boundary-feature all_to_all per layer instead of v1's [N, D] psum)."""
+    if cfg.use_vq and not cfg.freeze_vq:
+        raise NotImplementedError(
+            "halo mode shards nodes, so unfrozen VQ EMA stats would diverge "
+            "per shard; freeze_vq (the reference finetune default, "
+            "finetune.py:179-181) or psum the stats via the v1 mode")
+    n_shards = int(mesh.shape[axis])
+    sg, nb = prepare_halo_graph(ds, n_shards, pad_multiple=pad_multiple)
+    n, n_pad = ds.num_nodes, n_shards * nb
+    y_np = np.zeros(n_pad, np.int32)
+    y_np[:n] = np.asarray(ds.labels)[:n]
+    y = jnp.asarray(y_np.reshape(n_shards, nb))
+
+    tx = optax.adamw(cfg.lr, weight_decay=0.01)
+    train_step, eval_step = make_halo_steps(cfg, tx, mesh, y, axis=axis)
+    logger = Logger()
+
+    for idx, split in enumerate(ds.splits[: cfg.repeat]):
+        key = jax.random.PRNGKey(idx)
+        key, k_init = jax.random.split(key)
+        params, state = task_model.task_model_init(
+            k_init, cfg,
+            encoder_params=None if pretrained is None else _copy(pretrained["encoder_params"]),
+            vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
+            encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
+            vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
+        if cfg.use_vq and not bool(state["vq"]["initted"]):
+            g_full = ds.to_graph(node_pad_to=n_pad)
+            params, state = task_model.maybe_kmeans_init_vq(
+                params, state, cfg, g_full, rng=k_init)
+        trainable, frozen = _split_params(params, cfg)
+        opt_state = tx.init(trainable)
+        stopper = EarlyStopping(patience=cfg.early_stop)
+
+        masks = {}
+        for k in ("train", "valid", "test"):
+            m = np.zeros(n_pad, bool)
+            m[:n] = np.asarray(split[k])[:n]
+            masks[k] = m
+        train_mask = jnp.asarray(masks["train"].reshape(n_shards, nb))
+
+        for epoch in range(cfg.epochs):
+            key, k_step = jax.random.split(key)
+            trainable, opt_state, state, loss = train_step(
+                trainable, frozen, opt_state, state, k_step, train_mask, y,
+                sg)
+            pred = np.asarray(eval_step(trainable, frozen, state, sg))
+            result = {k2: evaluate(pred, y_np, masks[k1], cfg.task)
+                      for k1, k2 in [("train", "train"), ("valid", "val"),
+                                     ("test", "test")]}
+            result["metric"] = task2metric[cfg.task]
+            logger.log(idx, epoch, {"loss": float(loss)}, result)
+            if stopper(result):
+                break
+        if verbose:
+            b = logger.get_single_best(idx)
+            print(f"[halo split {idx}] best val={b['val']:.2f} "
+                  f"test={b['test']:.2f}")
+    return logger
+
+
 def run_finetune_edge_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
                                pretrained=None, verbose: bool = False,
                                axis: str = "edge"):

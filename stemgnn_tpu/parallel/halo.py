@@ -1,0 +1,240 @@
+"""Halo-exchange edge-partitioned full-graph mode (v2 of the scale-out path).
+
+V1 (:mod:`stemgnn_tpu.parallel.edge_partition`) replicates node features and
+psums an [N, D] partial aggregate per layer — communication O(N*D) per layer
+regardless of how local the graph is.  This module implements the design
+SURVEY.md §7.1 calls the GNN analog of ring/context parallelism:
+
+  * **1-D destination-range node ownership** — device ``i`` owns the
+    contiguous node block ``[i*Nb, (i+1)*Nb)`` of the padded id space and
+    *all* in-edges of its nodes, so every segment-reduce is local and the
+    full in-degree is locally computable.
+  * **all_to_all halo exchange** — the only cross-device traffic per layer is
+    the boundary: features of remote *source* nodes referenced by local
+    edges.  The request lists are static (host-precomputed), so the exchange
+    is one ``jax.lax.all_to_all`` of shape [S, R, D] where R is the max
+    per-peer boundary size — O(boundary * D), not O(N * D).
+  * **overlap** — local-source edges are aggregated from ``x_local`` with no
+    data dependency on the all_to_all, so XLA's async collectives run the
+    ICI transfer under the local gather/segment-sum (the double-buffering of
+    SURVEY.md §7.3 falls out of the dependence structure; no manual
+    scheduling needed).
+
+Math contract: identical to the single-device
+:func:`stemgnn_tpu.ops.spmm.gather_scatter_aggregate` on the owned node block
+(tests/test_parallel.py asserts equivalence), i.e. the reference's
+``MySAGEConv`` aggregation semantics (STEM-GNN/model/encoder.py:94-102).
+The reference's only distributed collective is the VQ codebook all_reduce
+(STEM-GNN/model/vq.py:666-674); graph-topology communication like this has no
+reference counterpart — it is the TPU-native scale-out design.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stemgnn_tpu.core.config import EncoderConfig
+from stemgnn_tpu.nn.layers import batchnorm_apply, dropout, linear_apply
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((max(v, 1) + m - 1) // m) * m
+
+
+def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
+                         num_nodes: int, num_shards: int,
+                         edge_feat: Optional[np.ndarray] = None,
+                         pad_multiple: int = 128):
+    """Host-side partitioner.
+
+    Splits the edge list by destination ownership and precomputes the static
+    halo-exchange plan.  Returns a dict of stacked arrays with leading shard
+    axis ``S`` (feed through shard_map with ``P(axis)`` on every entry) plus
+    two host ints:
+
+      * ``nodes_per_shard`` — Nb, the owned node-block size (padded),
+      * ``halo_slots`` — R, the per-peer boundary buffer size.
+
+    Per shard ``i`` the edge set is split into *local-source* edges (sender
+    owned by ``i``; sender ids remapped to ``[0, Nb)``) and *remote-source*
+    edges (sender ids remapped to halo-buffer slots ``owner*R + slot``).
+    ``send_idx[i, j]`` lists the local node indices device ``i`` must ship to
+    device ``j`` (zero-padded; padded slots are never referenced by any
+    remote edge, so their garbage payload is dead).
+    """
+    S = num_shards
+    nb = _round_up(-(-num_nodes // S), pad_multiple)
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    owner = receivers // nb
+    src_owner = senders // nb
+
+    # Per-shard edge splits and per-(i, j) boundary request lists.
+    loc, rem, requests = [], [], {}
+    for i in range(S):
+        sel = owner == i
+        s_i, r_i, so_i = senders[sel], receivers[sel] - i * nb, src_owner[sel]
+        ef_i = edge_feat[sel] if edge_feat is not None else None
+        is_loc = so_i == i
+        loc.append((s_i[is_loc] - i * nb, r_i[is_loc],
+                    ef_i[is_loc] if ef_i is not None else None))
+        # Remote sources: dedupe per owner, assign stable slots.
+        s_rem, r_rem, so_rem = s_i[~is_loc], r_i[~is_loc], so_i[~is_loc]
+        ef_rem = ef_i[~is_loc] if ef_i is not None else None
+        slot_of = {}
+        for j in range(S):
+            if j == i:
+                continue
+            uniq = np.unique(s_rem[so_rem == j])
+            requests[(i, j)] = uniq
+            for k, node in enumerate(uniq):
+                slot_of[int(node)] = (j, k)
+        rem.append((s_rem, r_rem, ef_rem, slot_of))
+
+    R = _round_up(max([len(v) for v in requests.values()] + [1]),
+                  min(pad_multiple, 8))
+    el = _round_up(max(max(len(t[0]) for t in loc), 1), pad_multiple)
+    er = _round_up(max(max(len(t[0]) for t in rem), 1), pad_multiple)
+
+    d = edge_feat.shape[1] if edge_feat is not None else 0
+    out = {
+        "s_loc": np.zeros((S, el), np.int32),
+        "r_loc": np.zeros((S, el), np.int32),
+        "m_loc": np.zeros((S, el), bool),
+        "s_rem": np.zeros((S, er), np.int32),
+        "r_rem": np.zeros((S, er), np.int32),
+        "m_rem": np.zeros((S, er), bool),
+        "send_idx": np.zeros((S, S, R), np.int32),
+    }
+    if edge_feat is not None:
+        out["ef_loc"] = np.zeros((S, el, d), edge_feat.dtype)
+        out["ef_rem"] = np.zeros((S, er, d), edge_feat.dtype)
+
+    for i in range(S):
+        s_l, r_l, ef_l = loc[i]
+        k = len(s_l)
+        out["s_loc"][i, :k] = s_l
+        out["r_loc"][i, :k] = r_l
+        out["m_loc"][i, :k] = True
+        if ef_l is not None:
+            out["ef_loc"][i, :k] = ef_l
+        s_r, r_r, ef_r, slot_of = rem[i]
+        k = len(s_r)
+        halo_ids = np.fromiter(
+            ((lambda jk: jk[0] * R + jk[1])(slot_of[int(s)]) for s in s_r),
+            np.int32, count=k)
+        out["s_rem"][i, :k] = halo_ids
+        out["r_rem"][i, :k] = r_r
+        out["m_rem"][i, :k] = True
+        if ef_r is not None:
+            out["ef_rem"][i, :k] = ef_r
+        # send_idx rows live on the *owning* device j.
+        for j in range(S):
+            if j == i:
+                continue
+            req = requests[(i, j)]
+            out["send_idx"][j, i, : len(req)] = req - j * nb
+
+    return out, nb, R
+
+
+def _local(part):
+    """Strip the leading length-1 shard axis shard_map leaves on each entry."""
+    return {k: v[0] for k, v in part.items()}
+
+
+def halo_exchange(x_local, send_idx, axis: str):
+    """Ship boundary features: returns the halo buffer [S*R, D] where slot
+    ``j*R + k`` holds owner ``j``'s ``send_idx[j, me, k]``-th local feature."""
+    blocks = jnp.take(x_local, send_idx, axis=0)          # [S, R, D]
+    recv = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0,
+                              tiled=True)                 # [S, R, D]
+    return recv.reshape(-1, x_local.shape[-1])
+
+
+def halo_sage_aggregate(x_local, part, *, axis: str, reduce: str = "mean",
+                        relu: bool = True):
+    """Per-device SAGE aggregation over the halo layout.
+
+    ``part`` is the per-device slice of :func:`build_halo_partition` output
+    (leading shard axis already stripped).  Matches
+    ``gather_scatter_aggregate(..., reduce, relu)`` on the owned node block.
+    """
+    nb = x_local.shape[0]
+
+    def msgs(src_table, s, m, ef):
+        v = jnp.take(src_table, s, axis=0)
+        if ef is not None:
+            v = v + ef
+        if relu:
+            v = jax.nn.relu(v)
+        return jnp.where(m[:, None], v, 0.0)
+
+    # Halo exchange first: the local-edge aggregation below has no dependence
+    # on it, so XLA overlaps the ICI transfer with the local compute.
+    halo = halo_exchange(x_local, part["send_idx"], axis)
+    agg = jax.ops.segment_sum(
+        msgs(x_local, part["s_loc"], part["m_loc"], part.get("ef_loc")),
+        part["r_loc"], num_segments=nb)
+    agg = agg + jax.ops.segment_sum(
+        msgs(halo, part["s_rem"], part["m_rem"], part.get("ef_rem")),
+        part["r_rem"], num_segments=nb)
+    if reduce == "sum":
+        return agg
+    deg = jax.ops.segment_sum(part["m_loc"].astype(x_local.dtype),
+                              part["r_loc"], num_segments=nb)
+    deg = deg + jax.ops.segment_sum(part["m_rem"].astype(x_local.dtype),
+                                    part["r_rem"], num_segments=nb)
+    return agg / jnp.maximum(deg, 1.0)[:, None]
+
+
+def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
+                       axis: str, training: bool = False, rng=None,
+                       node_mask=None):
+    """Encoder forward over the node-sharded halo layout.
+
+    Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` restricted to
+    the plain-SAGE backbone (the flagship config): per-layer halo exchange of
+    the current activations, BatchNorm statistics psum-ed over ``axis``.
+    MoE layers aggregate along *out*-edges (encoder.py:122-124), which breaks
+    the all-in-edges-local invariant — use the v1 psum mode for MoE.
+    """
+    if cfg.backbone != "sage" or any(cfg.moe_layer_flags()):
+        raise NotImplementedError(
+            "halo mode supports the plain SAGE backbone; use "
+            "parallel.edge_partition (psum mode) for MoE/other backbones")
+    from stemgnn_tpu.nn.encoder import _activation
+
+    act = _activation(cfg)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    # Decorrelate per-device dropout masks.
+    rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    z = x_local
+    new_norm_states = []
+    for i in range(cfg.num_layers):
+        rng, k_drop = jax.random.split(rng)
+        ef = part.get("ef_loc")
+        if ef is not None and ef.shape[-1] != z.shape[-1]:
+            raise ValueError("edge feature dim must equal layer input dim")
+        agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",
+                                  relu=True)
+        layer_p = params["layers"][i]
+        z = linear_apply(layer_p["lin_l"], agg) + \
+            linear_apply(layer_p["lin_r"], z)
+        if cfg.normalize != "none":
+            z, ns = batchnorm_apply(params["norms"][i], state["norms"][i], z,
+                                    training=training, mask=node_mask,
+                                    axis_name=axis)
+            new_norm_states.append(ns)
+        else:
+            new_norm_states.append(state["norms"][i])
+        if i < cfg.num_layers - 1:
+            z = act(z)
+            z = dropout(k_drop, z, cfg.dropout, training=training)
+    aux = {"env_reg": jnp.zeros(()), "moe_stats": []}
+    return z, {"norms": new_norm_states}, aux

@@ -52,6 +52,104 @@ def test_edge_partitioned_aggregate_matches_single(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_halo_aggregate_matches_single(rng):
+    """V2 halo-exchange aggregation == single-device gather/scatter."""
+    from stemgnn_tpu.parallel.halo import (build_halo_partition, _local,
+                                           halo_sage_aggregate)
+    n, e, S = 100, 800, 8
+    x, s, r, ef = random_graph(rng, n=n, e=e, d=D)
+    part, nb, _ = build_halo_partition(s, r, n, S, edge_feat=ef,
+                                       pad_multiple=8)
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    want = gather_scatter_aggregate(jnp.asarray(x_pad), jnp.asarray(s),
+                                    jnp.asarray(r), jnp.asarray(ef),
+                                    num_nodes=n_pad, reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(x_loc, part):
+        out = halo_sage_aggregate(x_loc[0], _local(part), axis="edge")
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    spec = {k: P("edge") for k in part}
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("edge"), spec), out_specs=P(),
+        check_vma=False))(jnp.asarray(x_pad.reshape(S, nb, D)),
+                          {k: jnp.asarray(v) for k, v in part.items()})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_halo_encoder_matches_single(rng):
+    """Full sharded encoder forward (BatchNorm psum, per-layer halo
+    exchange) == single-device encoder_apply on the same padded layout."""
+    from stemgnn_tpu.nn.encoder import encoder_apply, encoder_init
+    from stemgnn_tpu.parallel.halo import (build_halo_partition, _local,
+                                           halo_encoder_apply)
+    n, e, S = 90, 600, 8
+    x, s, r, ef = random_graph(rng, n=n, e=e, d=D)
+    cfg = EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                        normalize="batch", dropout=0.0)
+    params, state = encoder_init(jax.random.PRNGKey(0), cfg)
+    part, nb, _ = build_halo_partition(s, r, n, S, edge_feat=ef,
+                                       pad_multiple=8)
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    nm = np.zeros(n_pad, bool)
+    nm[:n] = True
+    want, want_state, _ = encoder_apply(
+        params, state, cfg, jnp.asarray(x_pad), jnp.asarray(s),
+        jnp.asarray(r), edge_feat=jnp.asarray(ef),
+        node_mask=jnp.asarray(nm), training=True)
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(params, state, x_loc, nm_loc, part):
+        z, st, _ = halo_encoder_apply(params, state, cfg, x_loc[0],
+                                      _local(part), axis="edge",
+                                      training=True, node_mask=nm_loc[0])
+        return jax.lax.all_gather(z, "edge", tiled=True), st
+
+    spec = {k: P("edge") for k in part}
+    out, st = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(), P("edge"), P("edge"), spec),
+        out_specs=(P(), P()), check_vma=False))(
+            params, state, jnp.asarray(x_pad.reshape(S, nb, D)),
+            jnp.asarray(nm.reshape(S, nb)),
+            {k: jnp.asarray(v) for k, v in part.items()})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(st["norms"], want_state["norms"]):
+        np.testing.assert_allclose(np.asarray(a["mean"]),
+                                   np.asarray(b["mean"]), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_halo_finetune_learns(rng):
+    """End-to-end halo-layout trainer reaches the same accuracy band as the
+    v1 psum trainer on the synthetic node task."""
+    from stemgnn_tpu.core.config import FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.full_graph import run_finetune_halo_parallel
+
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=4, feat_dim=D,
+                                train_per_split=50, val_per_split=60,
+                                num_splits=1, seed=1)
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="node", epochs=50, early_stop=25, lr=1e-2, repeat=1,
+        num_classes=4)
+    mesh = make_mesh(axis_names=("edge",))
+    best = run_finetune_halo_parallel(ds, cfg, mesh,
+                                      pad_multiple=8).get_best()
+    assert best["test"]["mean"] > 75, best
+
+
 def _tiny_pretrain_setup(rng, n_dev):
     cfg = PretrainConfig(
         encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
