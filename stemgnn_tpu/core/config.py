@@ -76,6 +76,13 @@ class VQConfig:
     sample_codebook_temp: float = 1.0
     straight_through_gumbel: bool = False
     sync_codebook: bool = False        # psum codebook stats over mesh axis
+    # Affine re-parameterization of the euclidean codebook (vq.py:361-411):
+    # EMA-track batch and codebook mean/variance; distances run against the
+    # codebook mapped into the batch distribution.  Euclidean-only, like the
+    # reference (CosineSimCodebook has no affine path).
+    affine_param: bool = False
+    affine_param_batch_decay: float = 0.99
+    affine_param_codebook_decay: float = 0.9
 
     @property
     def codebook_input_dim(self) -> int:

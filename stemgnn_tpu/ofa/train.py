@@ -121,3 +121,67 @@ def ofa_train_eval(dataset, train_idx: Sequence[int],
             total += 1
     acc = correct / max(total, 1)
     return float(loss), acc
+
+
+def fewshot_train_eval(base_dataset, labels, class_split, *, dim: int,
+                       fs_edge_feats=None, n_way: int = 3, k_shot: int = 2,
+                       train_episodes: int = 64, eval_episodes: int = 32,
+                       kind: str = "gine", num_layers: int = 2,
+                       epochs: int = 5, lr: float = 1e-3,
+                       batch_size: int = 8, seed: int = 0,
+                       verbose: bool = False):
+    """End-to-end few-shot episode training + evaluation.
+
+    The episode loop the reference drives through ``FewShotDataset`` +
+    ``ConstructFSTask`` (ofa_datasets.py:457-549, task_constructor.py:231-271):
+    meta-train on episodes drawn from the train-class pool, then evaluate
+    episode accuracy on episodes drawn from the (disjoint) eval-class pool.
+
+    ``base_dataset`` is any prompted NOI dataset (e.g.
+    :class:`~stemgnn_tpu.ofa.datasets.SubgraphNodeDataset`);
+    ``class_split`` maps {"train": [...], "valid"/"test": [...]} class ids.
+    Returns {"train_loss", "valid_acc"/"test_acc" per eval split}.
+    """
+    from stemgnn_tpu.ofa.fewshot import FewShotDataset, SimpleFSManager
+    from stemgnn_tpu.ofa.tasks import fewshot_class_pools
+
+    if fs_edge_feats is None:
+        fs_edge_feats = np.stack([np.zeros(dim, np.float32),
+                                  np.ones(dim, np.float32)])
+    pools = fewshot_class_pools(labels, class_split)
+
+    def make_episodes(split, size, seed_off):
+        cls, data_ind = pools[split]
+        fs = SimpleFSManager(cls, data_ind, k_shot=k_shot, q_query=1,
+                             n_way=min(n_way, len(cls)),
+                             seed=seed + seed_off)
+        return FewShotDataset(fs, base_dataset, base_dataset,
+                              fs_edge_feats=fs_edge_feats, sample_size=size,
+                              seed=seed + seed_off)
+
+    train_ds = make_episodes("train", train_episodes, 0)
+    out = {}
+    # Meta-train once; evaluate on each held-out class split by running the
+    # shared-parameter path of ofa_train_eval per split.
+    for i, split in enumerate(s for s in class_split if s != "train"):
+        eval_ds = make_episodes(split, eval_episodes, 100 + i)
+
+        class _Concat:
+            def __init__(self, a, b):
+                self.a, self.b = a, b
+
+            def __len__(self):
+                return len(self.a) + len(self.b)
+
+            def __getitem__(self, j):
+                return self.a[j] if j < len(self.a) else self.b[j - len(self.a)]
+
+        cat = _Concat(train_ds, eval_ds)
+        loss, acc = ofa_train_eval(
+            cat, np.arange(len(train_ds)),
+            np.arange(len(train_ds), len(cat)), dim=dim, kind=kind,
+            num_layers=num_layers, epochs=epochs, lr=lr,
+            batch_size=batch_size, seed=seed, verbose=verbose)
+        out["train_loss"] = loss
+        out[f"{split}_acc"] = acc
+    return out

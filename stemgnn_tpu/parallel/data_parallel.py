@@ -63,6 +63,10 @@ def make_dp_pretrain_step(cfg: PretrainConfig, tx, mesh, *, bs: int,
         new_state = jax.lax.pmean(new_state, axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if cfg.vq.ema_update:
+            from stemgnn_tpu.vq import adopt_ema_embed
+            params = dict(params, vq=adopt_ema_embed(params["vq"],
+                                                     new_state["vq"]))
         teacher = ema_update_teacher(teacher, params["encoder"],
                                      cfg.sem_encoder_decay)
         metrics = jax.lax.pmean(dict(aux["losses"], loss=loss), axis)

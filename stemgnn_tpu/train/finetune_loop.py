@@ -87,6 +87,10 @@ def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
             jax.value_and_grad(loss_fn, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
+        if cfg.use_vq and not cfg.freeze_vq and cfg.vq.ema_update:
+            from stemgnn_tpu.vq import adopt_ema_embed
+            trainable = dict(trainable, vq=adopt_ema_embed(
+                trainable["vq"], new_state["vq"]))
         losses = {"loss": loss, "act_loss": act, "jac_loss": jac,
                   "env_loss": env}
         return trainable, opt_state, new_state, losses, moe_stats

@@ -65,6 +65,10 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
             grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if cfg.vq.ema_update:
+            from stemgnn_tpu.vq import adopt_ema_embed
+            params = dict(params, vq=adopt_ema_embed(params["vq"],
+                                                     new_state["vq"]))
         teacher = ema_update_teacher(teacher, params["encoder"],
                                      cfg.sem_encoder_decay)
         metrics = dict(aux["losses"], loss=loss)

@@ -179,6 +179,76 @@ def ema_codebook_update(state, xh, one_hot, *, decay: float, eps: float,
     return new_state, embed
 
 
+def affine_stats_update(state, xh, embed, *, batch_decay: float,
+                        codebook_decay: float, mask=None,
+                        axis_name: Optional[str] = None):
+    """EMA-track per-head mean/variance of the batch and of the codebook
+    (vq.py:361-411, ``update_with_decay``/``update_affine``).
+
+    First call copies (the ``needs_init`` latch); later calls lerp with the
+    respective decay.  With ``axis_name`` the batch moments are psum-reduced —
+    the analog of ``sync_affine_param`` (vq.py:390-411).
+    Returns the updated state dict (keys ``batch_mean``/``batch_var``/
+    ``codebook_mean``/``codebook_var``/``affine_initted``).
+    """
+    c_mean = jnp.mean(embed, axis=1, keepdims=True)               # [h, 1, d]
+    c_var = jnp.mean((embed - c_mean) ** 2, axis=1, keepdims=True)
+    if mask is not None:
+        m = mask[None, :, None].astype(xh.dtype)
+        cnt = jnp.maximum(jnp.sum(mask.astype(xh.dtype)), 1.0)
+        b_sum = jnp.sum(xh * m, axis=1, keepdims=True)
+    else:
+        cnt = jnp.asarray(xh.shape[1], xh.dtype)
+        b_sum = jnp.sum(xh, axis=1, keepdims=True)
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+        b_sum = jax.lax.psum(b_sum, axis_name)
+    b_mean = b_sum / cnt
+    sq = (xh - b_mean) ** 2
+    if mask is not None:
+        sq = sq * mask[None, :, None]
+    v_sum = jnp.sum(sq, axis=1, keepdims=True)
+    if axis_name is not None:
+        v_sum = jax.lax.psum(v_sum, axis_name)
+    b_var = v_sum / cnt
+
+    initted = state["affine_initted"]
+    new = {
+        "codebook_mean": jnp.where(initted,
+                                   ema(state["codebook_mean"], c_mean,
+                                       codebook_decay), c_mean),
+        "codebook_var": jnp.where(initted,
+                                  ema(state["codebook_var"], c_var,
+                                      codebook_decay), c_var),
+        "batch_mean": jnp.where(initted,
+                                ema(state["batch_mean"], b_mean, batch_decay),
+                                b_mean),
+        "batch_var": jnp.where(initted,
+                               ema(state["batch_var"], b_var, batch_decay),
+                               b_var),
+        "affine_initted": jnp.asarray(True),
+    }
+    return dict(state, **new)
+
+
+def affine_transform_embed(state, embed, eps: float = 1e-5):
+    """Map the codebook into the batch distribution (vq.py:466-470):
+    (embed - codebook_mean) * batch_std / codebook_std + batch_mean."""
+    c_std = jnp.sqrt(jnp.clip(state["codebook_var"], eps, None))
+    b_std = jnp.sqrt(jnp.clip(state["batch_var"], eps, None))
+    return (embed - state["codebook_mean"]) * (b_std / c_std) \
+        + state["batch_mean"]
+
+
+def affine_inverse_transform(state, xh, eps: float = 1e-5):
+    """Map batch vectors into the codebook distribution for the EMA stats
+    (vq.py:487): (x - batch_mean) * codebook_std / batch_std + codebook_mean."""
+    c_std = jnp.sqrt(jnp.clip(state["codebook_var"], eps, None))
+    b_std = jnp.sqrt(jnp.clip(state["batch_var"], eps, None))
+    return (xh - state["batch_mean"]) * (c_std / b_std) \
+        + state["codebook_mean"]
+
+
 def expire_dead_codes(key, state, embed, xh, *, threshold: float,
                       reset_cluster_size: float, use_cosine_sim: bool,
                       mask=None):

@@ -62,6 +62,23 @@ def vq_init(key, cfg: VQConfig):
         "cluster_size": jnp.zeros((h, c)),
         "initted": jnp.asarray(not cfg.kmeans_init),
     }
+    if cfg.ema_update:
+        # Pure-EMA mode: the updated codebook is produced as state
+        # ("embed_target", vq.py:504-506's embed.data.copy_) and adopted into
+        # params by the train step via :func:`adopt_ema_embed`.  Present from
+        # init so the state pytree structure is stable under jit.
+        state["embed_target"] = embed
+    if cfg.affine_param:
+        if cfg.use_cosine_sim:
+            raise ValueError("affine_param is euclidean-only, as in the "
+                             "reference (vq.py:361 lives in EuclideanCodebook)")
+        state.update({
+            "codebook_mean": jnp.zeros((h, 1, d)),
+            "codebook_var": jnp.ones((h, 1, d)),
+            "batch_mean": jnp.zeros((h, 1, d)),
+            "batch_var": jnp.ones((h, 1, d)),
+            "affine_initted": jnp.asarray(False),
+        })
     return params, state
 
 
@@ -159,6 +176,24 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
     if not (cfg.effective_learnable and not freeze_codebook):
         embed = jax.lax.stop_gradient(embed)
 
+    new_state = state
+    if cfg.affine_param:
+        # Track batch/codebook moments, then map the codebook into the batch
+        # distribution before distance computation (vq.py:461-470).  Stats
+        # update only in training (eval stays pure under jit; the reference
+        # mutates buffers in eval too, an artifact of torch's imperative
+        # forward).
+        hmask_a = None if mask is None else (
+            mask if cfg.separate_codebook_per_head
+            else jnp.repeat(mask, cfg.heads))
+        if training and not freeze_codebook:
+            new_state = cb.affine_stats_update(
+                new_state, xh, jax.lax.stop_gradient(params["embed"]),
+                batch_decay=cfg.affine_param_batch_decay,
+                codebook_decay=cfg.affine_param_codebook_decay,
+                mask=hmask_a, axis_name=axis_name)
+        embed = cb.affine_transform_embed(new_state, embed)
+
     if cfg.use_cosine_sim:
         dist = cb.cosine_distances(xh, embed)
     else:
@@ -177,13 +212,16 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
         # Pure gather in eval (batched_embedding, vq.py:224-228,659).
         quantize_h = jax.vmap(lambda e, i: e[i])(embed, ind)
 
-    new_state = state
     if training and cfg.ema_update and not freeze_codebook:
         hmask = None if mask is None else mask[None, :] if cfg.separate_codebook_per_head \
             else jnp.repeat(mask, cfg.heads)[None, :]
         stats_mask = None if hmask is None else hmask[0]
+        # Affine mode accumulates EMA stats in the codebook's own
+        # distribution: inverse-map the batch first (vq.py:485-487).
+        xh_stats = cb.affine_inverse_transform(new_state, xh) \
+            if cfg.affine_param else xh
         new_state, new_embed = cb.ema_codebook_update(
-            state, xh, one_hot, decay=cfg.decay, eps=cfg.eps,
+            new_state, xh_stats, one_hot, decay=cfg.decay, eps=cfg.eps,
             use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask,
             axis_name=axis_name)
         new_state, new_embed = cb.expire_dead_codes(
@@ -219,6 +257,16 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
     indices = _ind_to_bn(cfg, ind)
     return {"quantize": out, "indices": indices, "loss": loss, "codes": codes,
             "distances": dist, "state": new_state}
+
+
+def adopt_ema_embed(vq_params, vq_state):
+    """Adopt the EMA-updated codebook into params (the functional analog of
+    the reference's in-place ``self.embed.data.copy_(embed_normalized)``,
+    vq.py:504-506).  Call after each train step when ``cfg.ema_update``;
+    no-op when the state carries no EMA target (gradient-trained codebook)."""
+    if "embed_target" not in vq_state:
+        return vq_params
+    return dict(vq_params, embed=vq_state["embed_target"])
 
 
 def get_codes_from_indices(params, cfg: VQConfig, indices):

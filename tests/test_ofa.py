@@ -193,3 +193,21 @@ def test_ofa_in_context_trainer_mechanics(node_ds):
                                 batch_size=16)
     assert loss1 < loss0 * 0.8, (loss0, loss1)
     assert acc >= 0.25  # above 4-class chance on the overfit set
+
+
+def test_fewshot_end_to_end(node_ds):
+    """Meta-train on train-class episodes, evaluate on held-out-class
+    episodes — must beat 1/n_way chance on the separable synthetic task."""
+    from stemgnn_tpu.ofa.train import fewshot_train_eval
+
+    class_emb = np.eye(4, D, dtype=np.float32)
+    pe = np.ones((5, D), np.float32)
+    base = SubgraphNodeDataset(node_ds, class_emb, pe,
+                               data_idx=np.arange(120), hier=True)
+    labels = np.asarray(node_ds.labels)
+    out = fewshot_train_eval(
+        base, labels, {"train": [0, 1, 2], "test": [1, 2, 3]}, dim=D,
+        n_way=2, k_shot=2, train_episodes=96, eval_episodes=48, epochs=12,
+        num_layers=3, lr=3e-3, batch_size=8, seed=0)
+    assert np.isfinite(out["train_loss"])
+    assert out["test_acc"] > 0.6, out

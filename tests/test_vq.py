@@ -136,3 +136,54 @@ def test_codes_from_indices_roundtrip(rng):
     res = vq_apply(params, state, CFG, z, training=False)
     codes = get_codes_from_indices(params, CFG, res["indices"])
     np.testing.assert_allclose(codes, res["codes"], rtol=1e-6)
+
+
+def test_affine_param_euclidean(rng):
+    """Affine codebook re-parameterization (vq.py:361-411): first training
+    forward copies batch/codebook moments; distances run against the
+    codebook mapped into the batch distribution; EMA stats accumulate in the
+    codebook's own distribution via the inverse map."""
+    cfg = VQConfig(dim=8, codebook_size=8, codebook_dim=4, heads=2,
+                   use_cosine_sim=False, affine_param=True, ema_update=True,
+                   orthogonal_reg_weight=0.0, commitment_weight=1.0,
+                   decay=0.8)
+    params, state = vq_init(jax.random.PRNGKey(9), cfg)
+    assert not bool(state["affine_initted"])
+    z = jnp.asarray((3.0 + 2.0 * rng.standard_normal((40, 8))).astype(np.float32))
+    res = vq_apply(params, state, cfg, z, training=True,
+                   rng=jax.random.PRNGKey(0))
+    ns = res["state"]
+    assert bool(ns["affine_initted"])
+    # first update = copy: batch mean ~= actual per-head batch mean
+    xh = np.asarray(z).reshape(40, 2, 4).transpose(1, 0, 2)
+    np.testing.assert_allclose(np.asarray(ns["batch_mean"])[:, 0],
+                               xh.mean(1), rtol=1e-5)
+    # codebook moments come from the embed itself
+    emb = np.asarray(params["embed"])
+    np.testing.assert_allclose(np.asarray(ns["codebook_mean"])[:, 0],
+                               emb.mean(1), rtol=1e-5)
+    # second step lerps with the batch decay
+    z2 = jnp.asarray(rng.standard_normal((40, 8)).astype(np.float32))
+    res2 = vq_apply(params, ns, cfg, z2, training=True,
+                    rng=jax.random.PRNGKey(1))
+    xh2 = np.asarray(z2).reshape(40, 2, 4).transpose(1, 0, 2)
+    want = 0.99 * np.asarray(ns["batch_mean"])[:, 0] + 0.01 * xh2.mean(1)
+    np.testing.assert_allclose(np.asarray(res2["state"]["batch_mean"])[:, 0],
+                               want, rtol=1e-4)
+    # selected indices match argmin distance to the affine-transformed embed
+    c_std = np.sqrt(np.clip(np.asarray(ns["codebook_var"]), 1e-5, None))
+    b_std = np.sqrt(np.clip(np.asarray(ns["batch_var"]), 1e-5, None))
+    emb_t = (emb - np.asarray(ns["codebook_mean"])) * (b_std / c_std) \
+        + np.asarray(ns["batch_mean"])
+    res_eval = vq_apply(params, ns, cfg, z2, training=False)
+    d = -np.linalg.norm(xh2[:, :, None, :] - emb_t[:, None, :, :], axis=-1)
+    np.testing.assert_array_equal(np.asarray(res_eval["indices"]),
+                                  d.argmax(-1).transpose(1, 0))
+
+
+def test_affine_param_rejects_cosine():
+    import pytest
+    cfg = VQConfig(dim=16, codebook_size=8, codebook_dim=4, heads=2,
+                   use_cosine_sim=True, affine_param=True)
+    with pytest.raises(ValueError):
+        vq_init(jax.random.PRNGKey(0), cfg)
