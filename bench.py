@@ -70,8 +70,9 @@ def _bench(step_fn, x0, aux, iters):
         def body(x, _):
             out = step_fn(x, aux)
             probe = out[0, 0]
-            x = x * 0.9999 + probe * 1e-9
-            return x, probe
+            # Dependence via a single-element carry update: keeps the chain
+            # honest without an [N, D] elementwise pass per iteration.
+            return x.at[0, 0].add(probe * 1e-9), probe
         x, probes = jax.lax.scan(body, x0, None, length=iters)
         return jnp.sum(probes)
 
@@ -110,18 +111,29 @@ def main():
             x, s, r, None, num_nodes=n_pad, reduce="mean",
             relu=True, indices_are_sorted=True) ** 2))(x)
 
-    candidates = {"xla_f32": (xla_step, (s_sorted, r_sorted))}
+    x0_bf16 = x0.astype(jnp.bfloat16)
+
+    candidates = {"xla_f32": (xla_step, x0, (s_sorted, r_sorted))}
     if on_tpu:
         def fused_step(x, layout):
             return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
                 x, layout, None, reduce="mean", relu=True,
                 bf16_messages=True) ** 2))(x)
-        candidates["fused_bf16"] = (fused_step, layout)
+        candidates["fused_bf16"] = (fused_step, x0, layout)
+
+        # bf16 activations end-to-end (the bf16-training configuration —
+        # activations live in bf16 between layers): halves the x-gather and
+        # dx traffic on top of bf16 messages.
+        def fused_bf16act_step(x, layout):
+            return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
+                x, layout, None, reduce="mean", relu=True,
+                bf16_messages=True).astype(jnp.float32) ** 2))(x)
+        candidates["fused_bf16act"] = (fused_bf16act_step, x0_bf16, layout)
 
     results = {}
-    for name, (fn, aux) in candidates.items():
+    for name, (fn, x_init, aux) in candidates.items():
         try:
-            results[name] = _bench(fn, x0, aux, iters)
+            results[name] = _bench(fn, x_init, aux, iters)
         except Exception as exc:  # keep the bench robust to one path failing
             print(f"# {name} failed: {type(exc).__name__}", flush=True)
     best_name = min(results, key=results.get)

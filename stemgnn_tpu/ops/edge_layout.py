@@ -46,6 +46,10 @@ class EdgeLayout:
     onehot_s: jax.Array           # [NB, E_pad] bf16 (sender mod NB, transposed)
     # degrees for mean-reduction (valid in-edges per node)
     in_degree: jax.Array          # [N_pad] float32
+    # sender-sorted position -> receiver-sorted position (for permuting
+    # forward residuals into backward order); padded slots point at a padded
+    # receiver-sorted slot
+    perm_s2r: Optional[jax.Array] = None   # [E_pad] int32
     # static metadata
     node_block: int = struct.field(pytree_node=False, default=128)
     edge_chunk: int = struct.field(pytree_node=False, default=512)
@@ -104,8 +108,14 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
             out["xe"] = None
         return out, order
 
-    fw, _ = pack(r, s, r, xe_ids, edge_mask)
-    bw, _ = pack(s, s, r, xe_ids, edge_mask)
+    fw, order_r = pack(r, s, r, xe_ids, edge_mask)
+    bw, order_s = pack(s, s, r, xe_ids, edge_mask)
+
+    # position of each original edge in the receiver-sorted order
+    inv_r = np.empty(e, np.int32)
+    inv_r[order_r] = np.arange(e, dtype=np.int32)
+    perm = np.full(e_pad, e_pad - 1, np.int32)   # padded slots -> padded slot
+    perm[:e] = inv_r[order_s]
 
     bp_r = _block_ptr(fw["b"], num_nodes_padded, node_block)
     bp_s = _block_ptr(bw["a"], num_nodes_padded, node_block)
@@ -120,8 +130,10 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         # Built on-device from the [E] int arrays: the [NB, E_pad] one-hot is
         # ~NB x larger than the ids, and host->device transfer can be the
         # bottleneck (remote/tunneled TPUs).
+        # int8: half the per-pass P traffic of bf16; the kernel upcasts after
+        # its range mask.
         local = jnp.where(mask, keys % node_block, node_block)
-        return jax.nn.one_hot(local, node_block, dtype=jnp.bfloat16, axis=0)
+        return jax.nn.one_hot(local, node_block, dtype=jnp.int8, axis=0)
 
     recv_r, mask_r_d = to_dev(fw["b"]), to_dev(fw["m"])
     send_s, mask_s_d = to_dev(bw["a"]), to_dev(bw["m"])
@@ -132,7 +144,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         senders_s=send_s, receivers_s=to_dev(bw["b"]),
         xe_s=to_dev(bw["xe"]), mask_s=mask_s_d,
         block_ptr_s=to_dev(bp_s), onehot_s=onehot_mod(send_s, mask_s_d),
-        in_degree=to_dev(deg),
+        in_degree=to_dev(deg), perm_s2r=to_dev(perm),
         node_block=node_block, edge_chunk=edge_chunk)
 
 

@@ -47,7 +47,7 @@ def _zero_cot(tree):
 
 @functools.lru_cache(maxsize=None)
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
-          interpret: bool, bf16_messages: bool):
+          interpret: bool, bf16_messages: bool, relu_residual: bool):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
 
@@ -61,7 +61,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             else xs
         return pre
 
-    def fwd_impl(x, table, layout: EdgeLayout):
+    def fwd_impl(x, table, layout: EdgeLayout, *, want_mask: bool = False):
         pre = messages(x, table, layout, "r")
         m = jax.nn.relu(pre) if relu else pre
         n_pad = layout.num_nodes_padded
@@ -70,7 +70,12 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             num_nodes_padded=n_pad, edge_chunk=layout.edge_chunk,
             fast=fast, interpret=interpret)
         if reduce == "mean":
-            return sums / jnp.maximum(layout.in_degree, 1.0)[:, None]
+            sums = sums / jnp.maximum(layout.in_degree, 1.0)[:, None]
+        if want_mask:
+            # relu(pre) > 0  <=>  pre > 0: pack the activation mask to bits
+            # ([E, D/8] uint8, receiver order) — 1/16 the bytes of the bf16
+            # re-gather the backward would otherwise do.
+            return sums, jnp.packbits(pre > 0, axis=1, bitorder="little")
         return sums
 
     @jax.custom_vjp
@@ -78,10 +83,13 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return fwd_impl(x, table, layout)
 
     def f_fwd(x, table, layout):
+        if relu and relu_residual:
+            out, packed = fwd_impl(x, table, layout, want_mask=True)
+            return out, (packed, table, layout)
         return fwd_impl(x, table, layout), (x, table, layout)
 
     def f_bwd(res, g):
-        x, table, layout = res
+        first, table, layout = res
         n_pad = layout.num_nodes_padded
         if reduce == "mean":
             g = g / jnp.maximum(layout.in_degree, 1.0)[:, None]
@@ -90,8 +98,15 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                       mode="clip")
         dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
         if relu:
-            pre_s = messages(x, table, layout, "s")
-            dm = jnp.where(pre_s > 0, dm, mdtype(0))
+            if relu_residual:
+                packed_s = jnp.take(first, layout.perm_s2r, axis=0,
+                                    mode="clip")
+                bits = jnp.unpackbits(packed_s, axis=1, count=dm.shape[1],
+                                      bitorder="little")
+                dm = jnp.where(bits.astype(bool), dm, mdtype(0))
+            else:
+                pre_s = messages(first, table, layout, "s")
+                dm = jnp.where(pre_s > 0, dm, mdtype(0))
         dx = scatter_rows_sorted(
             dm, layout.onehot_s, layout.block_ptr_s,
             num_nodes_padded=n_pad, edge_chunk=layout.edge_chunk,
@@ -106,18 +121,28 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
 def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          reduce: str = "mean", relu: bool = True,
                          fast: bool = False, interpret: bool = False,
-                         bf16_messages: bool = False):
+                         bf16_messages: bool = False,
+                         relu_residual: bool = False):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
     ``bf16_messages`` computes messages (and the backward edge grads) in
     bfloat16, halving gather + scatter HBM traffic; accumulation stays f32.
+
+    ``relu_residual`` stores the forward relu mask packed to bits and permutes
+    it into sender order in the backward ([E, D/8] bytes moved) instead of
+    re-gathering x to recompute it ([E, D] bf16).  Measured OFF by default:
+    on the tunneled v5e the packbits/unpackbits + byte-row permutation costs
+    more than the re-gather it saves (95 -> 99 ms fwd+bwd on the arxiv-class
+    bench); revisit on hardware with faster bit ops / real HBM.
+    Requires ``layout.perm_s2r`` (present on freshly built layouts).
     """
     assert x.shape[0] == layout.num_nodes_padded, (
         x.shape, layout.num_nodes_padded)
     with_table = edge_table is not None
+    relu_residual = relu_residual and relu and layout.perm_s2r is not None
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
-               bf16_messages)
+               bf16_messages, relu_residual)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
     return fn(x, edge_table, layout)

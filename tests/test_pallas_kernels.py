@@ -96,3 +96,25 @@ def test_fused_sage_no_table(rng):
                                     reduce="sum", relu=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_sage_relu_residual_matches_recompute(rng):
+    """Packed-bit relu-mask residual backward == recompute-gather backward."""
+    n, e, d, n_pad = 90, 500, 32, 128
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    xe = rng.integers(0, 3, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=512)
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    table = jnp.asarray(rng.standard_normal((3, d)).astype(np.float32))
+
+    def loss(x, residual):
+        out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=True,
+                                   interpret=True, relu_residual=residual)
+        return jnp.sum(out ** 2)
+
+    g_res = jax.grad(lambda x: loss(x, True))(jnp.asarray(x))
+    g_rec = jax.grad(lambda x: loss(x, False))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_res), np.asarray(g_rec),
+                               rtol=1e-5, atol=1e-5)
