@@ -16,11 +16,65 @@ model weights are small (tens of MB) and stay replicated.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> dict:
+    """Gate ``jax.distributed.initialize`` for real multi-host pods.
+
+    Single-process (the default, and everything the reference ever ran —
+    SURVEY.md §2.7: no launcher anywhere) is a no-op.  On a pod, either pass
+    the coordinator explicitly or export the standard env vars
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``
+    — on Cloud TPU ``jax.distributed.initialize()`` auto-detects all three).
+
+    Call BEFORE any other jax API.  Returns {"process_index", "process_count",
+    "local_device_count", "global_device_count"}.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    multi = coordinator_address is not None or (num_processes or 1) > 1
+    if multi:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_device_count": jax.local_device_count(),
+        "global_device_count": jax.device_count(),
+    }
+
+
+def host_shard(array_like, axis_name_size: int,
+               process_index: Optional[int] = None,
+               process_count: Optional[int] = None):
+    """This host's contiguous slice of a globally-indexed batch axis.
+
+    For per-host data feeding on a pod: the global batch (e.g. stacked seed
+    batches, one per device) is built identically on every host from a shared
+    RNG seed; each host materializes only the slice owned by its local
+    devices.  Returns (start, stop) indices into axis 0.
+    """
+    import numpy as _np
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    n = int(_np.asarray(axis_name_size))
+    per = n // pc
+    if per * pc != n:
+        raise ValueError(f"global axis {n} not divisible by {pc} hosts")
+    return pi * per, (pi + 1) * per
 
 
 def make_mesh(axis_sizes: Optional[Sequence[int]] = None,

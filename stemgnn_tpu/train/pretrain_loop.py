@@ -80,7 +80,7 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
 def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                  save_root: Optional[str] = None, log_fn=None,
                  max_steps: Optional[int] = None, verbose: bool = True,
-                 mesh=None, resume: bool = False):
+                 mesh=None, resume: bool = False, donate: bool = False):
     """Pretrain over a merged multi-dataset payload.
 
     ``merged``: dict with node_text_feat, edge_text_feat, x, xe,
@@ -137,9 +137,21 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                            stack_graphs(graphs), rngs)
     else:
         single_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size)
+        donating_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size,
+                                           donate=True) if donate else None
+        first_call = [True]
 
         def step_fn(params, teacher, opt_state, state, graphs_and_key):
             graphs, k = graphs_and_key
+            # First call uses the non-donating step: freshly-initialized
+            # trees can alias identical constant buffers (zeros, teacher
+            # deepcopies), which XLA rejects when donated twice.  From the
+            # second step on, all buffers are unique step outputs — donate
+            # them to drop the old params/opt-state copies from HBM.
+            if donating_step is not None and not first_call[0]:
+                return donating_step(params, teacher, opt_state, state,
+                                     graphs[0], k)
+            first_call[0] = False
             return single_step(params, teacher, opt_state, state, graphs[0],
                                k)
 

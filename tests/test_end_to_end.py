@@ -1,6 +1,7 @@
 """End-to-end slices: finetune node/link/graph on synthetic data, pretrain
 loop + checkpoint round-trip, pretrain->finetune handoff (SURVEY.md §4 #5)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -93,3 +94,61 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["b"][0]["w"], tree["b"][0]["w"])
     assert back["b"][1] is None
     assert back["c"]["deep"]["x"] == 3
+
+
+def test_pretrain_donation_matches_nondonating():
+    """donate=True (buffer donation from step 2 on) is numerically identical
+    to the default path."""
+    ds = synthetic_node_dataset(num_nodes=200, num_classes=4, feat_dim=D,
+                                train_per_split=40, val_per_split=60,
+                                num_splits=1, seed=5)
+    merged = merge_datasets([ds])
+    cfg = PretrainConfig(
+        encoder=small_enc("batch"),
+        vq=small_vq(commitment_weight=10.0, orthogonal_reg_weight=1.0,
+                    orthogonal_reg_max_codes=8),
+        epochs=1, batch_size=32, fanout=4, lr=1e-3)
+    p1, _, _, h1 = run_pretrain(merged, cfg, weights=[1.0], verbose=False,
+                                max_steps=4)
+    p2, _, _, h2 = run_pretrain(merged, cfg, weights=[1.0], verbose=False,
+                                max_steps=4, donate=True)
+    np.testing.assert_allclose(h1[-1]["loss"], h2[-1]["loss"], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax manager: step-indexed save/restore with retention + template
+    structure restoration."""
+    import jax.numpy as jnp
+    from stemgnn_tpu.utils.orbax_ckpt import (OrbaxCheckpointManager,
+                                              load_pytree as oload,
+                                              save_pytree as osave)
+    tree = {"a": jnp.arange(6.0).reshape(2, 3),
+            "b": [jnp.ones(4), jnp.zeros((2, 2), jnp.int32)],
+            "c": {"d": jnp.asarray(3.5, jnp.bfloat16)}}
+    p = str(tmp_path / "one")
+    osave(p, tree)
+    back = oload(p, template=tree)
+    np.testing.assert_allclose(np.asarray(back["a"]), np.asarray(tree["a"]))
+    assert back["c"]["d"].dtype == jnp.bfloat16
+    with OrbaxCheckpointManager(str(tmp_path / "mgr"), max_to_keep=2) as m:
+        for s in (1, 2, 3):
+            m.save(s, jax.tree_util.tree_map(
+                lambda x: x if x.dtype == jnp.int32 else x * s, tree))
+        m.wait()
+        assert m.latest_step() == 3
+        assert m.all_steps() == [2, 3]
+        r = m.restore(3, template=tree)
+        np.testing.assert_allclose(np.asarray(r["a"]),
+                                   np.asarray(tree["a"]) * 3)
+
+
+def test_initialize_multihost_single_process():
+    from stemgnn_tpu.parallel.mesh import host_shard, initialize_multihost
+    info = initialize_multihost()
+    assert info["process_count"] == 1 and info["process_index"] == 0
+    assert host_shard(None, 8, process_index=0, process_count=1) == (0, 8)
+    assert host_shard(None, 8, process_index=1, process_count=4) == (2, 4)
