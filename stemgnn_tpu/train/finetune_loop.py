@@ -54,14 +54,18 @@ def _copy(tree):
 
 # ------------------------------------------------------------------ node/link
 
-def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
-    """Build jitted (train_step, eval_step) closures for full-batch node/link.
+def _make_node_steps(cfg: FinetuneConfig, task_kind: str):
+    """Build jitted (train_step, eval_step) functions for full-batch
+    node/link.  The graph and labels are step ARGUMENTS, not closures —
+    closing over them would bake the full feature matrices into the
+    executable as constants (hundreds of MB at WN18RR/arxiv scale, which
+    also overflows remote-compile payload limits on tunneled TPUs).
 
     For links, ``y`` is per-edge and the mask arrays index edges; edge
     embeddings are midpoints of the graph's labeled edge endpoints.
     """
 
-    def forward(params, state, rng, training):
+    def forward(params, state, graph, rng, training):
         z, state, aux = task_model.encode(params, state, cfg, graph,
                                           training=training, rng=rng)
         if task_kind == "link":
@@ -73,10 +77,11 @@ def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
             params, state, cfg, z, training=training, rng=rng, mask=row_mask)
         return logits, state, aux
 
-    def train_step(trainable, frozen, opt_state, state, rng, train_mask, tx):
+    def train_step(trainable, frozen, opt_state, state, rng, train_mask,
+                   graph, y, tx):
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
-            logits, new_state, aux = forward(params, state, rng, True)
+            logits, new_state, aux = forward(params, state, graph, rng, True)
             act = task_model.activation_loss(logits, y, task="single",
                                              mask=train_mask.astype(jnp.float32))
             jac = task_model.decoder_jacobian_penalty(params, cfg)
@@ -95,9 +100,10 @@ def _make_node_steps(cfg: FinetuneConfig, graph, y, task_kind: str):
                   "env_loss": env}
         return trainable, opt_state, new_state, losses, moe_stats
 
-    def eval_step(trainable, frozen, state):
+    def eval_step(trainable, frozen, state, graph):
         params = _merge(trainable, frozen)
-        logits, _, _ = forward(params, state, jax.random.PRNGKey(0), False)
+        logits, _, _ = forward(params, state, graph, jax.random.PRNGKey(0),
+                               False)
         return jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
 
     return train_step, eval_step
@@ -241,9 +247,9 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
 
     logger = Logger()
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
-    train_step_fn, eval_step_fn = _make_node_steps(cfg, graph, y, task_kind)
-    train_step = jax.jit(lambda t, f, o, s, r, m: train_step_fn(
-        t, f, o, s, r, m, tx))
+    train_step_fn, eval_step_fn = _make_node_steps(cfg, task_kind)
+    train_step = jax.jit(lambda t, f, o, s, r, m, g, yy: train_step_fn(
+        t, f, o, s, r, m, g, yy, tx))
     eval_step = jax.jit(eval_step_fn)
     minibatch = cfg.batch_size != 0
     mb_step = _make_minibatch_train_step(cfg, tx, task_kind) if minibatch \
@@ -290,7 +296,8 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             else:
                 key, k_step = jax.random.split(key)
                 trainable, opt_state, state, loss, moe_stats = train_step(
-                    trainable, frozen, opt_state, state, k_step, train_mask)
+                    trainable, frozen, opt_state, state, k_step, train_mask,
+                    graph, y)
                 if moe_stats and (epoch % moe_print_interval == 0):
                     # reference finetune.py:239-254 MoE usage printing
                     for st in moe_stats:
@@ -301,7 +308,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                                          for v in np.asarray(st["sum_top1"]))
                         print(f"[MoE] Layer {st['layer']} avg_prob=[{avg}] "
                               f"top1_frac=[{top1}]")
-            pred = np.asarray(eval_step(trainable, frozen, state))
+            pred = np.asarray(eval_step(trainable, frozen, state, graph))
             result = {
                 "train": evaluate(pred, y_np, masks["train"], cfg.task),
                 "val": evaluate(pred, y_np, masks["valid"], cfg.task),

@@ -64,3 +64,36 @@ def test_autodiff_grads_flow(rng):
     xp[3, 2] += eps
     num = (loss(xp, jnp.asarray(ef)) - loss(x, jnp.asarray(ef))) / eps
     np.testing.assert_allclose(gx[3, 2], num, rtol=2e-2, atol=1e-2)
+
+
+def test_node_reordering_preserves_aggregation(rng):
+    """degree/RCM relabeling is a pure permutation: aggregate(relabel(g))
+    == relabel(aggregate(g))."""
+    import jax.numpy as jnp
+    from stemgnn_tpu.ops.reorder import degree_order, rcm_order, relabel
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+
+    n, e, d = 80, 400, 16
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    base = np.asarray(gather_scatter_aggregate(
+        jnp.asarray(x), jnp.asarray(s), jnp.asarray(r), None, reduce="mean"))
+    for order_fn in (degree_order, rcm_order):
+        perm = order_fn(s, r, n)
+        assert sorted(perm.tolist()) == list(range(n))
+        s2, r2, (x2,) = relabel(perm, s, r, node_arrays=(x,))
+        out2 = np.asarray(gather_scatter_aggregate(
+            jnp.asarray(x2), jnp.asarray(s2), jnp.asarray(r2), None,
+            reduce="mean"))
+        # out2 in new ids: out2[new] == base[perm[new]]
+        np.testing.assert_allclose(out2, base[perm], rtol=1e-5, atol=1e-5)
+
+
+def test_rcm_handles_isolated_and_components(rng):
+    from stemgnn_tpu.ops.reorder import rcm_order
+    # two components + 3 isolated nodes
+    s = np.asarray([0, 1, 5, 6], np.int64)
+    r = np.asarray([1, 2, 6, 7], np.int64)
+    perm = rcm_order(s, r, 11)
+    assert sorted(perm.tolist()) == list(range(11))
