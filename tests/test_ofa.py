@@ -211,3 +211,82 @@ def test_fewshot_end_to_end(node_ds):
         num_layers=3, lr=3e-3, batch_size=8, seed=0)
     assert np.isfinite(out["train_loss"])
     assert out["test_acc"] > 0.6, out
+
+
+def test_bin_graph_att_head_learns(node_ds):
+    """BinGraphAttModel re-design: attention-pooled per-layer embeddings +
+    class-node MLP learns the prompted node task; RWPE path shapes check."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from stemgnn_tpu.core.graph import round_up
+    from stemgnn_tpu.ofa.heads import (bin_graph_apply, bin_graph_init,
+                                       random_walk_pe)
+
+    class_emb = np.eye(4, D, dtype=np.float32)
+    pe = np.ones((5, D), np.float32)
+    base = SubgraphNodeDataset(node_ds, class_emb, pe,
+                               data_idx=np.arange(120), hier=True)
+
+    def batch(idxs):
+        chunk = [base[int(j)] for j in idxs]
+        tot_n = sum(len(s["node_feat"]) for s in chunk)
+        tot_e = sum(len(s["senders"]) for s in chunk)
+        g, aux = collate_prompted(chunk, node_pad_to=round_up(tot_n + 1, 256),
+                                  edge_pad_to=round_up(tot_e, 512))
+        return g, aux, np.asarray([s["y"] for s in chunk])
+
+    params, state = bin_graph_init(jax.random.PRNGKey(0), "gine", 2, D, D,
+                                   att_pool=True)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, state, g, tm, bl, rng):
+        def loss_fn(params):
+            s, st = bin_graph_apply(params, state, "gine", g,
+                                    {"true_nodes_mask": tm}, training=True,
+                                    rng=rng)
+            s = jnp.where(tm, s, 0.0)
+            per = jnp.maximum(s, 0) - s * bl + jnp.log1p(jnp.exp(-jnp.abs(s)))
+            per = jnp.where(tm, per, 0.0)
+            return jnp.sum(per) / jnp.maximum(jnp.sum(tm), 1.0), st
+        (l, st), gr = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt2 = tx.update(gr, opt, params)
+        return optax.apply_updates(params, up), opt2, st, l
+
+    rng_np = np.random.default_rng(0)
+    for epoch in range(240):
+        g, aux, ys = batch(rng_np.permutation(100)[:16])
+        params, opt, state, loss = step(
+            params, opt, state, g, jnp.asarray(aux["true_nodes_mask"]),
+            jnp.asarray(aux["bin_labels"]), jax.random.PRNGKey(epoch))
+    assert np.isfinite(float(loss))
+
+    # eval on held-out indices
+    g, aux, ys = batch(np.arange(100, 120))
+    s, _ = bin_graph_apply(params, state, "gine", g,
+                           {"true_nodes_mask": aux["true_nodes_mask"]},
+                           training=False)
+    s = np.asarray(s)
+    gid = np.asarray(g.node_graph_id)
+    correct = total = 0
+    for i in range(20):
+        rows = np.nonzero((gid == i) & aux["true_nodes_mask"])[0]
+        if rows.size:
+            correct += int(np.argmax(s[rows]) == int(ys[i]))
+            total += 1
+    assert total == 20 and correct / total > 0.5, (correct, total)
+
+    # RWPE utilities: shapes + a known value (self-loop node returns 1.0)
+    pe_arr = random_walk_pe(np.asarray([0, 1]), np.asarray([0, 2]), 3, 4)
+    assert pe_arr.shape == (3, 4)
+    np.testing.assert_allclose(pe_arr[0], 1.0)   # node 0 self-loops forever
+    params2, state2 = bin_graph_init(jax.random.PRNGKey(1), "gine", 2, D, D,
+                                     att_pool=True, walk_length=4)
+    n_pad = g.node_feat.shape[0]
+    rw = jnp.asarray(np.zeros((n_pad, 4), np.float32))
+    s2, _ = bin_graph_apply(params2, state2, "gine", g,
+                            {"true_nodes_mask": aux["true_nodes_mask"]},
+                            training=True, rwpe=rw)
+    assert np.isfinite(np.asarray(s2)[aux["true_nodes_mask"]]).all()
