@@ -149,6 +149,87 @@ def make_graph(node_feat, senders, receivers, edge_feat=None,
     )
 
 
+@struct.dataclass
+class IndexedGraph:
+    """A padded graph carrying feature-table INDICES instead of features.
+
+    The TPU-native batch format for sampled-subgraph training: the node text
+    feature table ([N_global, D]) and edge-type table ([T, D]) live on device
+    once; per-step host->device traffic is the int32 id arrays only (~D x
+    smaller than shipping gathered feature rows — at 768-dim f32 that is
+    3 KB -> 4 B per node).  :func:`materialize` performs the reference's
+    ``node_text_feat[data.x]`` / ``edge_text_feat[data.xe]`` gathers
+    (STEM-GNN/pretrain.py:31-38) on device inside the jitted step.
+    """
+
+    node_ids: jax.Array             # [N_pad] int32 into the node table
+    senders: jax.Array              # [E_pad] int32 (batch-local)
+    receivers: jax.Array            # [E_pad] int32 (batch-local)
+    node_mask: jax.Array            # [N_pad] bool
+    edge_mask: jax.Array            # [E_pad] bool
+    n_node: jax.Array               # [] int32
+    n_edge: jax.Array               # [] int32
+    xe_ids: Optional[jax.Array] = None   # [E_pad] int32 into the edge table
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.node_ids.shape[0]
+
+    @property
+    def num_edges_padded(self) -> int:
+        return self.senders.shape[0]
+
+
+def make_indexed_graph(node_ids, senders, receivers, xe_ids=None,
+                       node_pad_to: Optional[int] = None,
+                       edge_pad_to: Optional[int] = None,
+                       node_multiple: int = 8,
+                       edge_multiple: int = 128) -> IndexedGraph:
+    """Host prep of an :class:`IndexedGraph` (numpy in, device arrays out)."""
+    node_ids = np.asarray(node_ids, np.int32)
+    senders = np.asarray(senders, np.int32)
+    receivers = np.asarray(receivers, np.int32)
+    n, e = node_ids.shape[0], senders.shape[0]
+    n_pad = node_pad_to if node_pad_to is not None else round_up(max(n, 1), node_multiple)
+    e_pad = edge_pad_to if edge_pad_to is not None else round_up(max(e, 1), edge_multiple)
+    if n_pad < n or e_pad < e:
+        raise ValueError(f"pad sizes ({n_pad},{e_pad}) < data ({n},{e})")
+
+    def pad1(a, width, dtype=np.int32):
+        out = np.zeros(width, dtype)
+        out[: len(a)] = a
+        return out
+
+    nm = np.zeros(n_pad, bool)
+    nm[:n] = True
+    em = np.zeros(e_pad, bool)
+    em[:e] = True
+    return IndexedGraph(
+        node_ids=jnp.asarray(pad1(node_ids, n_pad)),
+        senders=jnp.asarray(pad1(senders, e_pad)),
+        receivers=jnp.asarray(pad1(receivers, e_pad)),
+        node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
+        n_node=jnp.asarray(n, jnp.int32), n_edge=jnp.asarray(e, jnp.int32),
+        xe_ids=None if xe_ids is None else jnp.asarray(pad1(xe_ids, e_pad)))
+
+
+def materialize_graph(ig: IndexedGraph, node_table, edge_table=None) -> Graph:
+    """Device-side feature gather: IndexedGraph + tables -> Graph.
+
+    Jit-compatible; padded rows gather row 0 and stay masked.
+    """
+    node_feat = jnp.take(node_table, ig.node_ids, axis=0, mode="clip")
+    node_feat = jnp.where(ig.node_mask[:, None], node_feat, 0.0)
+    ef = None
+    if edge_table is not None and ig.xe_ids is not None:
+        ef = jnp.take(edge_table, ig.xe_ids, axis=0, mode="clip")
+        ef = jnp.where(ig.edge_mask[:, None], ef, 0.0)
+    return Graph(node_feat=node_feat, senders=ig.senders,
+                 receivers=ig.receivers, node_mask=ig.node_mask,
+                 edge_mask=ig.edge_mask, n_node=ig.n_node, n_edge=ig.n_edge,
+                 edge_feat=ef)
+
+
 def pad_graph(g: Graph, node_pad_to: int, edge_pad_to: int) -> Graph:
     """Re-pad an already-padded device graph to larger bucket sizes."""
     n_pad, e_pad = g.num_nodes_padded, g.num_edges_padded

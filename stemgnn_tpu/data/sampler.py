@@ -124,7 +124,8 @@ class NeighborBatchIterator:
                  seeds: np.ndarray, batch_size: int, fanouts: Sequence[int],
                  rng: np.random.Generator, node_pad: Optional[int] = None,
                  edge_pad: Optional[int] = None, shuffle: bool = True,
-                 drop_last: bool = False, use_native: bool = True):
+                 drop_last: bool = False, use_native: bool = True,
+                 indexed: bool = False):
         self.csc = csc
         self.node_feat_table = node_feat_table
         self.edge_feat_table = edge_feat_table
@@ -147,6 +148,7 @@ class NeighborBatchIterator:
             edge_pad = round_up(max(node_pad - batch_size, 128), 128)
         self.node_pad = node_pad
         self.edge_pad = edge_pad
+        self.indexed = indexed
         self._native = False
         if use_native:
             from stemgnn_tpu.data import native_sampler
@@ -182,6 +184,16 @@ class NeighborBatchIterator:
         if len(es) > self.edge_pad:
             sel = self.rng.choice(len(es), self.edge_pad, replace=False)
             es, ed, eids = es[sel], ed[sel], eids[sel]
+        if self.indexed:
+            # Index-only batch: features gathered on device from the
+            # resident tables (core.graph.materialize_graph) — the
+            # host->device payload shrinks by ~D x.
+            from stemgnn_tpu.core.graph import make_indexed_graph
+            xe = None if self.xe_ids is None else self.xe_ids[eids]
+            ig = make_indexed_graph(self.x_ids[nodes], es, ed, xe_ids=xe,
+                                    node_pad_to=self.node_pad,
+                                    edge_pad_to=self.edge_pad)
+            return ig, len(seed_chunk), nodes
         feats = self.node_feat_table[self.x_ids[nodes]]
         ef = None
         if self.edge_feat_table is not None and self.xe_ids is not None:

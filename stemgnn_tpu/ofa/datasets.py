@@ -225,7 +225,9 @@ class GraphListHierDataset:
         gi = int(self.data_idx[index])
         g = self.graphs[gi]
         lab = self.labels[gi]
-        binary = np.nan_to_num(np.asarray(lab, np.float32), nan=0.0)
+        # NaNs pass through: build_prompted_graph zeroes the label and drops
+        # the class node from bin_valid (multitask chem, gen_data.py:56-59).
+        binary = np.asarray(lab, np.float32)
         ei = np.stack([np.asarray(g["senders"]), np.asarray(g["receivers"])])
         out = build_prompted_graph(
             np.asarray(g["node_feat"]), ei, np.asarray(g["edge_feat"]),

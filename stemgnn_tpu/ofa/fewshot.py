@@ -122,6 +122,7 @@ class FewShotDataset:
             "edge_feat": edge_feat.astype(np.float32),
             "edge_type": edge_type,
             "bin_labels": bin_labels,
+            "bin_valid": true_mask.copy(),
             "true_nodes_mask": true_mask,
             "noi_node_mask": noi_mask,
             "target_node_mask": _mask(n_total, offsets),

@@ -107,10 +107,16 @@ def build_prompted_graph(feat: np.ndarray, edge_index: np.ndarray,
 
     n_total = len(full_feat)
     bin_labels = np.zeros(n_total, np.float32)
+    bin_valid = np.zeros(n_total, bool)
     if n_class:
-        bin_labels[n_total - n_class:] = np.asarray(binary_rep).reshape(-1)
+        raw = np.asarray(binary_rep, np.float32).reshape(-1)
+        bin_labels[n_total - n_class:] = np.nan_to_num(raw, nan=0.0)
+        # NaN class labels (absent multitask chem labels,
+        # chemmol/gen_data.py:56-59) are excluded from the loss.
+        bin_valid[n_total - n_class:] = ~np.isnan(raw)
 
     masks = {
+        "bin_valid": bin_valid,
         "true_nodes_mask": _mask(n_total, range(n_total - n_class, n_total)),
         "noi_node_mask": _mask(n_total, [n_total - n_class - 1]),
         "target_node_mask": _mask(n_total, targets),
@@ -142,8 +148,8 @@ def collate_prompted(samples: Sequence[dict], node_pad_to=None,
                      edge_pad_to=edge_pad_to)
     n_pad = g.num_nodes_padded
     aux = {}
-    for key in ["bin_labels", "true_nodes_mask", "noi_node_mask",
-                "target_node_mask", "feat_node_mask"]:
+    for key in ["bin_labels", "bin_valid", "true_nodes_mask",
+                "noi_node_mask", "target_node_mask", "feat_node_mask"]:
         flat = np.concatenate([s[key] for s in samples])
         out = np.zeros(n_pad, flat.dtype)
         out[: len(flat)] = flat

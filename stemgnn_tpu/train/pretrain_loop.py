@@ -36,7 +36,7 @@ from stemgnn_tpu.utils import checkpoint as ckpt
 
 def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
                        axis_name: Optional[str] = None,
-                       donate: bool = False):
+                       donate: bool = False, indexed: bool = False):
     # Donation is off by default: freshly-initialized trees can alias
     # identical constant buffers (zeros/ones, teacher copies), which XLA
     # rejects when donated twice.  Enable for long TPU runs after the first
@@ -44,10 +44,18 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
     """Build the jitted pretrain step.
 
     Step signature: (params, teacher, opt_state, state, graph, rng) ->
-    (params, teacher, opt_state, state, metrics).
+    (params, teacher, opt_state, state, metrics).  With ``indexed=True`` the
+    signature gains trailing ``(node_table, edge_table)`` arguments and the
+    graph is an :class:`~stemgnn_tpu.core.graph.IndexedGraph`; features are
+    gathered on device (the tables stay resident — per-step transfer is ids
+    only).
     """
 
-    def step(params, teacher, opt_state, state, g, rng):
+    def step(params, teacher, opt_state, state, g, rng, node_table=None,
+             edge_table=None):
+        if indexed:
+            from stemgnn_tpu.core.graph import materialize_graph
+            g = materialize_graph(g, node_table, edge_table)
         k_aug_feat, k_aug_edge, k_fwd = jax.random.split(rng, 3)
         aug_feat = augment.mask_feature(k_aug_feat, g.node_feat, cfg.feat_p)
         aug_mask = augment.dropout_edges_undirected(
@@ -136,9 +144,19 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
             return dp_step(params, teacher, opt_state, state,
                            stack_graphs(graphs), rngs)
     else:
-        single_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size)
-        donating_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size,
-                                           donate=True) if donate else None
+        # Device-resident feature tables; batches carry indices only
+        # (IndexedGraph) so per-step host->device traffic is ~D x smaller.
+        import jax.numpy as jnp
+        node_table = jax.device_put(
+            jnp.asarray(np.asarray(merged["node_text_feat"], np.float32)))
+        etf = merged.get("edge_text_feat")
+        edge_table = None if etf is None else jax.device_put(
+            jnp.asarray(np.asarray(etf, np.float32)))
+        single_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size,
+                                         indexed=True)
+        donating_step = make_pretrain_step(
+            cfg, tx, bs=cfg.batch_size, donate=True, indexed=True) \
+            if donate else None
         first_call = [True]
 
         def step_fn(params, teacher, opt_state, state, graphs_and_key):
@@ -150,10 +168,10 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
             # them to drop the old params/opt-state copies from HBM.
             if donating_step is not None and not first_call[0]:
                 return donating_step(params, teacher, opt_state, state,
-                                     graphs[0], k)
+                                     graphs[0], k, node_table, edge_table)
             first_call[0] = False
             return single_step(params, teacher, opt_state, state, graphs[0],
-                               k)
+                               k, node_table, edge_table)
 
     from stemgnn_tpu.utils.observability import (PreemptionHandler,
                                                  ThroughputMeter)
@@ -169,7 +187,8 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
             it = NeighborBatchIterator(
                 csc, merged["node_text_feat"], merged.get("edge_text_feat"),
                 merged["x"], merged.get("xe"), seeds, cfg.batch_size,
-                [cfg.fanout] * cfg.encoder.num_layers, rng_np, drop_last=True)
+                [cfg.fanout] * cfg.encoder.num_layers, rng_np,
+                drop_last=True, indexed=(mesh is None))
             t0 = time.time()
             epoch_metrics = []
             pending = []
