@@ -47,9 +47,15 @@ def ofa_train_eval(dataset, train_idx: Sequence[int],
                    num_layers: int = 2, epochs: int = 10, lr: float = 1e-3,
                    weight_decay: float = 0.0,
                    batch_size: int = 16, seed: int = 0,
-                   verbose: bool = False):
+                   task: str = "single", verbose: bool = False):
     """Train the class-node scoring model on prompted graphs; returns
-    (final train loss, eval accuracy)."""
+    (final train loss, eval metric).
+
+    ``task="single"``: prediction = per-sample argmax over class nodes, eval
+    metric = accuracy.  ``task="multi"`` (chem multitask): every class node
+    is an independent binary task — BCE restricted to ``bin_valid`` (NaN
+    labels excluded, ft_model.py:7-20 semantics) and eval = nan-tolerant
+    mean per-task AUC (data_utils.py:183-240 analog)."""
     rng_np = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -71,13 +77,13 @@ def ofa_train_eval(dataset, train_idx: Sequence[int],
         return logit[:, 0], {"enc": enc_s2, "head": head_s2}
 
     @jax.jit
-    def train_step(params, opt_state, state, g, true_mask, bin_labels, rng):
+    def train_step(params, opt_state, state, g, valid_mask, bin_labels, rng):
         def loss_fn(params):
-            s, state2 = scores(params, state, g, true_mask, True, rng)
+            s, state2 = scores(params, state, g, valid_mask, True, rng)
             per = jnp.maximum(s, 0) - s * bin_labels + jnp.log1p(
                 jnp.exp(-jnp.abs(s)))
-            per = jnp.where(true_mask, per, 0.0)
-            return jnp.sum(per) / jnp.maximum(jnp.sum(true_mask), 1.0), state2
+            per = jnp.where(valid_mask, per, 0.0)
+            return jnp.sum(per) / jnp.maximum(jnp.sum(valid_mask), 1.0), state2
         (loss, state2), grads = jax.value_and_grad(loss_fn,
                                                    has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -96,12 +102,41 @@ def ofa_train_eval(dataset, train_idx: Sequence[int],
         for bi in order:
             g, aux, ys, n_real = train_batches[bi]
             key, k = jax.random.split(key)
+            valid = aux.get("bin_valid", aux["true_nodes_mask"])
             params, opt_state, state, loss = train_step(
-                params, opt_state, state, g,
-                jnp.asarray(aux["true_nodes_mask"]),
+                params, opt_state, state, g, jnp.asarray(valid),
                 jnp.asarray(aux["bin_labels"]), k)
         if verbose:
             print(f"  ofa epoch {epoch}: loss={float(loss):.4f}")
+
+    if task == "multi":
+        # Per-task score/label/valid collection across samples.
+        per_task_scores, per_task_labels = {}, {}
+        for g, aux, ys, n_real in _make_batches(dataset,
+                                                np.asarray(eval_idx),
+                                                batch_size):
+            s = np.asarray(predict(params, state, g,
+                                   jnp.asarray(aux["true_nodes_mask"])))
+            tm = aux["true_nodes_mask"]
+            valid = aux.get("bin_valid", tm)
+            gid_np = np.asarray(g.node_graph_id)
+            for i in range(n_real):
+                rows = np.nonzero((gid_np == i) & tm)[0]
+                for k2, row in enumerate(rows):
+                    if not valid[row]:
+                        continue
+                    per_task_scores.setdefault(k2, []).append(float(s[row]))
+                    per_task_labels.setdefault(k2, []).append(
+                        float(aux["bin_labels"][row]))
+        from stemgnn_tpu.utils.metrics import _binary_auc
+        aucs = []
+        for k2 in sorted(per_task_scores):
+            y = np.asarray(per_task_labels[k2])
+            if len(np.unique(y)) < 2:
+                continue                       # nan-tolerant: skip 1-class
+            aucs.append(_binary_auc(y, np.asarray(per_task_scores[k2])))
+        metric = float(np.mean(aucs)) if aucs else float("nan")
+        return float(loss), metric
 
     correct = total = 0
     for g, aux, ys, n_real in _make_batches(dataset, np.asarray(eval_idx),

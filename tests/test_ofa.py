@@ -290,3 +290,27 @@ def test_bin_graph_att_head_learns(node_ds):
                             {"true_nodes_mask": aux["true_nodes_mask"]},
                             training=True, rwpe=rw)
     assert np.isfinite(np.asarray(s2)[aux["true_nodes_mask"]]).all()
+
+
+def test_chem_multitask_class_node_training():
+    """Chem multitask in-context training: one binary class node per task,
+    NaN labels excluded via bin_valid, per-task AUC above chance."""
+    from stemgnn_tpu.ofa.train import ofa_train_eval
+
+    graphs, labels, split = synthetic_graph_dataset(
+        num_graphs=120, num_tasks=3, feat_dim=D, nan_frac=0.3, seed=0)
+    class_emb = np.eye(3, D, dtype=np.float32)
+    pe = np.ones((5, D), np.float32)
+    dset = GraphListHierDataset(graphs, labels, class_emb, pe,
+                                np.arange(120))
+    # bin_valid excludes NaN tasks while bin_labels zeroes them
+    for idx in range(5):
+        s = dset[idx]
+        lab = labels[idx]
+        np.testing.assert_array_equal(s["bin_valid"][-3:], ~np.isnan(lab))
+        assert not s["bin_valid"][:-3].any()
+    loss, auc = ofa_train_eval(dset, np.arange(90), np.arange(90, 120),
+                               dim=D, epochs=20, lr=3e-3, batch_size=16,
+                               task="multi", seed=0)
+    assert np.isfinite(loss)
+    assert auc > 0.6, auc
