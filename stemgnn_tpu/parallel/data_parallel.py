@@ -33,16 +33,24 @@ def stack_graphs(graphs) -> Graph:
 
 
 def make_dp_pretrain_step(cfg: PretrainConfig, tx, mesh, *, bs: int,
-                          axis: str = "data"):
+                          axis: str = "data", indexed: bool = False):
     """Returns a jitted step:
     (params, teacher, opt_state, state, stacked_graph, rng[n_dev]) ->
     (params, teacher, opt_state, state, metrics).
+
+    With ``indexed=True`` the stacked graph is an IndexedGraph pytree and
+    the step takes trailing replicated (node_table, edge_table) arguments;
+    features gather on device per shard.
     """
 
-    def per_device(params, teacher, opt_state, state, g, rng):
+    def per_device(params, teacher, opt_state, state, g, rng,
+                   node_table=None, edge_table=None):
         # shard_map passes shards with the device axis collapsed.
         g = jax.tree_util.tree_map(lambda x: x[0], g)
         rng = rng[0]
+        if indexed:
+            from stemgnn_tpu.core.graph import materialize_graph
+            g = materialize_graph(g, node_table, edge_table)
         k_f, k_e, k_fwd = jax.random.split(rng, 3)
         aug_g = g.replace(
             node_feat=augment.mask_feature(k_f, g.node_feat, cfg.feat_p),
@@ -74,9 +82,11 @@ def make_dp_pretrain_step(cfg: PretrainConfig, tx, mesh, *, bs: int,
 
     rep = P()
     shd = P(axis)
+    in_specs = (rep, rep, rep, rep, shd, shd) + ((rep, rep) if indexed
+                                                 else ())
     step = jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, shd, shd),
+        in_specs=in_specs,
         out_specs=(rep, rep, rep, rep, rep),
         check_vma=False)
     return jax.jit(step)

@@ -131,27 +131,32 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
             start_epoch = saved_epoch
             if verbose:
                 print(f"[pretrain] resumed from epoch {saved_epoch}")
+    # Device-resident feature tables; batches carry indices only
+    # (IndexedGraph) so per-step host->device traffic is ~D x smaller.
+    import jax.numpy as jnp
+    node_table = jnp.asarray(np.asarray(merged["node_text_feat"], np.float32))
+    etf = merged.get("edge_text_feat")
+    edge_table = None if etf is None else jnp.asarray(
+        np.asarray(etf, np.float32))
+
     n_dev = 1
     if mesh is not None:
-        from stemgnn_tpu.parallel.data_parallel import (make_dp_pretrain_step,
-                                                        stack_graphs)
+        from stemgnn_tpu.parallel.data_parallel import (
+            device_put_replicated, make_dp_pretrain_step, stack_graphs)
         n_dev = int(mesh.shape["data"])
-        dp_step = make_dp_pretrain_step(cfg, tx, mesh, bs=cfg.batch_size)
+        dp_step = make_dp_pretrain_step(cfg, tx, mesh, bs=cfg.batch_size,
+                                        indexed=True)
+        node_table = device_put_replicated(node_table, mesh)
+        edge_table = None if edge_table is None else \
+            device_put_replicated(edge_table, mesh)
 
         def step_fn(params, teacher, opt_state, state, graphs_and_key):
             graphs, k = graphs_and_key
             rngs = jax.random.split(k, n_dev)
             return dp_step(params, teacher, opt_state, state,
-                           stack_graphs(graphs), rngs)
+                           stack_graphs(graphs), rngs, node_table,
+                           edge_table)
     else:
-        # Device-resident feature tables; batches carry indices only
-        # (IndexedGraph) so per-step host->device traffic is ~D x smaller.
-        import jax.numpy as jnp
-        node_table = jax.device_put(
-            jnp.asarray(np.asarray(merged["node_text_feat"], np.float32)))
-        etf = merged.get("edge_text_feat")
-        edge_table = None if etf is None else jax.device_put(
-            jnp.asarray(np.asarray(etf, np.float32)))
         single_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size,
                                          indexed=True)
         donating_step = make_pretrain_step(
@@ -188,7 +193,7 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 csc, merged["node_text_feat"], merged.get("edge_text_feat"),
                 merged["x"], merged.get("xe"), seeds, cfg.batch_size,
                 [cfg.fanout] * cfg.encoder.num_layers, rng_np,
-                drop_last=True, indexed=(mesh is None))
+                drop_last=True, indexed=True)
             t0 = time.time()
             epoch_metrics = []
             pending = []

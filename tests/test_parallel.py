@@ -235,3 +235,27 @@ def test_edge_parallel_finetune_matches_single(rng):
     mesh = make_mesh(axis_names=("edge",))
     best = run_finetune_edge_parallel(ds, cfg, mesh).get_best()
     assert best["test"]["mean"] > 75, best
+
+
+def test_run_pretrain_data_parallel_indexed(rng):
+    """run_pretrain over a 'data' mesh with index-only batches (device
+    tables replicated, features gathered per shard)."""
+    from stemgnn_tpu.core.config import FinetuneConfig
+    from stemgnn_tpu.data.merge import merge_datasets
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.train.pretrain_loop import run_pretrain
+
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=4, feat_dim=D,
+                                train_per_split=40, val_per_split=60,
+                                num_splits=1, seed=2)
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=10.0, orthogonal_reg_weight=1.0,
+                    orthogonal_reg_max_codes=4),
+        epochs=1, batch_size=16, fanout=3, lr=1e-3)
+    mesh = make_mesh()
+    _, _, _, hist = run_pretrain(merge_datasets([ds]), cfg, weights=[1.0],
+                                 verbose=False, mesh=mesh, max_steps=2)
+    assert hist and np.isfinite(hist[-1]["loss"])
