@@ -57,19 +57,22 @@ def train_node_with_buckets(ds: TAGDataset, cfg: FinetuneConfig,
 
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
 
-    def forward(params, state, rng, training):
-        z, state, aux = task_model.encode(params, state, cfg, graph,
+    # The graph is a step ARGUMENT (closing over it would bake the feature
+    # matrices into the executable as constants — finetune_loop note).
+    def forward(params, state, g, rng, training):
+        z, state, aux = task_model.encode(params, state, cfg, g,
                                           training=training, rng=rng)
         logits, _, state = task_model.task_logits(
             params, state, cfg, z, training=training, rng=rng,
-            mask=graph.node_mask)
+            mask=g.node_mask)
         return logits, state, aux
 
     @jax.jit
-    def train_step(trainable, frozen, opt_state, state, rng, train_mask):
+    def train_step(trainable, frozen, opt_state, state, rng, train_mask, g,
+                   y):
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
-            logits, new_state, aux = forward(params, state, rng, True)
+            logits, new_state, aux = forward(params, state, g, rng, True)
             act = task_model.activation_loss(
                 logits, y, task="single", mask=train_mask.astype(jnp.float32))
             jac = task_model.decoder_jacobian_penalty(params, cfg)
@@ -82,9 +85,10 @@ def train_node_with_buckets(ds: TAGDataset, cfg: FinetuneConfig,
         return trainable, opt_state, new_state, loss
 
     @jax.jit
-    def predict(trainable, frozen, state):
+    def predict(trainable, frozen, state, g):
         params = _merge(trainable, frozen)
-        logits, _, _ = forward(params, state, jax.random.PRNGKey(0), False)
+        logits, _, _ = forward(params, state, g, jax.random.PRNGKey(0),
+                               False)
         return jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
 
     key = jax.random.PRNGKey(seed)
@@ -108,10 +112,11 @@ def train_node_with_buckets(ds: TAGDataset, cfg: FinetuneConfig,
     for epoch in range(cfg.epochs):
         key, k_step = jax.random.split(key)
         trainable, opt_state, state, loss = train_step(
-            trainable, frozen, opt_state, state, k_step, train_mask)
+            trainable, frozen, opt_state, state, k_step, train_mask, graph,
+            y)
         if epoch % eval_every:
             continue
-        pred = np.asarray(predict(trainable, frozen, state))
+        pred = np.asarray(predict(trainable, frozen, state, graph))
         split_acc = {k: eval_acc(pred, y_np, m) * 100 for k, m in masks.items()}
         if split_acc["valid"] > best["val"]:
             bucket_acc = {k: eval_acc(pred, y_np, m) * 100
