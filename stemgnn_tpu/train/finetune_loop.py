@@ -112,11 +112,17 @@ def _make_node_steps(cfg: FinetuneConfig, task_kind: str):
 def _make_minibatch_train_step(cfg: FinetuneConfig, tx, task_kind: str):
     """Jitted minibatch step for node/link (reference task/node.py:73-99,
     task/link.py:55-81).  Node: loss on the first ``bs`` seed rows.  Link:
-    midpoint embeddings of the batch's labeled edge endpoints."""
+    midpoint embeddings of the batch's labeled edge endpoints.
+
+    Batches arrive as IndexedGraphs + device-resident feature tables
+    (core.graph.materialize_graph) so per-step host->device traffic is ids
+    only."""
+    from stemgnn_tpu.core.graph import materialize_graph
 
     @jax.jit
     def node_step(trainable, frozen, opt_state, state, rng, g, y_batch,
-                  seed_mask):
+                  seed_mask, node_table, edge_table):
+        g = materialize_graph(g, node_table, edge_table)
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
             z, state2, aux = task_model.encode(params, state, cfg, g,
@@ -140,7 +146,8 @@ def _make_minibatch_train_step(cfg: FinetuneConfig, tx, task_kind: str):
 
     @jax.jit
     def link_step(trainable, frozen, opt_state, state, rng, g, li, ri,
-                  y_batch, label_mask):
+                  y_batch, label_mask, node_table, edge_table):
+        g = materialize_graph(g, node_table, edge_table)
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
             z, state2, aux = task_model.encode(params, state, cfg, g,
@@ -176,6 +183,13 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
         csc = CSCGraph.from_edge_index(np.asarray(ds.edge_index),
                                        ds.num_nodes)
         ds.extras["_csc"] = csc
+    tables = ds.extras.get("_dev_tables")
+    if tables is None:
+        tables = (jnp.asarray(np.asarray(ds.node_text_feat, np.float32)),
+                  None if ds.edge_text_feat is None else
+                  jnp.asarray(np.asarray(ds.edge_text_feat, np.float32)))
+        ds.extras["_dev_tables"] = tables
+    node_table, edge_table = tables
     labels = np.asarray(ds.labels)
     losses = []
     if task_kind == "node":
@@ -183,7 +197,7 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
         it = NeighborBatchIterator(
             csc, ds.node_text_feat, ds.edge_text_feat, ds.x, ds.xe, seeds,
             cfg.batch_size, [cfg.fanout] * cfg.encoder.num_layers, rng_np,
-            drop_last=False)
+            drop_last=False, indexed=True)
         for g, n_seeds, nodes in it:
             key, k = jax.random.split(key)
             bs = cfg.batch_size
@@ -192,7 +206,8 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
             seed_mask = np.arange(bs) < n_seeds
             trainable, opt_state, state, loss = step(
                 trainable, frozen, opt_state, state, k, g,
-                jnp.asarray(y_batch), jnp.asarray(seed_mask))
+                jnp.asarray(y_batch), jnp.asarray(seed_mask), node_table,
+                edge_table)
             losses.append(loss)
     else:
         edge_ids = np.nonzero(np.asarray(split["train"]))[0]
@@ -202,7 +217,8 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
         # One iterator with fixed 2*bs seed slots -> stable padded shapes.
         it = NeighborBatchIterator(
             csc, ds.node_text_feat, ds.edge_text_feat, ds.x, ds.xe,
-            np.arange(ds.num_nodes), 2 * bs, fanouts, rng_np, shuffle=False)
+            np.arange(ds.num_nodes), 2 * bs, fanouts, rng_np, shuffle=False,
+            indexed=True)
         for i in range(0, len(edge_ids), bs):
             chunk = edge_ids[i: i + bs]
             u = ds.edge_index[0][chunk]
@@ -223,7 +239,7 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
             trainable, opt_state, state, loss = step(
                 trainable, frozen, opt_state, state, k, g,
                 jnp.asarray(li), jnp.asarray(ri), jnp.asarray(y_batch),
-                jnp.asarray(label_mask))
+                jnp.asarray(label_mask), node_table, edge_table)
             losses.append(loss)
     return trainable, opt_state, state, key, losses
 
