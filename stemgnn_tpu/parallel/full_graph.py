@@ -122,9 +122,11 @@ def make_edge_parallel_steps(cfg: FinetuneConfig, tx, mesh, y,
 
 
 def prepare_halo_graph(ds: TAGDataset, num_shards: int,
-                       pad_multiple: int = 128):
+                       pad_multiple: int = 128, with_reversed: bool = False):
     """Host prep for the halo layout: node features/labels/masks sharded by
-    1-D destination-range ownership + the static halo-exchange plan."""
+    1-D destination-range ownership + the static halo-exchange plan.
+    ``with_reversed`` additionally builds the reversed-edge partition (MoE
+    out-edge aggregation)."""
     from stemgnn_tpu.parallel.halo import build_halo_partition
 
     ei = np.asarray(ds.edge_index)
@@ -141,10 +143,18 @@ def prepare_halo_graph(ds: TAGDataset, num_shards: int,
     sg = {k: jnp.asarray(v) for k, v in part.items()}
     sg["node_feat"] = jnp.asarray(feats.reshape(S, nb, d))
     sg["node_mask"] = jnp.asarray(node_mask.reshape(S, nb))
-    return sg, nb
+    sg_rev = None
+    if with_reversed:
+        part_rev, nb2, _ = build_halo_partition(
+            ei[1].astype(np.int64), ei[0].astype(np.int64), ds.num_nodes,
+            num_shards, pad_multiple=pad_multiple)
+        assert nb2 == nb
+        sg_rev = {k: jnp.asarray(v) for k, v in part_rev.items()}
+    return sg, nb, sg_rev
 
 
-def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge"):
+def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
+                    with_reversed: bool = False):
     """Jitted (train_step, eval_step) over the halo (node-sharded) layout.
 
     ``y`` [S, Nb] owner-sharded labels.  Loss = global masked mean via psum
@@ -155,17 +165,19 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge"):
     from stemgnn_tpu.parallel.halo import _local, halo_encoder_apply
 
     def per_device_train(trainable, frozen, opt_state, state, rng,
-                         train_mask, y_loc, sg):
+                         train_mask, y_loc, sg, sg_rev=None):
         part = _local({k: v for k, v in sg.items()
                        if k not in ("node_feat", "node_mask")})
+        part_rev = None if sg_rev is None else _local(sg_rev)
         x_loc, nm_loc = sg["node_feat"][0], sg["node_mask"][0]
         y_l, tm = y_loc[0], train_mask[0]
 
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
-            z, enc_state, _ = halo_encoder_apply(
+            z, enc_state, aux = halo_encoder_apply(
                 params["encoder"], state["encoder"], cfg.encoder, x_loc,
-                part, axis=axis, training=True, rng=rng, node_mask=nm_loc)
+                part, axis=axis, training=True, rng=rng, node_mask=nm_loc,
+                part_rev=part_rev)
             logits, _, st = task_model.task_logits(
                 params, dict(state, encoder=enc_state), cfg, z,
                 training=True, rng=rng, mask=nm_loc)
@@ -176,7 +188,9 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge"):
             num = jax.lax.psum(jnp.sum(nll * w), axis)
             den = jax.lax.psum(jnp.sum(w), axis)
             act = num / jnp.maximum(den, 1.0)
-            return act + task_model.decoder_jacobian_penalty(params, cfg), st
+            env = cfg.lamda_env * aux["env_reg"]
+            return act + env + \
+                task_model.decoder_jacobian_penalty(params, cfg), st
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
         grads = jax.lax.psum(grads, axis)
@@ -184,14 +198,15 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge"):
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, new_state, loss
 
-    def per_device_eval(trainable, frozen, state, sg):
+    def per_device_eval(trainable, frozen, state, sg, sg_rev=None):
         part = _local({k: v for k, v in sg.items()
                        if k not in ("node_feat", "node_mask")})
         params = _merge(trainable, frozen)
         z, enc_state, _ = halo_encoder_apply(
             params["encoder"], state["encoder"], cfg.encoder,
             sg["node_feat"][0], part, axis=axis, training=False,
-            node_mask=sg["node_mask"][0])
+            node_mask=sg["node_mask"][0],
+            part_rev=None if sg_rev is None else _local(sg_rev))
         logits, _, _ = task_model.task_logits(
             params, dict(state, encoder=enc_state), cfg, z, training=False,
             mask=sg["node_mask"][0])
@@ -202,13 +217,18 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge"):
     sg_spec = {k: P(axis) for k in
                ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
                 "send_idx", "ef_loc", "ef_rem", "node_feat", "node_mask")}
+    rev_spec = () if not with_reversed else (
+        {k: P(axis) for k in ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem",
+                              "m_rem", "send_idx")},)
     train = jax.jit(jax.shard_map(
         per_device_train, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), sg_spec),
+        in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), sg_spec)
+        + rev_spec,
         out_specs=(rep, rep, rep, rep), check_vma=False))
     evals = jax.jit(jax.shard_map(
         per_device_eval, mesh=mesh,
-        in_specs=(rep, rep, rep, sg_spec), out_specs=rep, check_vma=False))
+        in_specs=(rep, rep, rep, sg_spec) + rev_spec, out_specs=rep,
+        check_vma=False))
     return train, evals
 
 
@@ -223,15 +243,20 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
             "per shard; freeze_vq (the reference finetune default, "
             "finetune.py:179-181) or psum the stats via the v1 mode")
     n_shards = int(mesh.shape[axis])
-    sg, nb = prepare_halo_graph(ds, n_shards, pad_multiple=pad_multiple)
+    moe = any(cfg.encoder.moe_layer_flags())
+    sg, nb, sg_rev = prepare_halo_graph(ds, n_shards,
+                                        pad_multiple=pad_multiple,
+                                        with_reversed=moe)
     n, n_pad = ds.num_nodes, n_shards * nb
     y_np = np.zeros(n_pad, np.int32)
     y_np[:n] = np.asarray(ds.labels)[:n]
     y = jnp.asarray(y_np.reshape(n_shards, nb))
 
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
-    train_step, eval_step = make_halo_steps(cfg, tx, mesh, y, axis=axis)
+    train_step, eval_step = make_halo_steps(cfg, tx, mesh, y, axis=axis,
+                                            with_reversed=moe)
     logger = Logger()
+    rev_args = (sg_rev,) if moe else ()
 
     for idx, split in enumerate(ds.splits[: cfg.repeat]):
         key = jax.random.PRNGKey(idx)
@@ -261,8 +286,9 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
             key, k_step = jax.random.split(key)
             trainable, opt_state, state, loss = train_step(
                 trainable, frozen, opt_state, state, k_step, train_mask, y,
-                sg)
-            pred = np.asarray(eval_step(trainable, frozen, state, sg))
+                sg, *rev_args)
+            pred = np.asarray(eval_step(trainable, frozen, state, sg,
+                                        *rev_args))
             result = {k2: evaluate(pred, y_np, masks[k1], cfg.task)
                       for k1, k2 in [("train", "train"), ("valid", "val"),
                                      ("test", "test")]}

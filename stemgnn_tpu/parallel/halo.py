@@ -192,40 +192,107 @@ def halo_sage_aggregate(x_local, part, *, axis: str, reduce: str = "mean",
     return agg / jnp.maximum(deg, 1.0)[:, None]
 
 
+def halo_moe_sage_aggregate(z_local, part_rev, params_layer, weights, *,
+                            axis: str):
+    """MoE-SAGE expert mixing over the halo layout.
+
+    The reference's MixtureSageLayer aggregates along *out*-edges —
+    ``scatter_mean(x[col], row)``, receiver features averaged at the sender
+    (encoder.py:122-124) — which is the in-edge aggregation of the REVERSED
+    graph; ``part_rev`` is a halo partition built on swapped endpoints, so
+    the same exchange machinery applies.  ``weights`` [Nb, K] router weights.
+    """
+    agg = halo_sage_aggregate(z_local, part_rev, axis=axis, reduce="mean",
+                              relu=False)
+    combined = jnp.concatenate([agg, z_local], axis=-1)       # [Nb, 2*in]
+    out = jnp.einsum("nd,kdo->nko", combined, params_layer["weights"])
+    if out.shape[-1] == z_local.shape[-1]:
+        out = out + z_local[:, None, :]                        # residual
+    return jnp.sum(weights[:, :, None] * out, axis=1)
+
+
 def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                        axis: str, training: bool = False, rng=None,
-                       node_mask=None):
+                       node_mask=None, part_rev=None):
     """Encoder forward over the node-sharded halo layout.
 
-    Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` restricted to
-    the plain-SAGE backbone (the flagship config): per-layer halo exchange of
-    the current activations, BatchNorm statistics psum-ed over ``axis``.
-    MoE layers aggregate along *out*-edges (encoder.py:122-124), which breaks
-    the all-in-edges-local invariant — use the v1 psum mode for MoE.
+    Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` for the SAGE
+    backbone (the flagship config), including MoE layers: per-layer halo
+    exchange of the current activations, BatchNorm statistics psum-ed over
+    ``axis``.  MoE layers additionally need ``part_rev`` — a partition of
+    the REVERSED edge list (out-edge aggregation, encoder.py:122-124) built
+    with :func:`build_halo_partition` on swapped endpoints.  The MoE env
+    regularizer and router usage stats are psum-reduced so they match the
+    single-device values.
     """
-    if cfg.backbone != "sage" or any(cfg.moe_layer_flags()):
+    flags = cfg.moe_layer_flags()
+    if cfg.backbone != "sage":
         raise NotImplementedError(
-            "halo mode supports the plain SAGE backbone; use "
-            "parallel.edge_partition (psum mode) for MoE/other backbones")
-    from stemgnn_tpu.nn.encoder import _activation
+            "halo mode supports the SAGE backbone; use "
+            "parallel.edge_partition (psum mode) for other backbones")
+    if any(flags) and part_rev is None:
+        raise ValueError("MoE layers in halo mode need part_rev (a halo "
+                         "partition of the reversed edge list)")
+    from stemgnn_tpu.nn.encoder import (_activation, _gumbel_softmax,
+                                        _reg_loss)
 
     act = _activation(cfg)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    # Decorrelate per-device dropout masks.
+    # Decorrelate per-device dropout masks (gumbel keys stay shard-local
+    # too: routing is a per-node decision).
     rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
     z = x_local
     new_norm_states = []
+    env_idx = 0
+    env_reg_total = jnp.zeros(())
+    env_layers = 0
+    moe_stats = []
     for i in range(cfg.num_layers):
-        rng, k_drop = jax.random.split(rng)
-        ef = part.get("ef_loc")
-        if ef is not None and ef.shape[-1] != z.shape[-1]:
-            raise ValueError("edge feature dim must equal layer input dim")
-        agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",
-                                  relu=True)
+        rng, k_drop, k_gumbel = jax.random.split(rng, 3)
         layer_p = params["layers"][i]
-        z = linear_apply(layer_p["lin_l"], agg) + \
-            linear_apply(layer_p["lin_r"], z)
+        if flags[i]:
+            logits = linear_apply(params["env_encoders"][env_idx], z)
+            if training:
+                weights = _gumbel_softmax(k_gumbel, logits, cfg.tau)
+                # Global E[w log pi] as psum of sums / psum of row counts —
+                # unmasked, matching encoder_apply's _reg_loss (a plain mean
+                # over all padded rows) so halo == single-device bitwise-ish.
+                log_pi = jax.nn.log_softmax(logits, axis=-1)
+                num = jnp.sum(jnp.sum(weights * log_pi, axis=-1))
+                cnt = jnp.asarray(z.shape[0], z.dtype)
+                env_reg_total = env_reg_total + \
+                    jax.lax.psum(num, axis) / jax.lax.psum(cnt, axis)
+                env_layers += 1
+            else:
+                weights = jax.nn.softmax(logits, axis=-1)
+            w_stat = jax.lax.stop_gradient(weights)
+            if node_mask is not None:
+                w_stat = jnp.where(node_mask[:, None], w_stat, 0.0)
+                count = jnp.sum(node_mask)
+            else:
+                count = jnp.asarray(z.shape[0])
+            top1 = jax.nn.one_hot(jnp.argmax(w_stat, axis=-1),
+                                  cfg.num_experts)
+            if node_mask is not None:
+                top1 = jnp.where(node_mask[:, None], top1, 0.0)
+            moe_stats.append({
+                "layer": i,
+                "sum_prob": jax.lax.psum(jnp.sum(w_stat, axis=0), axis),
+                "sum_top1": jax.lax.psum(jnp.sum(top1, axis=0), axis),
+                "count": jax.lax.psum(count, axis)})
+            z = halo_moe_sage_aggregate(z, part_rev, layer_p, weights,
+                                        axis=axis)
+            env_idx += 1
+        else:
+            ef = part.get("ef_loc")
+            if ef is not None and ef.shape[-1] != z.shape[-1]:
+                raise ValueError(
+                    "edge feature dim must equal layer input dim")
+            agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",
+                                      relu=True)
+            z = linear_apply(layer_p["lin_l"], agg) + \
+                linear_apply(layer_p["lin_r"], z)
         if cfg.normalize != "none":
             z, ns = batchnorm_apply(params["norms"][i], state["norms"][i], z,
                                     training=training, mask=node_mask,
@@ -236,5 +303,7 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
         if i < cfg.num_layers - 1:
             z = act(z)
             z = dropout(k_drop, z, cfg.dropout, training=training)
-    aux = {"env_reg": jnp.zeros(()), "moe_stats": []}
+    env_reg = (env_reg_total / env_layers) if (training and env_layers > 0) \
+        else jnp.zeros(())
+    aux = {"env_reg": env_reg, "moe_stats": moe_stats}
     return z, {"norms": new_norm_states}, aux

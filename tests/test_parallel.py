@@ -259,3 +259,80 @@ def test_run_pretrain_data_parallel_indexed(rng):
     _, _, _, hist = run_pretrain(merge_datasets([ds]), cfg, weights=[1.0],
                                  verbose=False, mesh=mesh, max_steps=2)
     assert hist and np.isfinite(hist[-1]["loss"])
+
+
+def test_halo_encoder_moe_matches_single(rng):
+    """Halo-mode MoE-SAGE (reversed-edge aggregation via part_rev) matches
+    the single-device encoder in eval mode (deterministic softmax routing),
+    including router usage stats."""
+    from stemgnn_tpu.nn.encoder import encoder_apply, encoder_init
+    from stemgnn_tpu.parallel.halo import (build_halo_partition, _local,
+                                           halo_encoder_apply)
+    n, e, S = 90, 600, 8
+    x, s, r, _ = random_graph(rng, n=n, e=e, d=D, with_edge_feat=False)
+    cfg = EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                        normalize="batch", dropout=0.0, moe=True,
+                        moe_layers="last", num_experts=3)
+    params, state = encoder_init(jax.random.PRNGKey(0), cfg)
+    part, nb, _ = build_halo_partition(s, r, n, S, pad_multiple=8)
+    part_rev, nb2, _ = build_halo_partition(r, s, n, S, pad_multiple=8)
+    assert nb == nb2
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    nm = np.zeros(n_pad, bool)
+    nm[:n] = True
+    want, _, want_aux = encoder_apply(
+        params, state, cfg, jnp.asarray(x_pad), jnp.asarray(s),
+        jnp.asarray(r), node_mask=jnp.asarray(nm), training=False)
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(params, state, x_loc, nm_loc, part, part_rev):
+        z, _, aux = halo_encoder_apply(params, state, cfg, x_loc[0],
+                                       _local(part), axis="edge",
+                                       training=False, node_mask=nm_loc[0],
+                                       part_rev=_local(part_rev))
+        return (jax.lax.all_gather(z, "edge", tiled=True),
+                aux["moe_stats"][0]["sum_prob"],
+                aux["moe_stats"][0]["count"])
+
+    spec = {k: P("edge") for k in part}
+    spec_rev = {k: P("edge") for k in part_rev}
+    out, sum_prob, count = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(), P("edge"), P("edge"), spec, spec_rev),
+        out_specs=(P(), P(), P()), check_vma=False))(
+            params, state, jnp.asarray(x_pad.reshape(S, nb, D)),
+            jnp.asarray(nm.reshape(S, nb)),
+            {k: jnp.asarray(v) for k, v in part.items()},
+            {k: jnp.asarray(v) for k, v in part_rev.items()})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sum_prob), np.asarray(want_aux["moe_stats"][0]["sum_prob"]),
+        rtol=1e-4, atol=1e-5)
+    assert int(count) == int(want_aux["moe_stats"][0]["count"])
+
+
+def test_halo_finetune_moe_learns(rng):
+    """Halo trainer with a MoE last layer (reversed-edge partition) trains
+    end-to-end."""
+    from stemgnn_tpu.core.config import FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.full_graph import run_finetune_halo_parallel
+
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=4, feat_dim=D,
+                                train_per_split=50, val_per_split=60,
+                                num_splits=1, seed=4)
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0, moe=True,
+                              moe_layers="last", num_experts=3),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="node", epochs=40, early_stop=20, lr=1e-2, repeat=1,
+        num_classes=4)
+    mesh = make_mesh(axis_names=("edge",))
+    best = run_finetune_halo_parallel(ds, cfg, mesh,
+                                      pad_multiple=8).get_best()
+    assert best["test"]["mean"] > 70, best
