@@ -148,6 +148,12 @@ class FinetuneConfig:
     num_classes: int = 0
     fanout: int = 10
     link_fanout: int = 30
+    # Layer-wise streaming eval (train/infer.py): the TPU-native analog of
+    # the reference's full-neighborhood eval loaders (utils/loader.py:10-45).
+    # With minibatch training it also skips materializing the full padded
+    # graph, bounding eval memory at O(N*D + eval_edge_block*D).
+    eval_chunked: bool = False
+    eval_edge_block: int = 262_144
 
 
 def _update(dc, d: dict):

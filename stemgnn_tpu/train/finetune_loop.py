@@ -247,10 +247,19 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
 def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                    pretrained=None, task_kind: str = "node",
                    verbose: bool = False):
-    graph = ds.to_graph()
+    minibatch = cfg.batch_size != 0
+    chunked_eval = cfg.eval_chunked and cfg.encoder.backbone == "sage"
     n_items = ds.num_nodes if task_kind == "node" else ds.num_edges
-    pad_items = graph.num_nodes_padded if task_kind == "node" \
-        else graph.num_edges_padded
+    if chunked_eval and minibatch:
+        # Never materialize the full padded graph (the point of streaming
+        # eval for huge datasets); pad_items mirrors make_graph defaults.
+        graph = None
+        pad_items = round_up(max(n_items, 1), 8 if task_kind == "node"
+                             else 128)
+    else:
+        graph = ds.to_graph()
+        pad_items = graph.num_nodes_padded if task_kind == "node" \
+            else graph.num_edges_padded
 
     y_np = np.zeros(pad_items, dtype=np.int32)
     y_np[:n_items] = np.asarray(ds.labels)[:n_items]
@@ -267,7 +276,6 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     train_step = jax.jit(lambda t, f, o, s, r, m, g, yy: train_step_fn(
         t, f, o, s, r, m, g, yy, tx))
     eval_step = jax.jit(eval_step_fn)
-    minibatch = cfg.batch_size != 0
     mb_step = _make_minibatch_train_step(cfg, tx, task_kind) if minibatch \
         else None
     moe_print_interval = max(1, cfg.epochs // 20)
@@ -282,8 +290,25 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
-        params, state = task_model.maybe_kmeans_init_vq(params, state, cfg,
-                                                        graph, rng=k_init)
+        if graph is not None:
+            params, state = task_model.maybe_kmeans_init_vq(
+                params, state, cfg, graph, rng=k_init)
+        elif cfg.use_vq and not bool(state["vq"]["initted"]):
+            # Graph-free k-means init: eval-mode embeddings via layer-wise
+            # streaming (same math as maybe_kmeans_init_vq's full encode).
+            from stemgnn_tpu.train.infer import layerwise_encode
+            from stemgnn_tpu.vq import vq_kmeans_init
+            z0, nm0 = layerwise_encode(
+                params["encoder"], state["encoder"], cfg.encoder,
+                ds.node_features(), np.asarray(ds.edge_index[0]),
+                np.asarray(ds.edge_index[1]),
+                xe=None if ds.xe is None else np.asarray(ds.xe),
+                edge_table=None if ds.edge_text_feat is None
+                else np.asarray(ds.edge_text_feat),
+                num_nodes=ds.num_nodes, edge_block=cfg.eval_edge_block)
+            vq_p, vq_s = vq_kmeans_init(k_init, params["vq"], state["vq"],
+                                        cfg.vq, z0, mask=nm0)
+            params, state = dict(params, vq=vq_p), dict(state, vq=vq_s)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)
@@ -324,7 +349,13 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                                          for v in np.asarray(st["sum_top1"]))
                         print(f"[MoE] Layer {st['layer']} avg_prob=[{avg}] "
                               f"top1_frac=[{top1}]")
-            pred = np.asarray(eval_step(trainable, frozen, state, graph))
+            if chunked_eval:
+                from stemgnn_tpu.train.infer import layerwise_eval_predict
+                pred = layerwise_eval_predict(
+                    _merge(trainable, frozen), state, cfg, ds, task_kind,
+                    pad_items, edge_block=cfg.eval_edge_block)
+            else:
+                pred = np.asarray(eval_step(trainable, frozen, state, graph))
             result = {
                 "train": evaluate(pred, y_np, masks["train"], cfg.task),
                 "val": evaluate(pred, y_np, masks["valid"], cfg.task),
