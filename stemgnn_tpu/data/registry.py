@@ -17,13 +17,28 @@ from typing import Dict
 from stemgnn_tpu.data import synthetic
 from stemgnn_tpu.data.kg import REFERENCE_KG_ROOT, load_kg_dataset
 
-dataset2task: Dict[str, str] = {
+class _Dataset2Task(dict):
+    """dict with the 'smiles:<csv>' prefix mapped to the graph task."""
+
+    def __missing__(self, key):
+        if isinstance(key, str) and key.startswith("smiles:"):
+            return "graph"
+        raise KeyError(key)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+
+dataset2task: Dict[str, str] = _Dataset2Task({
     "cora": "node", "pubmed": "node", "arxiv": "node", "wikics": "node",
     "cora_synthetic": "node", "arxiv_synthetic": "node",
     "WN18RR": "link", "FB15K237": "link", "kg_synthetic": "link",
     "chemhiv": "graph", "chempcba": "graph", "chemblpre": "graph",
     "mol_synthetic": "graph",
-}
+})
 
 
 def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
@@ -46,10 +61,53 @@ def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
         root = kw.pop("root", REFERENCE_KG_ROOT)
         return load_kg_dataset(name, root=root, text_encoder=text_encoder,
                                feat_dim=feat_dim, **kw)
+    if name.startswith("smiles:"):
+        # Bring-your-own molecules: "smiles:/path/to/file.csv" with columns
+        # smiles,split,<task columns...> (empty cells = NaN labels).  The
+        # full chem featurizer (data/chem.py) runs offline — no RDKit, no
+        # downloads.
+        return load_smiles_csv(name[len("smiles:"):], feat_dim=feat_dim,
+                               text_encoder=text_encoder, **kw)
     if name in ("cora", "pubmed", "arxiv", "wikics", "chemhiv", "chempcba",
                 "chemblpre"):
         raise FileNotFoundError(
             f"Dataset '{name}' requires downloaded raw data which is not "
-            f"available offline; use '{name}_synthetic' or provide a "
-            f"processed cache (see stemgnn_tpu/data/importers.py)")
+            f"available offline; use '{name}_synthetic', a processed cache "
+            f"(stemgnn_tpu/data/importers.py), or — for chem — a local "
+            f"'smiles:<csv>' file (data/chem.py featurizes without RDKit)")
     raise KeyError(f"Unknown dataset {name}")
+
+
+def load_smiles_csv(path: str, feat_dim: int = 768,
+                    text_encoder: str = "hash"):
+    """CSV -> graph-task bundle via the RDKit-free featurizer.
+
+    Expected header: ``smiles,split,<task1>[,<task2>...]``; split in
+    train/valid/test; label cells 0/1 or empty (NaN).  Mirrors the
+    reference's chem gen_data flow (chemmol/gen_data.py:52-63) for local
+    files instead of the HF download.
+    """
+    import csv
+
+    import numpy as np
+
+    from stemgnn_tpu.data.chem import mol_dataset_from_smiles
+    from stemgnn_tpu.data.text_encoder import get_text_encoder
+
+    smiles, splits, labels = [], [], []
+    with open(path, newline="") as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        if header[:2] != ["smiles", "split"]:
+            raise ValueError(
+                f"{path}: header must start with 'smiles,split', got {header[:2]}")
+        for row in reader:
+            if not row:
+                continue
+            smiles.append(row[0])
+            splits.append(row[1])
+            labels.append([float(v) if v.strip() != "" else np.nan
+                           for v in row[2:]])
+    enc = get_text_encoder(text_encoder, dim=feat_dim)
+    return mol_dataset_from_smiles(smiles, np.asarray(labels, float), splits,
+                                   encoder=enc, dim=feat_dim)
