@@ -67,6 +67,10 @@ def get_args():
     p.add_argument("--separate_decoder_for_each_head", type=int, default=1)
     p.add_argument("--decoder_jac_coeff", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--donate", action="store_true",
+                   help="donate train-state buffers (long TPU runs)")
+    p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
+                   help="layer-wise streaming eval (huge graphs)")
     return p
 
 
@@ -166,9 +170,10 @@ def main():
         use_vq=bool(args.use_vq), freeze_vq=bool(args.freeze_vq),
         separate_decoder_for_each_head=bool(args.separate_decoder_for_each_head),
         decoder_jac_coeff=args.decoder_jac_coeff, lamda_env=args.lamda_env,
-        num_classes=num_classes)
+        num_classes=num_classes, eval_chunked=bool(args.eval_chunked))
 
-    logger = run_finetune(payload, cfg, pretrained=pretrained, verbose=True)
+    logger = run_finetune(payload, cfg, pretrained=pretrained, verbose=True,
+                          donate=args.donate)
     best = logger.get_best()
     print("final/train: {:.2f} ± {:.2f}".format(best["train"]["mean"],
                                                 best["train"]["std"]))

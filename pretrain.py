@@ -74,6 +74,8 @@ def get_args():
     p.add_argument("--data_parallel", action="store_true",
                    help="data-parallel over all visible devices (psum grads "
                         "+ VQ codebook stats over the mesh)")
+    p.add_argument("--donate", action="store_true",
+                   help="donate train-state buffers (long TPU runs)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest full_<epoch>.npz bundle "
                         "under the run's checkpoint dir")
@@ -150,7 +152,8 @@ def main():
         mesh = make_mesh()
         print(f"Data-parallel over {mesh.devices.size} devices")
     run_pretrain(merged, cfg, weights=weights, save_root=save_root,
-                 max_steps=args.max_steps, mesh=mesh, resume=args.resume)
+                 max_steps=args.max_steps, mesh=mesh, resume=args.resume,
+                 donate=args.donate)
     print(f"Checkpoints saved under {save_root}")
 
 

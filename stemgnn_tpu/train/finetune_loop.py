@@ -20,6 +20,8 @@ VQ params are excluded from the optimizer when frozen (finetune.py:179-181).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,17 +111,28 @@ def _make_node_steps(cfg: FinetuneConfig, task_kind: str):
     return train_step, eval_step
 
 
-def _make_minibatch_train_step(cfg: FinetuneConfig, tx, task_kind: str):
+def _donation_safe(cfg: FinetuneConfig) -> bool:
+    """Donating (trainable, opt_state, state) is unsafe when the EMA-adopt
+    path re-aliases state leaves into trainable between steps (train_step's
+    adopt_ema_embed) — XLA would see the same buffer donated twice."""
+    return not (cfg.use_vq and not cfg.freeze_vq and cfg.vq.ema_update)
+
+
+def _make_minibatch_train_step(cfg: FinetuneConfig, tx, task_kind: str,
+                               donate: bool = False):
     """Jitted minibatch step for node/link (reference task/node.py:73-99,
     task/link.py:55-81).  Node: loss on the first ``bs`` seed rows.  Link:
     midpoint embeddings of the batch's labeled edge endpoints.
 
     Batches arrive as IndexedGraphs + device-resident feature tables
     (core.graph.materialize_graph) so per-step host->device traffic is ids
-    only."""
+    only.  ``donate=True`` donates (trainable, opt_state, state) so long
+    runs keep a single copy of the optimizer state in HBM."""
     from stemgnn_tpu.core.graph import materialize_graph
 
-    @jax.jit
+    donate_args = (0, 2, 3) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate_args)
     def node_step(trainable, frozen, opt_state, state, rng, g, y_batch,
                   seed_mask, node_table, edge_table):
         g = materialize_graph(g, node_table, edge_table)
@@ -144,7 +157,7 @@ def _make_minibatch_train_step(cfg: FinetuneConfig, tx, task_kind: str):
         return trainable, opt_state, new_state, {
             "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=donate_args)
     def link_step(trainable, frozen, opt_state, state, rng, g, li, ri,
                   y_batch, label_mask, node_table, edge_table):
         g = materialize_graph(g, node_table, edge_table)
@@ -244,10 +257,26 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
     return trainable, opt_state, state, key, losses
 
 
+def _select_step(nondonating, donating, first_flag):
+    """First call per split runs non-donating (freshly-initialized trees can
+    alias pretrained/constant buffers, which XLA rejects when donated);
+    later calls donate — all buffers are then unique step outputs."""
+    if donating is None:
+        return nondonating
+
+    def step(*args):
+        if not first_flag[0]:
+            return donating(*args)
+        first_flag[0] = False
+        return nondonating(*args)
+    return step
+
+
 def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                    pretrained=None, task_kind: str = "node",
-                   verbose: bool = False):
+                   verbose: bool = False, donate: bool = False):
     minibatch = cfg.batch_size != 0
+    donate = donate and _donation_safe(cfg)
     chunked_eval = cfg.eval_chunked and cfg.encoder.backbone == "sage"
     n_items = ds.num_nodes if task_kind == "node" else ds.num_edges
     if chunked_eval and minibatch:
@@ -275,13 +304,23 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     train_step_fn, eval_step_fn = _make_node_steps(cfg, task_kind)
     train_step = jax.jit(lambda t, f, o, s, r, m, g, yy: train_step_fn(
         t, f, o, s, r, m, g, yy, tx))
+    train_step_d = jax.jit(
+        lambda t, f, o, s, r, m, g, yy: train_step_fn(t, f, o, s, r, m, g,
+                                                      yy, tx),
+        donate_argnums=(0, 2, 3)) if (donate and not minibatch) else None
     eval_step = jax.jit(eval_step_fn)
     mb_step = _make_minibatch_train_step(cfg, tx, task_kind) if minibatch \
         else None
+    mb_step_d = _make_minibatch_train_step(cfg, tx, task_kind, donate=True) \
+        if (donate and minibatch) else None
     moe_print_interval = max(1, cfg.epochs // 20)
     rng_np = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 0)
 
     for idx, split in enumerate(splits):
+        first_flag = [True]
+        split_train_step = _select_step(train_step, train_step_d, first_flag)
+        split_mb_step = _select_step(mb_step, mb_step_d, first_flag) \
+            if minibatch else None
         key = jax.random.PRNGKey(idx)
         key, k_init = jax.random.split(key)
         params, state = task_model.task_model_init(
@@ -328,17 +367,17 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             if minibatch:
                 trainable, opt_state, state, key, mb_losses = \
                     _minibatch_epoch(ds, cfg, task_kind, masks, rng_np,
-                                     mb_step, trainable, frozen, opt_state,
-                                     state, key)
+                                     split_mb_step, trainable, frozen,
+                                     opt_state, state, key)
                 loss = {k: float(np.mean([float(l[k]) for l in mb_losses]))
                         for k in mb_losses[0]} if mb_losses else {
                             "loss": 0.0, "act_loss": 0.0, "jac_loss": 0.0,
                             "env_loss": 0.0}
             else:
                 key, k_step = jax.random.split(key)
-                trainable, opt_state, state, loss, moe_stats = train_step(
-                    trainable, frozen, opt_state, state, k_step, train_mask,
-                    graph, y)
+                trainable, opt_state, state, loss, moe_stats = \
+                    split_train_step(trainable, frozen, opt_state, state,
+                                     k_step, train_mask, graph, y)
                 if moe_stats and (epoch % moe_print_interval == 0):
                     # reference finetune.py:239-254 MoE usage printing
                     for st in moe_stats:
@@ -400,10 +439,12 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
 
 
 def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
-                    pretrained=None, verbose: bool = False, seed_base: int = 0):
+                    pretrained=None, verbose: bool = False,
+                    seed_base: int = 0, donate: bool = False):
     num_tasks = labels.shape[1]
     logger = Logger()
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
+    donate = donate and _donation_safe(cfg)
 
     def make_batches(mask, bs, shuffle_rng=None):
         idxs = np.where(mask)[0]
@@ -413,9 +454,8 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
 
     batch_size = cfg.batch_size or 64
 
-    @jax.jit
-    def train_step(trainable, frozen, opt_state, state, rng, g, y, valid,
-                   gmask):
+    def _train_impl(trainable, frozen, opt_state, state, rng, g, y, valid,
+                    gmask):
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
             z, state2, aux = task_model.encode(params, state, cfg, g,
@@ -437,6 +477,10 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         return trainable, opt_state, new_state, {
             "loss": loss, "act_loss": act, "jac_loss": jac, "env_loss": env}
 
+    train_step = jax.jit(_train_impl)
+    train_step_d = jax.jit(_train_impl, donate_argnums=(0, 2, 3)) \
+        if donate else None
+
     @jax.jit
     def predict(trainable, frozen, state, g):
         params = _merge(trainable, frozen)
@@ -449,6 +493,8 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         return jnp.mean(logits, axis=1)
 
     for idx in range(cfg.repeat):
+        first_flag = [True]
+        split_train_step = _select_step(train_step, train_step_d, first_flag)
         rng_np = np.random.default_rng(seed_base + idx)
         key = jax.random.PRNGKey(seed_base + idx)
         key, k_init = jax.random.split(key)
@@ -474,7 +520,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                 y = jnp.asarray(np.nan_to_num(lab * 2.0 - 1.0))
                 valid = jnp.asarray(~np.isnan(lab))
                 gmask = jnp.arange(batch_size) < n_real
-                trainable, opt_state, state, loss = train_step(
+                trainable, opt_state, state, loss = split_train_step(
                     trainable, frozen, opt_state, state, k_step, g, y, valid,
                     gmask)
 
@@ -504,17 +550,21 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
 # ------------------------------------------------------------------ front-end
 
 def run_finetune(ds, cfg: FinetuneConfig, pretrained=None,
-                 verbose: bool = False):
+                 verbose: bool = False, donate: bool = False):
     """Returns the Logger after all repeats (mean±std via get_best()).
 
     ``ds``: TAGDataset for node/link; (graphs, labels, split) tuple for graph.
     ``pretrained``: optional dict with encoder_params/encoder_state/vq_params/
     vq_state from a pretrain checkpoint (finetune.py:174-177).
+    ``donate``: donate (trainable, opt_state, state) buffers from the second
+    step of each split on — halves train-state HBM residency for long runs
+    (skipped automatically when the EMA-adopt path would alias buffers).
     """
     if cfg.task in ("node", "link"):
-        return _run_node_like(ds, cfg, pretrained, cfg.task, verbose)
+        return _run_node_like(ds, cfg, pretrained, cfg.task, verbose,
+                              donate=donate)
     if cfg.task == "graph":
         graphs, labels, split = ds
         return _run_graph_task(graphs, labels, split, cfg, pretrained,
-                               verbose)
+                               verbose, donate=donate)
     raise ValueError(f"Invalid task {cfg.task}")

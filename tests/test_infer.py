@@ -140,3 +140,27 @@ def test_layerwise_eval_predict_matches_full_eval(rng):
                                   node_chunk=64)
     np.testing.assert_allclose(pred[: ds.num_nodes],
                                full[: ds.num_nodes], rtol=1e-4, atol=1e-4)
+
+
+def test_finetune_donation_matches_nondonating():
+    """donate=True must not change results (and must not trip XLA's
+    double-donation check across splits/kmeans-init aliasing)."""
+    ds = synthetic_node_dataset(num_nodes=200, num_classes=3, feat_dim=D,
+                                train_per_split=30, val_per_split=50,
+                                num_splits=2, seed=2)
+    enc = EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                        normalize="batch", dropout=0.0)
+    vq = VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                  commitment_weight=0.25)
+    cfg = FinetuneConfig(encoder=enc, vq=vq, task="node", epochs=6,
+                         early_stop=6, lr=5e-3, repeat=2, num_classes=3)
+    a = run_finetune(ds, cfg, donate=False).get_best()
+    b = run_finetune(ds, cfg, donate=True).get_best()
+    assert a == b, (a, b)
+
+    cfg_mb = FinetuneConfig(encoder=enc, vq=vq, task="node", epochs=4,
+                            early_stop=4, lr=5e-3, repeat=1, num_classes=3,
+                            batch_size=32)
+    a = run_finetune(ds, cfg_mb, donate=False).get_best()
+    b = run_finetune(ds, cfg_mb, donate=True).get_best()
+    assert a == b, (a, b)
