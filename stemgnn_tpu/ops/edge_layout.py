@@ -34,16 +34,18 @@ class EdgeLayout:
     xe_r: Optional[jax.Array]     # [E_pad] int32 edge-type ids or None
     mask_r: jax.Array             # [E_pad] bool
     block_ptr_r: jax.Array        # [N_pad/NB + 1] int32
-    onehot_r: jax.Array           # [NB, E_pad] bf16, onehot_r[n, e] =
-                                  #   (receiver[e] mod NB == n) — transposed so
-                                  #   the kernel's PᵀM is a plain MXU matmul
+    lrow_r: jax.Array             # [1, E_pad] int32: receiver mod NB for
+                                  #   valid edges, NB (sentinel) for padding —
+                                  #   the kernel builds the one-hot scatter
+                                  #   matrix from this in VMEM (4 B/edge of
+                                  #   DMA instead of NB B/edge)
     # sender-sorted (backward scatter)
     senders_s: jax.Array          # [E_pad] int32 (sorted)
     receivers_s: jax.Array        # [E_pad] int32
     xe_s: Optional[jax.Array]     # [E_pad] int32
     mask_s: jax.Array             # [E_pad] bool
     block_ptr_s: jax.Array        # [N_pad/NB + 1] int32
-    onehot_s: jax.Array           # [NB, E_pad] bf16 (sender mod NB, transposed)
+    lrow_s: jax.Array             # [1, E_pad] int32 (sender mod NB)
     # degrees for mean-reduction (valid in-edges per node)
     in_degree: jax.Array          # [N_pad] float32
     # sender-sorted position -> receiver-sorted position (for permuting
@@ -125,25 +127,19 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
 
     to_dev = lambda x: None if x is None else jnp.asarray(x)
 
-    @jax.jit
-    def onehot_mod(keys, mask):
-        # Built on-device from the [E] int arrays: the [NB, E_pad] one-hot is
-        # ~NB x larger than the ids, and host->device transfer can be the
-        # bottleneck (remote/tunneled TPUs).
-        # int8: half the per-pass P traffic of bf16; the kernel upcasts after
-        # its range mask.
-        local = jnp.where(mask, keys % node_block, node_block)
-        return jax.nn.one_hot(local, node_block, dtype=jnp.int8, axis=0)
+    def lrow(keys, mask):
+        # per-edge local row within the owning node block; the sentinel
+        # node_block never matches a block row, masking padded edges
+        local = np.where(mask, keys % node_block, node_block)
+        return local.astype(np.int32)[None, :]
 
-    recv_r, mask_r_d = to_dev(fw["b"]), to_dev(fw["m"])
-    send_s, mask_s_d = to_dev(bw["a"]), to_dev(bw["m"])
     return EdgeLayout(
-        senders_r=to_dev(fw["a"]), receivers_r=recv_r,
-        xe_r=to_dev(fw["xe"]), mask_r=mask_r_d,
-        block_ptr_r=to_dev(bp_r), onehot_r=onehot_mod(recv_r, mask_r_d),
-        senders_s=send_s, receivers_s=to_dev(bw["b"]),
-        xe_s=to_dev(bw["xe"]), mask_s=mask_s_d,
-        block_ptr_s=to_dev(bp_s), onehot_s=onehot_mod(send_s, mask_s_d),
+        senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
+        xe_r=to_dev(fw["xe"]), mask_r=to_dev(fw["m"]),
+        block_ptr_r=to_dev(bp_r), lrow_r=to_dev(lrow(fw["b"], fw["m"])),
+        senders_s=to_dev(bw["a"]), receivers_s=to_dev(bw["b"]),
+        xe_s=to_dev(bw["xe"]), mask_s=to_dev(bw["m"]),
+        block_ptr_s=to_dev(bp_s), lrow_s=to_dev(lrow(bw["a"], bw["m"])),
         in_degree=to_dev(deg), perm_s2r=to_dev(perm),
         node_block=node_block, edge_chunk=edge_chunk)
 

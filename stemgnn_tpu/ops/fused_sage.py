@@ -47,28 +47,34 @@ def _zero_cot(tree):
 
 @functools.lru_cache(maxsize=None)
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
-          interpret: bool, bf16_messages: bool, relu_residual: bool):
+          interpret: bool, bf16_messages: bool, relu_residual: bool,
+          pipeline: str):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
 
     def messages(x, table, layout: EdgeLayout, order: str):
         senders = layout.senders_s if order == "s" else layout.senders_r
         xe = layout.xe_s if order == "s" else layout.xe_r
+        mask = layout.mask_s if order == "s" else layout.mask_r
         x = x.astype(mdtype)
-        # sentinel sender == N_pad clamps to the last row (masked downstream)
+        # sentinel sender == N_pad clamps to the last row (masked below)
         xs = jnp.take(x, senders, axis=0, mode="clip")
         pre = xs + jnp.take(table.astype(mdtype), xe, axis=0) if with_table \
             else xs
-        return pre
+        # zero padded-edge slots: the clipped row may hold garbage (NaN/inf
+        # in the worst case), and 0 * NaN = NaN would survive the kernel's
+        # zero one-hot column
+        return jnp.where(mask[:, None], pre, mdtype(0))
 
     def fwd_impl(x, table, layout: EdgeLayout, *, want_mask: bool = False):
         pre = messages(x, table, layout, "r")
         m = jax.nn.relu(pre) if relu else pre
         n_pad = layout.num_nodes_padded
         sums = scatter_rows_sorted(
-            m, layout.onehot_r, layout.block_ptr_r,
-            num_nodes_padded=n_pad, edge_chunk=layout.edge_chunk,
-            fast=fast, interpret=interpret)
+            m, layout.lrow_r, layout.block_ptr_r,
+            num_nodes_padded=n_pad, node_block=layout.node_block,
+            edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
+            pipeline=pipeline)
         if reduce == "mean":
             sums = sums / jnp.maximum(layout.in_degree, 1.0)[:, None]
         if want_mask:
@@ -108,9 +114,10 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 pre_s = messages(first, table, layout, "s")
                 dm = jnp.where(pre_s > 0, dm, mdtype(0))
         dx = scatter_rows_sorted(
-            dm, layout.onehot_s, layout.block_ptr_s,
-            num_nodes_padded=n_pad, edge_chunk=layout.edge_chunk,
-            fast=fast, interpret=interpret)
+            dm, layout.lrow_s, layout.block_ptr_s,
+            num_nodes_padded=n_pad, node_block=layout.node_block,
+            edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
+            pipeline=pipeline)
         dtable = _zero_cot(table)
         return dx, dtable, _zero_cot(layout)
 
@@ -122,7 +129,8 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          reduce: str = "mean", relu: bool = True,
                          fast: bool = False, interpret: bool = False,
                          bf16_messages: bool = False,
-                         relu_residual: bool = False):
+                         relu_residual: bool = False,
+                         pipeline: str = "rolling"):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -142,7 +150,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     with_table = edge_table is not None
     relu_residual = relu_residual and relu and layout.perm_s2r is not None
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
-               bf16_messages, relu_residual)
+               bf16_messages, relu_residual, pipeline)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
     return fn(x, edge_table, layout)

@@ -3,20 +3,32 @@
 Replaces XLA's scatter-add HLO (the bottleneck of ``segment_sum`` on TPU)
 with a blocked one-hot MXU matmul:
 
-  grid over output node blocks (NB = 128 rows).  Each block's incoming edges
-  form a contiguous range [start, end) of the receiver-sorted edge list
+  grid over output node blocks (NB rows).  Each block's incoming edges form
+  a contiguous range [start, end) of the receiver-sorted edge list
   (``block_ptr``).  The kernel walks the EB-aligned global chunks overlapping
-  that range, streams chunks of the message matrix M [E, D] and of a
-  *precomputed transposed* one-hot matrix P [128, E]
-  (P[n, e] = (receiver[e] mod 128 == n), static per graph, stored in the
-  EdgeLayout) via double-buffered DMA, masks columns outside [start, end),
-  and accumulates
+  that range, streams chunks of the message matrix M [E, D] via
+  double-buffered DMA, builds the transposed one-hot scatter matrix
+  P [NB, EB] (P[n, e] = (local_row[e] == n and e in [start, end))) *in
+  registers* from a tiny per-edge ``local_row = receiver mod NB`` int32
+  stream (4 B/edge instead of NB B/edge for a materialized P), and
+  accumulates
 
-      out[block] += P_chunk @ M_chunk        — a plain (128, EB)x(EB, D) MXU
+      out[block] += P_chunk @ M_chunk        — a plain (NB, EB)x(EB, D) MXU
                                                matmul, no transposes
 
-  Because node blocks are 128 rows, ``receiver mod 128`` IS the local row
-  within the owning block, so one P matrix serves every block.
+  Because node blocks are NB rows, ``receiver mod NB`` IS the local row
+  within the owning block; the [start, end) column mask kills aliased edges
+  of neighboring blocks that share a boundary chunk.
+
+Pipelines (``pipeline=``):
+  * ``"rolling"`` (default) — fetch-once: chunk fetch/wait pointers live in
+    SMEM and persist across the (sequential) grid, so a boundary chunk
+    shared by consecutive node blocks is DMA'd once and re-used from VMEM.
+    Total M traffic is exactly E_pad*D*itemsize per call — the lower bound.
+  * ``"block"`` — stateless per-block walk (boundary chunks re-fetched by
+    each adjacent block).  Kept as the conservative fallback; also the mode
+    used under ``interpret=True`` vmap batching if the sequential-grid
+    assumption ever breaks.
 
 Precision modes:
   * fast=True  — single bf16 pass (M rounded to bf16),
@@ -40,11 +52,36 @@ from jax.experimental.pallas import tpu as pltpu
 NODE_BLOCK = 128
 
 
-def _scatter_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
-                    m_hbm, p_hbm,             # [E_pad, D] / [NB, E_pad] ANY
-                    out_ref,                  # [NB, D] VMEM block
-                    m_buf, p_buf, sem_m, sem_p,
-                    *, eb: int, fast: bool):
+def _chunk_matmul(m_buf, l_buf, slot, *, chunk_id, start, end, eb, nb, fast,
+                  out_ref):
+    """Accumulate P_chunk @ M_chunk into out_ref for one resident chunk."""
+    g = chunk_id * eb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+    lr = l_buf[slot]                       # [1, eb] int32 (sentinel == nb)
+    keep = (lr == rows) & (g >= start) & (g < end)
+    p = keep.astype(jnp.bfloat16)
+    m = m_buf[slot]
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if fast:
+        acc = mm(p, m.astype(jnp.bfloat16))
+    else:
+        hi = m.astype(jnp.bfloat16)
+        lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = mm(p, hi) + mm(p, lo)
+    out_ref[:] += acc.astype(out_ref.dtype)
+
+
+def _block_kernel(block_ptr_ref,              # scalar prefetch [num_blocks+1]
+                  m_hbm, l_hbm,               # [E_pad, D] / [1, E_pad] ANY
+                  out_ref,                    # [NB, D] VMEM block
+                  m_buf, l_buf, sem_m, sem_l,
+                  *, eb: int, nb: int, fast: bool):
+    """Stateless per-block walk (re-fetches shared boundary chunks)."""
     i = pl.program_id(0)
     start = block_ptr_ref[i]
     end = block_ptr_ref[i + 1]
@@ -57,15 +94,15 @@ def _scatter_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
         off = c * eb
         cm = pltpu.make_async_copy(m_hbm.at[pl.ds(off, eb), :],
                                    m_buf.at[slot], sem_m.at[slot])
-        cp = pltpu.make_async_copy(p_hbm.at[:, pl.ds(off, eb)],
-                                   p_buf.at[slot], sem_p.at[slot])
-        return cm, cp
+        cl = pltpu.make_async_copy(l_hbm.at[:, pl.ds(off, eb)],
+                                   l_buf.at[slot], sem_l.at[slot])
+        return cm, cl
 
     @pl.when(num_chunks > 0)
     def _():
-        cm, cp = get_dma(0, c0)
+        cm, cl = get_dma(0, c0)
         cm.start()
-        cp.start()
+        cl.start()
 
         def body(k, _):
             slot = jax.lax.rem(k, 2)
@@ -73,73 +110,148 @@ def _scatter_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
 
             @pl.when(k + 1 < num_chunks)
             def _():
-                cm2, cp2 = get_dma(nxt, c0 + k + 1)
+                cm2, cl2 = get_dma(nxt, c0 + k + 1)
                 cm2.start()
-                cp2.start()
+                cl2.start()
 
-            cm1, cp1 = get_dma(slot, c0 + k)
+            cm1, cl1 = get_dma(slot, c0 + k)
             cm1.wait()
-            cp1.wait()
-
-            # mask edge columns outside this block's [start, end) range
-            g = (c0 + k) * eb + jax.lax.broadcasted_iota(
-                jnp.int32, (1, eb), 1)
-            keep = (g >= start) & (g < end)
-            p = jnp.where(keep, p_buf[slot], 0).astype(jnp.bfloat16)
-            m = m_buf[slot]
-
-            def mm(a, b):
-                return jax.lax.dot_general(
-                    a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-
-            if fast:
-                acc = mm(p, m.astype(jnp.bfloat16))
-            else:
-                hi = m.astype(jnp.bfloat16)
-                lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                acc = mm(p, hi) + mm(p, lo)
-            out_ref[:] += acc.astype(out_ref.dtype)
+            cl1.wait()
+            _chunk_matmul(m_buf, l_buf, slot, chunk_id=c0 + k, start=start,
+                          end=end, eb=eb, nb=nb, fast=fast, out_ref=out_ref)
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_nodes_padded", "edge_chunk",
-                                             "out_dtype", "interpret", "fast"))
-def scatter_rows_sorted(m, onehot_t, block_ptr, *, num_nodes_padded: int,
-                        edge_chunk: int = 512, out_dtype=jnp.float32,
-                        interpret: bool = False, fast: bool = False):
+def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
+                    m_hbm, l_hbm,             # [E_pad, D] / [1, E_pad] ANY
+                    out_ref,                  # [NB, D] VMEM block
+                    m_buf, l_buf, sem_m, sem_l, st,
+                    *, eb: int, nb: int, fast: bool, num_blocks: int,
+                    slots: int):
+    """Fetch-once walk: st = SMEM [F, W] persists across the sequential grid.
+
+    F = next global chunk to fetch, W = last chunk waited on.  Invariants
+    (edges receiver-sorted, blocks visited in order, chunks consumed in
+    globally non-decreasing order):
+      * chunk k lives in VMEM slot k % slots from its fetch until slot reuse
+        by chunk k + slots, which is only fetched after k's final consumer
+        iteration has passed;
+      * every fetched chunk contains >=1 valid edge (fetch guards on the
+        valid-chunk count), so it is consumed — and its DMA waited — by at
+        least one block before the kernel ends.
+    """
+    i = pl.program_id(0)
+    start = block_ptr_ref[i]
+    end = block_ptr_ref[i + 1]
+    # number of chunks holding valid (non-sentinel) edges; sentinel-padded
+    # slots sort last so valid edges are the prefix [0, block_ptr[-1]).
+    c_used = (block_ptr_ref[num_blocks] + eb - 1) // eb
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(i == 0)
+    def _():
+        st[0] = 0          # F: next chunk to fetch
+        st[1] = -1         # W: last chunk waited
+
+    c0 = start // eb
+    # exclusive; empty blocks (start == end, e.g. trailing node padding)
+    # walk zero chunks even when start is not chunk-aligned
+    c1 = jnp.where(end > start, (end + eb - 1) // eb, c0)
+
+    def start_fetch(c):
+        slot = jax.lax.rem(c, slots)
+        off = c * eb
+        pltpu.make_async_copy(m_hbm.at[pl.ds(off, eb), :],
+                              m_buf.at[slot], sem_m.at[slot]).start()
+        pltpu.make_async_copy(l_hbm.at[:, pl.ds(off, eb)],
+                              l_buf.at[slot], sem_l.at[slot]).start()
+
+    def body(k, carry):
+        f, w = carry
+        # fetch k itself if this is its first consumer
+        @pl.when(k >= f)
+        def _():
+            start_fetch(k)
+        f = jnp.maximum(f, k + 1)
+        # prefetch ahead (overlaps the wait+matmul below); slot of chunk
+        # k+a held chunk k+a-slots, consumed in an earlier iteration
+        for a in range(1, slots):
+            ok = (k + a >= f) & (k + a < c_used)
+
+            @pl.when(ok)
+            def _():
+                start_fetch(k + a)
+            f = jnp.where(ok, k + a + 1, f)
+        # first use of chunk k waits on its DMA; re-uses skip the wait
+        slot = jax.lax.rem(k, slots)
+
+        @pl.when(k > w)
+        def _():
+            pltpu.make_async_copy(m_hbm.at[pl.ds(k * eb, eb), :],
+                                  m_buf.at[slot], sem_m.at[slot]).wait()
+            pltpu.make_async_copy(l_hbm.at[:, pl.ds(k * eb, eb)],
+                                  l_buf.at[slot], sem_l.at[slot]).wait()
+        w = jnp.maximum(w, k)
+        _chunk_matmul(m_buf, l_buf, slot, chunk_id=k, start=start, end=end,
+                      eb=eb, nb=nb, fast=fast, out_ref=out_ref)
+        return f, w
+
+    f, w = jax.lax.fori_loop(c0, c1, body, (st[0], st[1]))
+    st[0] = f
+    st[1] = w
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes_padded", "node_block",
+                                             "edge_chunk", "out_dtype",
+                                             "interpret", "fast", "pipeline",
+                                             "slots"))
+def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
+                        node_block: int = NODE_BLOCK, edge_chunk: int = 512,
+                        out_dtype=jnp.float32, interpret: bool = False,
+                        fast: bool = False, pipeline: str = "rolling",
+                        slots: int = 2):
     """sum-scatter M [E_pad, D] into out [N_pad, D].
 
-    ``onehot_t`` [128, E_pad]: transposed onehot(receiver mod 128) for valid
-    edges, zero columns for padding; edges sorted by receiver; ``block_ptr``
-    the per-128-node-block edge offsets (ops.edge_layout.build_edge_layout).
+    ``local_row`` [1, E_pad] int32: ``receiver mod node_block`` for valid
+    edges, ``node_block`` (out-of-range sentinel) for padding; edges sorted
+    by receiver; ``block_ptr`` the per-node-block edge offsets
+    (ops.edge_layout.build_edge_layout).
     """
     e_pad, d = m.shape
-    nb, eb = NODE_BLOCK, edge_chunk
+    nb, eb = node_block, edge_chunk
     assert e_pad % eb == 0 and e_pad >= eb, (e_pad, eb)
     assert num_nodes_padded % nb == 0
-    assert onehot_t.shape == (nb, e_pad), onehot_t.shape
+    assert local_row.shape == (1, e_pad), local_row.shape
+    assert pipeline in ("rolling", "block"), pipeline
     num_blocks = num_nodes_padded // nb
+
+    scratch = [
+        pltpu.VMEM((slots, eb, d), m.dtype),
+        pltpu.VMEM((slots, 1, eb), local_row.dtype),
+        pltpu.SemaphoreType.DMA((slots,)),
+        pltpu.SemaphoreType.DMA((slots,)),
+    ]
+    if pipeline == "rolling":
+        scratch.append(pltpu.SMEM((2,), jnp.int32))
+        kernel = functools.partial(_rolling_kernel, eb=eb, nb=nb, fast=fast,
+                                   num_blocks=num_blocks, slots=slots)
+    else:
+        assert slots == 2, "block pipeline is hard-wired double-buffered"
+        kernel = functools.partial(_block_kernel, eb=eb, nb=nb, fast=fast)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, eb, d), m.dtype),
-            pltpu.VMEM((2, nb, eb), onehot_t.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_scatter_kernel, eb=eb, fast=fast)
     flops = 2 * e_pad * nb * d * (1 if fast else 2)
     return pl.pallas_call(
         kernel,
@@ -147,9 +259,12 @@ def scatter_rows_sorted(m, onehot_t, block_ptr, *, num_nodes_padded: int,
         out_shape=jax.ShapeDtypeStruct((num_nodes_padded, d), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=e_pad * (d * m.dtype.itemsize
-                                    + nb * onehot_t.dtype.itemsize)
+            bytes_accessed=e_pad * (d * m.dtype.itemsize + 4)
             + num_nodes_padded * d * 4,
             transcendentals=0),
+        # the rolling pipeline's SMEM state requires the grid to execute
+        # sequentially on one core (no megacore split)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
         interpret=interpret,
-    )(block_ptr, m, onehot_t)
+    )(block_ptr, m, local_row)

@@ -20,7 +20,8 @@ def _problem(rng, n=200, e=700, d=128, n_pad=256):
     return s, r, lay
 
 
-def test_scatter_kernel_matches_numpy(rng):
+@pytest.mark.parametrize("pipeline", ["rolling", "block"])
+def test_scatter_kernel_matches_numpy(rng, pipeline):
     s, r, lay = _problem(rng)
     e, d = len(s), 128
     e_pad = lay.num_edges_padded
@@ -28,11 +29,55 @@ def test_scatter_kernel_matches_numpy(rng):
     m_real = rng.standard_normal((e, d)).astype(np.float32)
     m = np.zeros((e_pad, d), np.float32)
     m[:e] = m_real[order]
-    out = scatter_rows_sorted(jnp.asarray(m), lay.onehot_r, lay.block_ptr_r,
-                              num_nodes_padded=256, interpret=True)
+    out = scatter_rows_sorted(jnp.asarray(m), lay.lrow_r, lay.block_ptr_r,
+                              num_nodes_padded=256, interpret=True,
+                              pipeline=pipeline)
     want = np.zeros((256, d), np.float32)
     np.add.at(want, r, m_real)
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pipeline", ["rolling", "block"])
+@pytest.mark.parametrize("node_block,edge_chunk,slots",
+                         [(128, 128, 2), (256, 128, 2), (128, 128, 3),
+                          (128, 256, 2), (512, 128, 2)])
+def test_scatter_kernel_stress_layouts(rng, pipeline, node_block, edge_chunk,
+                                       slots):
+    """Shapes that exercise every walk pattern: a 20k-edge hub node (many
+    chunks per block), sparse tail nodes (one chunk spanning many blocks),
+    fully empty node blocks, and heavy trailing node padding."""
+    if pipeline == "block" and slots != 2:
+        pytest.skip("block pipeline is double-buffered only")
+    n, d = 1500, 8
+    n_pad = 2048  # > n: trailing empty blocks for every node_block size
+    hub_e = 2000
+    s = np.concatenate([
+        np.zeros(hub_e, np.int32),                      # hub receiver 0
+        np.arange(0, 600, dtype=np.int32),              # 1 edge/node run
+        np.full(300, 1400, np.int32),                   # mid-size hub
+    ])
+    r = np.concatenate([
+        np.zeros(hub_e, np.int32),
+        np.arange(0, 600, dtype=np.int32),
+        np.full(300, 1400, np.int32),
+    ])
+    # scatter key is the receiver; randomize senders
+    s = rng.permutation(s).astype(np.int32)
+    e = len(r)
+    lay = build_edge_layout(s, r, n_pad, node_block=node_block,
+                            edge_chunk=edge_chunk)
+    e_pad = lay.num_edges_padded
+    order = np.argsort(r, kind="stable")
+    m_real = rng.standard_normal((e, d)).astype(np.float32)
+    m = np.zeros((e_pad, d), np.float32)
+    m[:e] = m_real[order]
+    out = scatter_rows_sorted(jnp.asarray(m), lay.lrow_r, lay.block_ptr_r,
+                              num_nodes_padded=n_pad, node_block=node_block,
+                              edge_chunk=edge_chunk, interpret=True,
+                              pipeline=pipeline, slots=slots)
+    want = np.zeros((n_pad, d), np.float32)
+    np.add.at(want, r, m_real)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-3)
 
 
 def test_fused_sage_forward_matches_xla(rng):
@@ -95,6 +140,26 @@ def test_fused_sage_no_table(rng):
                                     jnp.asarray(r), num_nodes=n_pad,
                                     reduce="sum", relu=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_sage_padded_garbage_does_not_leak(rng):
+    """NaN in padded node rows / padded edge slots must not reach valid
+    outputs: padded-edge messages gather the clipped last row, and
+    0 * NaN = NaN would survive the kernel's zero one-hot column."""
+    n, e, d, n_pad = 150, 600, 32, 256
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=512)
+    x = np.full((n_pad, d), np.nan, np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    got = fused_sage_aggregate(jnp.asarray(x), lay, None, reduce="mean",
+                               relu=True, interpret=True)
+    want = gather_scatter_aggregate(
+        jnp.asarray(np.nan_to_num(x)), jnp.asarray(s), jnp.asarray(r),
+        num_nodes=n_pad, reduce="mean", relu=True)
+    assert np.isfinite(np.asarray(got)[:n]).all()
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(want)[:n],
                                rtol=1e-4, atol=1e-4)
 
 
