@@ -63,6 +63,58 @@ def mol_splitter(split):
     return {k: np.nonzero(np.asarray(v))[0] for k, v in split.items()}
 
 
+def low_resource_class_split(name: str, path=None) -> Dict[str, list]:
+    """Low-resource class split for few-shot tasks.
+
+    Reference semantics (task_constructor.py:41-47,101-115): a JSON file maps
+    dataset name -> [train_classes, valid_classes, test_classes]; episodes
+    for a split only sample its classes.  The split shipped with the
+    reference (data/low_resource_split.json) is vendored at
+    configs/low_resource_split.json.
+    """
+    import json
+    import os
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "configs", "low_resource_split.json")
+    with open(path) as f:
+        table = json.load(f)
+    if name not in table:
+        raise KeyError(f"{name!r} has no low-resource split; "
+                       f"available: {sorted(table)}")
+    tr, va, te = table[name]
+    return {"train": tr, "valid": va, "test": te}
+
+
+def fs_splitter(ds: TAGDataset, class_split: Dict[str, list] = None):
+    """Few-shot splitter: per-class index pools per split.
+
+    With ``class_split`` (e.g. from :func:`low_resource_class_split`) this is
+    the ArxivFSSplitter/KGFSTrainSplitter analog (:41-52,101-115) — each
+    split owns disjoint classes.  Without it, every split sees all classes
+    over all items (CiteFSSplitter, :66-77).
+    """
+    labels = np.asarray(ds.labels).reshape(-1)
+    if class_split is None:
+        all_cls = list(range(int(labels.max()) + 1))
+        class_split = {k: all_cls for k in ["train", "valid", "test"]}
+    return fewshot_class_pools(labels, class_split)
+
+
+def kg_fs_splitter(ds: TAGDataset):
+    """KGFSSplitter analog (:117-135): per-split pools over all relation
+    classes, indices restricted to the split's triple range."""
+    labels = np.asarray(ds.labels).reshape(-1)
+    n_cls = int(labels.max()) + 1
+    ranges = kg_splitter(ds)
+    out = {}
+    for name, idx in ranges.items():
+        idx = np.asarray(idx)
+        pools = [idx[labels[idx] == c] for c in range(n_cls)]
+        out[name] = (np.arange(n_cls), pools)
+    return out
+
+
 def fewshot_class_pools(labels: np.ndarray, class_split: Dict[str, list]):
     """Per-class data-index pools for episode sampling (the FS splitters,
     :41-52,116-134): ``class_split`` maps train/valid/test to class-id lists.

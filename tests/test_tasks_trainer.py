@@ -55,6 +55,28 @@ def test_fewshot_class_pools():
     np.testing.assert_array_equal(idx[1], [4, 5, 6])
 
 
+def test_low_resource_fs_splitters():
+    from stemgnn_tpu.ofa.tasks import (fs_splitter, kg_fs_splitter,
+                                       low_resource_class_split)
+    split = low_resource_class_split("arxiv")
+    assert len(split["train"]) == 20 and len(split["valid"]) == 10 \
+        and len(split["test"]) == 10
+    assert not set(split["train"]) & set(split["test"])
+
+    class _DS:
+        labels = np.asarray([0, 0, 1, 1, 2, 2, 2])
+        extras = {"split_counts": [3, 2, 2]}
+    pools = fs_splitter(_DS())              # CiteFSSplitter: all classes
+    cls, idx = pools["train"]
+    np.testing.assert_array_equal(cls, [0, 1, 2])
+    np.testing.assert_array_equal(idx[2], [4, 5, 6])
+    kg = kg_fs_splitter(_DS())              # per-split restriction
+    cls, idx = kg["valid"]                  # triples 3..4 -> labels 1, 2
+    np.testing.assert_array_equal(idx[1], [3])
+    np.testing.assert_array_equal(idx[2], [4])
+    assert len(kg["train"][1][0]) == 2      # class 0 only in train range
+
+
 def test_fit_loop_selects_best_and_early_stops():
     history = []
 
