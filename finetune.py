@@ -67,6 +67,9 @@ def get_args():
     p.add_argument("--separate_decoder_for_each_head", type=int, default=1)
     p.add_argument("--decoder_jac_coeff", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--text_encoder", default="hash",
+                   choices=["hash", "tfidf", "ST"],
+                   help="offline text featurizer for text-attributed datasets")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -99,7 +102,8 @@ def main():
         args = parser.parse_args()
 
     seed_everything(args.seed)
-    ds = load_dataset(name, feat_dim=args.feat_dim, seed=args.seed)
+    ds = load_dataset(name, feat_dim=args.feat_dim, seed=args.seed,
+                      text_encoder=args.text_encoder)
     if task == "graph":
         graphs, labels, split = ds
         num_classes = labels.shape[1]

@@ -26,6 +26,9 @@ ROOT = osp.dirname(osp.abspath(__file__))
 def get_args():
     p = argparse.ArgumentParser("Pretrain")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--text_encoder", default="hash",
+                   choices=["hash", "tfidf", "ST"],
+                   help="offline text featurizer for text-attributed datasets")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--use_params", action="store_true",
                    help="load configs/pretrain.yaml defaults")
@@ -104,7 +107,8 @@ def main():
                           {args.pretrain_dataset: 1.0})
     names, weights = list(mix.keys()), list(mix.values())
     print(f"Pre-training on {names} (weights {weights})")
-    datasets = [load_dataset(n, feat_dim=args.feat_dim, seed=args.seed)
+    datasets = [load_dataset(n, feat_dim=args.feat_dim, seed=args.seed,
+                             text_encoder=args.text_encoder)
                 for n in names]
     merged = merge_datasets(datasets)
 

@@ -23,6 +23,8 @@ def base_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--finetune_dataset", "--dataset", "--data",
                    default="cora_synthetic")
     p.add_argument("--feat_dim", type=int, default=768)
+    p.add_argument("--text_encoder", default="hash",
+                   choices=["hash", "tfidf", "ST"])
     p.add_argument("--hidden_dim", type=int, default=768)
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--normalize", default="none")
@@ -73,7 +75,8 @@ def load_node_dataset(args):
     name = args.finetune_dataset
     if dataset2task.get(name) != "node":
         raise ValueError(f"{name} is not a node-classification dataset")
-    return load_dataset(name, feat_dim=args.feat_dim, seed=args.seed)
+    return load_dataset(name, feat_dim=args.feat_dim, seed=args.seed,
+                        text_encoder=getattr(args, 'text_encoder', 'hash'))
 
 
 def load_pretrained(args):

@@ -48,6 +48,12 @@ def save_dataset_cache(ds: TAGDataset, encoder: str = "hash",
             for k, v in split.items():
                 payload[f"split{i}_{k}"] = v
         payload["num_splits"] = np.asarray(len(ds.splits))
+    if ds.extras:
+        try:
+            import json
+            payload["extras_json"] = np.asarray(json.dumps(ds.extras))
+        except TypeError:
+            pass            # non-JSON extras (arrays etc.) are not cached
     np.savez_compressed(path + ".tmp.npz", **payload)
     os.replace(path + ".tmp.npz", path)
     return path
@@ -74,7 +80,9 @@ def load_dataset_cache(name: str, encoder: str = "hash", dim: int = 768,
         splits=splits,
         class_node_text_feat=(z["class_node_text_feat"]
                               if "class_node_text_feat" in z else None),
-        num_classes=int(z["num_classes"]), num_tasks=int(z["num_tasks"]))
+        num_classes=int(z["num_classes"]), num_tasks=int(z["num_tasks"]),
+        extras=(__import__("json").loads(str(z["extras_json"]))
+                if "extras_json" in z else {}))
 
 
 def import_reference_cache(pt_path: str, name: str) -> TAGDataset:

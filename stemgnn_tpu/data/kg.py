@@ -53,7 +53,14 @@ def _gen_entities(root: str, name: str):
 
 def load_kg_dataset(name: str = "WN18RR", root: str = REFERENCE_KG_ROOT,
                     text_encoder: str = "hash", feat_dim: int = 768,
-                    splits=("train", "valid", "test")) -> TAGDataset:
+                    splits=("train", "valid", "test"),
+                    cache: bool = True) -> TAGDataset:
+    if cache:
+        from stemgnn_tpu.data.importers import (load_dataset_cache,
+                                                save_dataset_cache)
+        cached = load_dataset_cache(name, text_encoder, feat_dim)
+        if cached is not None:
+            return cached
     entity_lst, text_lst, entity2id = _gen_entities(root, name)
     relation2id: Dict[str, int] = {}
     rel_list = []
@@ -104,7 +111,7 @@ def load_kg_dataset(name: str = "WN18RR", root: str = REFERENCE_KG_ROOT,
                               np.arange(offs[1], offs[2]),
                               np.arange(offs[2], offs[3]))
 
-    return TAGDataset(
+    ds = TAGDataset(
         name=name,
         node_text_feat=node_text_feat.astype(np.float32),
         edge_text_feat=edge_text_feat.astype(np.float32),
@@ -116,3 +123,9 @@ def load_kg_dataset(name: str = "WN18RR", root: str = REFERENCE_KG_ROOT,
         class_node_text_feat=class_node_text_feat.astype(np.float32),
         num_classes=len(rel_list), num_tasks=1,
         extras={"relations": rel_list, "split_counts": counts})
+    if cache:
+        try:
+            save_dataset_cache(ds, text_encoder)
+        except OSError:
+            pass
+    return ds

@@ -11,6 +11,11 @@ Backends here:
     signed contributions, l2-normalized.  Captures lexical overlap, needs no
     weights, bitwise reproducible.  This is the stand-in used when model
     weights are unavailable in the build environment (zero egress).
+  * ``tfidf``: corpus-fit TF-IDF (word uni+bigrams) + randomized truncated
+    SVD (LSA) to ``dim`` — still fully offline and deterministic, but unlike
+    ``hash`` it weighs informative tokens and places co-occurring terms in a
+    shared latent space, giving real lexical semantics for text-attributed
+    graphs when neural weights are unavailable.
   * ``st`` : sentence-transformers via the local transformers cache, when the
     model weights exist on disk.  Same dims as the reference (ENCODER_DIM_DICT,
     data_utils.py:11).
@@ -24,7 +29,7 @@ from typing import Sequence
 
 import numpy as np
 
-ENCODER_DIMS = {"hash": 768, "ST": 768, "e5": 1024,
+ENCODER_DIMS = {"hash": 768, "tfidf": 768, "ST": 768, "e5": 1024,
                 "llama2_7b": 4096, "llama2_13b": 5120}
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -52,6 +57,90 @@ class HashTextEncoder:
             if n > 0:
                 out[i] /= n
         return out
+
+
+def _randomized_svd(a, k: int, n_iter: int = 4, oversample: int = 16,
+                    seed: int = 0):
+    """Halko randomized truncated SVD of a (sparse) matrix.
+
+    Returns (U [n, k], S [k]).  Power iterations with QR re-orthogonalization
+    keep the range estimate stable on spectra with slow decay (typical for
+    tf-idf matrices)."""
+    rng = np.random.default_rng(seed)
+    k_eff = min(k + oversample, min(a.shape))
+    y = a @ rng.standard_normal((a.shape[1], k_eff)).astype(np.float32)
+    q, _ = np.linalg.qr(y)
+    for _ in range(n_iter):
+        q, _ = np.linalg.qr(a.T @ q)
+        q, _ = np.linalg.qr(a @ q)
+    b = q.T @ a                       # [k_eff, vocab] dense
+    u, s, _ = np.linalg.svd(np.asarray(b), full_matrices=False)
+    u = q @ u
+    k = min(k, k_eff)
+    return u[:, :k], s[:k]
+
+
+class TfidfSvdEncoder:
+    """TF-IDF (word uni+bigram) + truncated SVD document embeddings (LSA).
+
+    Each :meth:`encode` call fits on its own corpus (the registry encodes
+    node / edge / class text groups separately, mirroring the reference's
+    per-group ``SentenceEncoder.encode`` calls, data_utils.py:126-134).
+    Rows are l2-normalized; if the achievable rank is below ``dim`` the
+    remaining columns are zero.
+    """
+
+    def __init__(self, dim: int = 768, min_df: int = 2,
+                 max_vocab: int = 65536, seed: int = 0):
+        self.dim = dim
+        self.min_df = min_df
+        self.max_vocab = max_vocab
+        self.seed = seed
+
+    def _tokens(self, text: str):
+        words = _TOKEN_RE.findall(text.lower())
+        return words + [f"{a}_{b}" for a, b in zip(words, words[1:])]
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        from collections import Counter
+
+        from scipy import sparse
+
+        docs = [Counter(self._tokens(t)) for t in texts]
+        df = Counter()
+        for d in docs:
+            df.update(d.keys())
+        min_df = self.min_df if len(texts) >= 10 else 1
+        vocab_items = [(tok, c) for tok, c in df.items() if c >= min_df]
+        vocab_items.sort(key=lambda kv: (-kv[1], kv[0]))
+        vocab = {tok: i for i, (tok, _) in
+                 enumerate(vocab_items[: self.max_vocab])}
+        n = len(texts)
+        if not vocab or n == 0:
+            return np.zeros((n, self.dim), np.float32)
+        idf = np.zeros(len(vocab), np.float32)
+        for tok, i in vocab.items():
+            idf[i] = np.log((1.0 + n) / (1.0 + df[tok])) + 1.0
+        rows, cols, vals = [], [], []
+        for i, d in enumerate(docs):
+            for tok, c in d.items():
+                j = vocab.get(tok)
+                if j is not None:
+                    rows.append(i)
+                    cols.append(j)
+                    vals.append(c * idf[j])
+        a = sparse.csr_matrix(
+            (np.asarray(vals, np.float32), (rows, cols)),
+            shape=(n, len(vocab)))
+        norms = np.sqrt(np.asarray(a.multiply(a).sum(axis=1))).ravel()
+        a = sparse.diags(1.0 / np.maximum(norms, 1e-12)).astype(
+            np.float32) @ a
+        u, s = _randomized_svd(a, self.dim, seed=self.seed)
+        emb = u * s[None, :]
+        out = np.zeros((n, self.dim), np.float32)
+        out[:, : emb.shape[1]] = emb
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        return out / np.maximum(norms, 1e-12)
 
 
 class SentenceTransformerEncoder:
@@ -89,6 +178,8 @@ class SentenceTransformerEncoder:
 def get_text_encoder(name: str = "hash", dim: int = 768, **kw):
     if name == "hash":
         return HashTextEncoder(dim=dim, **kw)
+    if name == "tfidf":
+        return TfidfSvdEncoder(dim=dim, **kw)
     if name in ("ST", "st"):
         try:
             return SentenceTransformerEncoder(**kw)

@@ -231,3 +231,45 @@ def test_smiles_csv_registry(tmp_path):
     assert len(graphs) == 4 and labels.shape == (4, 2)
     assert np.isnan(labels[0, 1]) and labels[1, 1] == 1.0
     assert split["valid"].sum() == 1
+
+
+def test_tfidf_svd_encoder_semantics():
+    """tfidf backend: deterministic, unit-norm, similar texts closer than
+    dissimilar (the property hash features lack)."""
+    import numpy as np
+
+    from stemgnn_tpu.data.text_encoder import get_text_encoder
+
+    texts = ["the cat sat on the mat", "a cat sits on a mat",
+             "stochastic gradient descent optimizer",
+             "adam optimizer gradient descent"] * 4
+    enc = get_text_encoder("tfidf", dim=32)
+    emb = enc.encode(texts)
+    assert emb.shape == (16, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+    sim = emb @ emb.T
+    assert sim[0, 1] > sim[0, 2] and sim[2, 3] > sim[1, 3]
+    np.testing.assert_allclose(emb, get_text_encoder("tfidf", dim=32)
+                               .encode(texts), atol=1e-6)
+
+
+def test_dataset_cache_roundtrips_extras(tmp_path):
+    import numpy as np
+
+    from stemgnn_tpu.data.dataset import TAGDataset
+    from stemgnn_tpu.data.importers import (load_dataset_cache,
+                                            save_dataset_cache)
+
+    ds = TAGDataset(
+        name="toy", node_text_feat=np.eye(4, 8, dtype=np.float32),
+        edge_text_feat=np.ones((1, 8), np.float32),
+        x=np.arange(4), xe=np.zeros(3, np.int64),
+        edge_index=np.asarray([[0, 1, 2], [1, 2, 3]]),
+        labels=np.asarray([0, 1, 0]), splits=None,
+        class_node_text_feat=None, num_classes=2, num_tasks=1,
+        extras={"relations": ["a", "b"], "split_counts": [2, 1, 0]})
+    save_dataset_cache(ds, "hash", root=str(tmp_path))
+    back = load_dataset_cache("toy", "hash", 8, root=str(tmp_path))
+    assert back.extras["split_counts"] == [2, 1, 0]
+    assert back.extras["relations"] == ["a", "b"]
+    np.testing.assert_array_equal(back.edge_index, ds.edge_index)
