@@ -72,7 +72,7 @@ def _bench(step_fn, x0, aux, iters):
             probe = out[0, 0]
             # Dependence via a single-element carry update: keeps the chain
             # honest without an [N, D] elementwise pass per iteration.
-            return x.at[0, 0].add(probe * 1e-9), probe
+            return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
         x, probes = jax.lax.scan(body, x0, None, length=iters)
         return jnp.sum(probes)
 

@@ -66,10 +66,29 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         # zero one-hot column
         return jnp.where(mask[:, None], pre, mdtype(0))
 
+    # With no per-edge term the message is relu(x_j): its derivative mask
+    # 1[x_j > 0] depends on the *sender row only*, so the backward needs no
+    # per-edge mask recompute — it gates the scatter output per node instead
+    # (d relu factoring).  This drops a whole [E, D] gather from the backward.
+    factored = relu and not with_table
+
+    def _inv_deg(layout):
+        return (1.0 / jnp.maximum(layout.in_degree, 1.0)
+                ).astype(jnp.float32)[:, None]
+
     def fwd_impl(x, table, layout: EdgeLayout, *, want_mask: bool = False):
+        n_pad = layout.num_nodes_padded
+        if factored:
+            # gather raw x; relu and the mean's 1/deg run inside the kernel
+            m = messages(x, table, layout, "r")
+            return scatter_rows_sorted(
+                m, layout.lrow_r, layout.block_ptr_r,
+                num_nodes_padded=n_pad, node_block=layout.node_block,
+                edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
+                pipeline=pipeline, relu=True,
+                scale=_inv_deg(layout) if reduce == "mean" else None)
         pre = messages(x, table, layout, "r")
         m = jax.nn.relu(pre) if relu else pre
-        n_pad = layout.num_nodes_padded
         sums = scatter_rows_sorted(
             m, layout.lrow_r, layout.block_ptr_r,
             num_nodes_padded=n_pad, node_block=layout.node_block,
@@ -89,7 +108,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return fwd_impl(x, table, layout)
 
     def f_fwd(x, table, layout):
-        if relu and relu_residual:
+        if relu and relu_residual and not factored:
             out, packed = fwd_impl(x, table, layout, want_mask=True)
             return out, (packed, table, layout)
         return fwd_impl(x, table, layout), (x, table, layout)
@@ -97,6 +116,20 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
     def f_bwd(res, g):
         first, table, layout = res
         n_pad = layout.num_nodes_padded
+        if factored:
+            # one fused [N, D] pass: mean scaling + bf16 narrowing of g
+            gp = g.astype(jnp.float32)
+            if reduce == "mean":
+                gp = gp * _inv_deg(layout)
+            gp = gp.astype(mdtype)
+            dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
+            dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
+            dx = scatter_rows_sorted(
+                dm, layout.lrow_s, layout.block_ptr_s,
+                num_nodes_padded=n_pad, node_block=layout.node_block,
+                edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
+                pipeline=pipeline, gate=first, out_dtype=first.dtype)
+            return dx, _zero_cot(table), _zero_cot(layout)
         if reduce == "mean":
             g = g / jnp.maximum(layout.in_degree, 1.0)[:, None]
         # per-edge upstream grad in sender-sorted order

@@ -53,7 +53,7 @@ NODE_BLOCK = 128
 
 
 def _chunk_matmul(m_buf, l_buf, slot, *, chunk_id, start, end, eb, nb, fast,
-                  out_ref):
+                  relu, acc_ref):
     """Accumulate P_chunk @ M_chunk into out_ref for one resident chunk."""
     g = chunk_id * eb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
@@ -61,6 +61,8 @@ def _chunk_matmul(m_buf, l_buf, slot, *, chunk_id, start, end, eb, nb, fast,
     keep = (lr == rows) & (g >= start) & (g < end)
     p = keep.astype(jnp.bfloat16)
     m = m_buf[slot]
+    if relu:  # fused message activation (VMEM-resident, no extra HBM pass)
+        m = jnp.maximum(m, jnp.zeros((), m.dtype))
 
     def mm(a, b):
         return jax.lax.dot_general(
@@ -73,19 +75,39 @@ def _chunk_matmul(m_buf, l_buf, slot, *, chunk_id, start, end, eb, nb, fast,
         hi = m.astype(jnp.bfloat16)
         lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         acc = mm(p, hi) + mm(p, lo)
-    out_ref[:] += acc.astype(out_ref.dtype)
+    acc_ref[:] += acc
+
+
+def _epilogue(acc_ref, out_ref, scale_ref, gate_ref):
+    """Per-block output epilogue: f32 accumulator -> scaled/gated output."""
+    out = acc_ref[...]
+    if scale_ref is not None:
+        out = out * scale_ref[...]
+    if gate_ref is not None:
+        # f32 compare: Mosaic on v5e rejects sub-f32 vector comparisons
+        gate = gate_ref[...].astype(jnp.float32)
+        out = jnp.where(gate > 0, out, jnp.zeros((), out.dtype))
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _block_kernel(block_ptr_ref,              # scalar prefetch [num_blocks+1]
-                  m_hbm, l_hbm,               # [E_pad, D] / [1, E_pad] ANY
-                  out_ref,                    # [NB, D] VMEM block
-                  m_buf, l_buf, sem_m, sem_l,
-                  *, eb: int, nb: int, fast: bool):
+                  *refs,                      # m, lrow [, scale][, gate], out,
+                                              # scratch
+                  eb: int, nb: int, fast: bool, relu: bool,
+                  has_scale: bool, has_gate: bool):
     """Stateless per-block walk (re-fetches shared boundary chunks)."""
+    m_hbm, l_hbm = refs[0], refs[1]           # [E_pad, D] / [1, E_pad] ANY
+    k = 2
+    scale_ref = refs[k] if has_scale else None
+    k += has_scale
+    gate_ref = refs[k] if has_gate else None
+    k += has_gate
+    out_ref = refs[k]                         # [NB, D] VMEM block
+    m_buf, l_buf, sem_m, sem_l, acc_ref = refs[k + 1:k + 6]
     i = pl.program_id(0)
     start = block_ptr_ref[i]
     end = block_ptr_ref[i + 1]
-    out_ref[:] = jnp.zeros_like(out_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     c0 = start // eb
     c1 = (end + eb - 1) // eb          # exclusive
     num_chunks = c1 - c0
@@ -118,17 +140,19 @@ def _block_kernel(block_ptr_ref,              # scalar prefetch [num_blocks+1]
             cm1.wait()
             cl1.wait()
             _chunk_matmul(m_buf, l_buf, slot, chunk_id=c0 + k, start=start,
-                          end=end, eb=eb, nb=nb, fast=fast, out_ref=out_ref)
+                          end=end, eb=eb, nb=nb, fast=fast, relu=relu,
+                          acc_ref=acc_ref)
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0)
+    _epilogue(acc_ref, out_ref, scale_ref, gate_ref)
 
 
 def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
-                    m_hbm, l_hbm,             # [E_pad, D] / [1, E_pad] ANY
-                    out_ref,                  # [NB, D] VMEM block
-                    m_buf, l_buf, sem_m, sem_l, st,
-                    *, eb: int, nb: int, fast: bool, num_blocks: int,
+                    *refs,                    # m, lrow [, scale][, gate], out,
+                                              # scratch
+                    eb: int, nb: int, fast: bool, relu: bool,
+                    has_scale: bool, has_gate: bool, num_blocks: int,
                     slots: int):
     """Fetch-once walk: st = SMEM [F, W] persists across the sequential grid.
 
@@ -142,13 +166,21 @@ def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
         valid-chunk count), so it is consumed — and its DMA waited — by at
         least one block before the kernel ends.
     """
+    m_hbm, l_hbm = refs[0], refs[1]           # [E_pad, D] / [1, E_pad] ANY
+    k_ref = 2
+    scale_ref = refs[k_ref] if has_scale else None
+    k_ref += has_scale
+    gate_ref = refs[k_ref] if has_gate else None
+    k_ref += has_gate
+    out_ref = refs[k_ref]                     # [NB, D] VMEM block
+    m_buf, l_buf, sem_m, sem_l, st, acc_ref = refs[k_ref + 1:k_ref + 7]
     i = pl.program_id(0)
     start = block_ptr_ref[i]
     end = block_ptr_ref[i + 1]
     # number of chunks holding valid (non-sentinel) edges; sentinel-padded
     # slots sort last so valid edges are the prefix [0, block_ptr[-1]).
     c_used = (block_ptr_ref[num_blocks] + eb - 1) // eb
-    out_ref[:] = jnp.zeros_like(out_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
 
     @pl.when(i == 0)
     def _():
@@ -195,29 +227,41 @@ def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
                                   l_buf.at[slot], sem_l.at[slot]).wait()
         w = jnp.maximum(w, k)
         _chunk_matmul(m_buf, l_buf, slot, chunk_id=k, start=start, end=end,
-                      eb=eb, nb=nb, fast=fast, out_ref=out_ref)
+                      eb=eb, nb=nb, fast=fast, relu=relu, acc_ref=acc_ref)
         return f, w
 
     f, w = jax.lax.fori_loop(c0, c1, body, (st[0], st[1]))
     st[0] = f
     st[1] = w
+    _epilogue(acc_ref, out_ref, scale_ref, gate_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes_padded", "node_block",
                                              "edge_chunk", "out_dtype",
                                              "interpret", "fast", "pipeline",
-                                             "slots"))
+                                             "slots", "relu"))
 def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
                         node_block: int = NODE_BLOCK, edge_chunk: int = 512,
                         out_dtype=jnp.float32, interpret: bool = False,
                         fast: bool = False, pipeline: str = "rolling",
-                        slots: int = 2):
+                        slots: int = 2, relu: bool = False, scale=None,
+                        gate=None):
     """sum-scatter M [E_pad, D] into out [N_pad, D].
 
     ``local_row`` [1, E_pad] int32: ``receiver mod node_block`` for valid
     edges, ``node_block`` (out-of-range sentinel) for padding; edges sorted
     by receiver; ``block_ptr`` the per-node-block edge offsets
     (ops.edge_layout.build_edge_layout).
+
+    Fused extras (all VMEM-resident, saving separate HBM passes):
+      * ``relu``  — apply max(m, 0) to each message chunk before the matmul
+        (the reference's message activation, encoder.py:94-97),
+      * ``scale`` — [N_pad, 1] per-output-row multiplier applied once the
+        row block is complete (mean-aggregation 1/deg),
+      * ``gate``  — [N_pad, D]; zero output elements where ``gate <= 0``
+        (the factored relu-mask of the backward when messages carry no
+        per-edge term: d relu(x_j)/dx = 1[x_j > 0] depends on the sender
+        row only, so it gates the scatter *output*).
     """
     e_pad, d = m.shape
     nb, eb = node_block, edge_chunk
@@ -226,6 +270,11 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
     assert local_row.shape == (1, e_pad), local_row.shape
     assert pipeline in ("rolling", "block"), pipeline
     num_blocks = num_nodes_padded // nb
+    has_scale, has_gate = scale is not None, gate is not None
+    if has_scale:
+        assert scale.shape == (num_nodes_padded, 1), scale.shape
+    if has_gate:
+        assert gate.shape == (num_nodes_padded, d), gate.shape
 
     scratch = [
         pltpu.VMEM((slots, eb, d), m.dtype),
@@ -233,21 +282,35 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
         pltpu.SemaphoreType.DMA((slots,)),
         pltpu.SemaphoreType.DMA((slots,)),
     ]
+    flags = dict(eb=eb, nb=nb, fast=fast, relu=relu, has_scale=has_scale,
+                 has_gate=has_gate)
     if pipeline == "rolling":
         scratch.append(pltpu.SMEM((2,), jnp.int32))
-        kernel = functools.partial(_rolling_kernel, eb=eb, nb=nb, fast=fast,
-                                   num_blocks=num_blocks, slots=slots)
+        kernel = functools.partial(_rolling_kernel, num_blocks=num_blocks,
+                                   slots=slots, **flags)
     else:
         assert slots == 2, "block pipeline is hard-wired double-buffered"
-        kernel = functools.partial(_block_kernel, eb=eb, nb=nb, fast=fast)
+        kernel = functools.partial(_block_kernel, **flags)
+    scratch.append(pltpu.VMEM((nb, d), jnp.float32))   # f32 accumulator
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [m, local_row]
+    if has_scale:
+        in_specs.append(pl.BlockSpec((nb, 1), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale)
+    if has_gate:
+        in_specs.append(pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gate)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -267,4 +330,4 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
         interpret=interpret,
-    )(block_ptr, m, local_row)
+    )(block_ptr, *operands)

@@ -183,3 +183,78 @@ def test_fused_sage_relu_residual_matches_recompute(rng):
     g_rec = jax.grad(lambda x: loss(x, False))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g_res), np.asarray(g_rec),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("pipeline", ["rolling", "block"])
+def test_scatter_kernel_relu_scale_gate(rng, pipeline):
+    """Fused kernel epilogue: relu(m) messages, per-row scale, gate>0 mask."""
+    s, r, lay = _problem(rng)
+    e, d, n_pad = len(s), 128, 256
+    e_pad = lay.num_edges_padded
+    order = np.argsort(r, kind="stable")
+    m_real = rng.standard_normal((e, d)).astype(np.float32)
+    m = np.zeros((e_pad, d), np.float32)
+    m[:e] = m_real[order]
+    scale = rng.random((n_pad, 1)).astype(np.float32) + 0.5
+    gate = rng.standard_normal((n_pad, d)).astype(np.float32)
+    out = scatter_rows_sorted(jnp.asarray(m), lay.lrow_r, lay.block_ptr_r,
+                              num_nodes_padded=n_pad, interpret=True,
+                              pipeline=pipeline, relu=True,
+                              scale=jnp.asarray(scale),
+                              gate=jnp.asarray(gate))
+    want = np.zeros((n_pad, d), np.float32)
+    np.add.at(want, r, np.maximum(m_real, 0))
+    want = np.where(gate > 0, want * scale, 0.0)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reduce", ["mean", "sum"])
+@pytest.mark.parametrize("bf16", [False, True])
+def test_fused_sage_factored_gradients_match_xla(rng, reduce, bf16):
+    """No-table relu path (factored d-relu backward: per-node output gate)."""
+    n, e, d, n_pad = 100, 400, 32, 128
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=512)
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    w = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))
+
+    def loss_fused(x):
+        out = fused_sage_aggregate(x, lay, None, reduce=reduce, relu=True,
+                                   interpret=True, bf16_messages=bf16)
+        return jnp.sum((out.astype(jnp.float32) @ w) ** 2)
+
+    def loss_xla(x):
+        out = gather_scatter_aggregate(
+            x, jnp.asarray(s), jnp.asarray(r), num_nodes=n_pad,
+            reduce=reduce, relu=True)
+        return jnp.sum((out @ w) ** 2)
+
+    g1 = jax.grad(loss_fused)(jnp.asarray(x))
+    g2 = jax.grad(loss_xla)(jnp.asarray(x))
+    g1 = np.asarray(g1, np.float32)
+    g2 = np.asarray(g2)
+    # bf16 messages: ~2^-8 relative rounding; small elements may cancel, so
+    # the atol is scaled to the gradient magnitude
+    atol = 2e-3 * np.abs(g2).max() if bf16 else 1e-3
+    np.testing.assert_allclose(g1, g2, rtol=5e-2 if bf16 else 1e-3, atol=atol)
+
+
+def test_fused_sage_factored_backward_nan_padding(rng):
+    """NaN in padded node rows must not leak into valid gradients through the
+    factored backward's per-node gate or the clipped grad gather."""
+    n, e, d, n_pad = 100, 400, 32, 128
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=512)
+    x = np.full((n_pad, d), np.nan, np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+
+    def loss(x):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   interpret=True)
+        return jnp.sum(jnp.where(jnp.isfinite(out), out, 0.0) ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+    assert np.isfinite(g[:n]).all()
