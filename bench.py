@@ -118,16 +118,16 @@ def main():
         def fused_step(x, layout):
             return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
                 x, layout, None, reduce="mean", relu=True,
-                bf16_messages=True) ** 2))(x)
+                bf16_messages=True, slots=4) ** 2))(x)
         candidates["fused_bf16"] = (fused_step, x0, layout)
 
         # bf16 activations end-to-end (the bf16-training configuration —
-        # activations live in bf16 between layers): halves the x-gather and
-        # dx traffic on top of bf16 messages.
+        # activations live in bf16 between layers): halves the x-gather, the
+        # aggregate-output, and the dx traffic on top of bf16 messages.
         def fused_bf16act_step(x, layout):
             return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
-                x, layout, None, reduce="mean", relu=True,
-                bf16_messages=True).astype(jnp.float32) ** 2))(x)
+                x, layout, None, reduce="mean", relu=True, bf16_messages=True,
+                bf16_out=True, slots=4).astype(jnp.float32) ** 2))(x)
         candidates["fused_bf16act"] = (fused_bf16act_step, x0_bf16, layout)
 
     results = {}

@@ -48,7 +48,7 @@ def _zero_cot(tree):
 @functools.lru_cache(maxsize=None)
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
           interpret: bool, bf16_messages: bool, relu_residual: bool,
-          pipeline: str):
+          pipeline: str, bf16_out: bool, slots: int):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
 
@@ -85,8 +85,9 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 m, layout.lrow_r, layout.block_ptr_r,
                 num_nodes_padded=n_pad, node_block=layout.node_block,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
-                pipeline=pipeline, relu=True,
-                scale=_inv_deg(layout) if reduce == "mean" else None)
+                pipeline=pipeline, relu=True, slots=slots,
+                scale=_inv_deg(layout) if reduce == "mean" else None,
+                out_dtype=jnp.bfloat16 if bf16_out else jnp.float32)
         pre = messages(x, table, layout, "r")
         m = jax.nn.relu(pre) if relu else pre
         sums = scatter_rows_sorted(
@@ -128,7 +129,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 dm, layout.lrow_s, layout.block_ptr_s,
                 num_nodes_padded=n_pad, node_block=layout.node_block,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
-                pipeline=pipeline, gate=first, out_dtype=first.dtype)
+                pipeline=pipeline, gate=first, out_dtype=first.dtype,
+                slots=slots)
             return dx, _zero_cot(table), _zero_cot(layout)
         if reduce == "mean":
             g = g / jnp.maximum(layout.in_degree, 1.0)[:, None]
@@ -163,7 +165,8 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          fast: bool = False, interpret: bool = False,
                          bf16_messages: bool = False,
                          relu_residual: bool = False,
-                         pipeline: str = "rolling"):
+                         pipeline: str = "rolling", bf16_out: bool = False,
+                         slots: int = 2):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -183,7 +186,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     with_table = edge_table is not None
     relu_residual = relu_residual and relu and layout.perm_s2r is not None
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
-               bf16_messages, relu_residual, pipeline)
+               bf16_messages, relu_residual, pipeline, bf16_out, slots)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
     return fn(x, edge_table, layout)
