@@ -69,10 +69,17 @@ def ema_update_teacher(teacher_params, student_params, decay: float = 0.99):
 
 
 def _sample_edge_slots(key, edge_mask, num: int):
-    """Sample ``num`` valid edge slots (with replacement) — the fixed-shape
-    analog of the reference's randperm edge subsampling (pt_model.py:53-57)."""
-    logits = jnp.where(edge_mask, 0.0, -jnp.inf)
-    return jax.random.categorical(key, logits, shape=(num,))
+    """Sample ``num`` edge slots uniformly (with replacement) and return
+    their validity weights — the fixed-shape analog of the reference's
+    randperm edge subsampling (pt_model.py:53-57).
+
+    Uniform-slot + mask-weighted averaging is an unbiased estimator of the
+    mean over *valid* edges (every valid slot is equally likely), and runs in
+    O(num) — a masked ``random.categorical`` here would broadcast to an
+    O(num * E_pad) gumbel argmax (seconds per step at arxiv scale).
+    """
+    slots = jax.random.randint(key, (num,), 0, edge_mask.shape[0])
+    return slots, edge_mask[slots].astype(jnp.float32)
 
 
 def _negative_edges(key, num: int, n_node, n_pad: int):
@@ -131,7 +138,8 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
     if ratio > 0.0:
         e_pad = orig_g.num_edges_padded
         num = max(int(e_pad * ratio), 1)
-        slots = _sample_edge_slots(k_topo, orig_g.edge_mask, num)
+        slots, w = _sample_edge_slots(k_topo, orig_g.edge_mask, num)
+        w_sum = jnp.maximum(jnp.sum(w), 1.0)
         pos_s = orig_g.senders[slots]
         pos_r = orig_g.receivers[slots]
         pos_p = inner_product_decode(params["topo_dec"], query, pos_s, pos_r,
@@ -140,7 +148,7 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
                                        orig_g.num_nodes_padded)
         neg_p = inner_product_decode(params["topo_dec"], query, neg_s, neg_r,
                                      sigmoid=True)
-        pos_loss = -jnp.mean(jnp.log(pos_p + EPS))
+        pos_loss = -jnp.sum(w * jnp.log(pos_p + EPS)) / w_sum
         neg_loss = -jnp.mean(jnp.log(1.0 - neg_p + EPS))
         topo_recon_loss = pos_loss + neg_loss
 
@@ -148,8 +156,8 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         if orig_g.edge_feat is not None:
             zz = jnp.concatenate([query[pos_s], query[pos_r]], axis=-1)
             pred_e = linear_apply(params["topo_sem_dec"], zz)
-            topo_sem_recon_loss = jnp.mean(
-                (pred_e - orig_g.edge_feat[slots]) ** 2)
+            se_e = jnp.mean((pred_e - orig_g.edge_feat[slots]) ** 2, axis=-1)
+            topo_sem_recon_loss = jnp.sum(w * se_e) / w_sum
         else:
             topo_sem_recon_loss = jnp.zeros(())
     else:
