@@ -85,6 +85,54 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
     return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
+def make_pretrain_loop_step(cfg: PretrainConfig, tx, *, bs: int,
+                            donate: bool = False, indexed: bool = False):
+    """The steady-state loop step: same computation as
+    :func:`make_pretrain_step` but carrying the RNG key and a running metric
+    sum *inside* the jitted program.
+
+    Over a remote-dispatch transport every host->device call costs a round
+    trip, so the per-step ``jax.random.split`` and the per-metric
+    accumulation adds must ride the one step dispatch.  Signature:
+    (params, teacher, opt_state, state, g, key, metrics_sum[, tables]) ->
+    (params, teacher, opt_state, state, new_key, new_metrics_sum).
+    """
+    import jax.numpy as jnp
+
+    def loop_step(params, teacher, opt_state, state, g, key, metrics_sum,
+                  node_table=None, edge_table=None):
+        key, k_step = jax.random.split(key)
+        if indexed:
+            from stemgnn_tpu.core.graph import materialize_graph
+            g = materialize_graph(g, node_table, edge_table)
+        k_aug_feat, k_aug_edge, k_fwd = jax.random.split(k_step, 3)
+        aug_feat = augment.mask_feature(k_aug_feat, g.node_feat, cfg.feat_p)
+        aug_mask = augment.dropout_edges_undirected(
+            k_aug_edge, g.senders, g.receivers, g.edge_mask, cfg.edge_p)
+        aug_g = g.replace(node_feat=aug_feat, edge_mask=aug_mask)
+
+        def loss_fn(params):
+            return pretrain_forward(params, teacher, state, cfg, aug_g, g,
+                                    bs=bs, rng=k_fwd, training=True)
+
+        (loss, (aux, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if cfg.vq.ema_update:
+            from stemgnn_tpu.vq import adopt_ema_embed
+            params = dict(params, vq=adopt_ema_embed(params["vq"],
+                                                     new_state["vq"]))
+        teacher = ema_update_teacher(teacher, params["encoder"],
+                                     cfg.sem_encoder_decay)
+        metrics = dict(aux["losses"], loss=loss)
+        metrics_sum = jax.tree_util.tree_map(jnp.add, metrics_sum, metrics)
+        return params, teacher, opt_state, new_state, key, metrics_sum
+
+    return jax.jit(loop_step,
+                   donate_argnums=(0, 1, 2, 3, 5, 6) if donate else ())
+
+
 def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                  save_root: Optional[str] = None, log_fn=None,
                  max_steps: Optional[int] = None, verbose: bool = True,
@@ -157,26 +205,17 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                            stack_graphs(graphs), rngs, node_table,
                            edge_table)
     else:
+        # First step of each epoch runs the plain step (freshly-initialized
+        # trees can alias identical constant buffers — zeros, teacher
+        # deepcopies — which XLA rejects when donated twice); steady-state
+        # steps run the loop step, which advances the RNG key and
+        # accumulates the metric sums INSIDE the jitted program (over a
+        # remote-dispatch transport every extra host call is a round trip)
+        # and donates from the second call on when requested.
         single_step = make_pretrain_step(cfg, tx, bs=cfg.batch_size,
                                          indexed=True)
-        donating_step = make_pretrain_step(
-            cfg, tx, bs=cfg.batch_size, donate=True, indexed=True) \
-            if donate else None
-        first_call = [True]
-
-        def step_fn(params, teacher, opt_state, state, graphs_and_key):
-            graphs, k = graphs_and_key
-            # First call uses the non-donating step: freshly-initialized
-            # trees can alias identical constant buffers (zeros, teacher
-            # deepcopies), which XLA rejects when donated twice.  From the
-            # second step on, all buffers are unique step outputs — donate
-            # them to drop the old params/opt-state copies from HBM.
-            if donating_step is not None and not first_call[0]:
-                return donating_step(params, teacher, opt_state, state,
-                                     graphs[0], k, node_table, edge_table)
-            first_call[0] = False
-            return single_step(params, teacher, opt_state, state, graphs[0],
-                               k, node_table, edge_table)
+        loop_step = make_pretrain_loop_step(cfg, tx, bs=cfg.batch_size,
+                                            donate=donate, indexed=True)
 
     from stemgnn_tpu.utils.observability import (PreemptionHandler,
                                                  ThroughputMeter)
@@ -195,41 +234,67 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 [cfg.fanout] * cfg.encoder.num_layers, rng_np,
                 drop_last=True, indexed=True)
             t0 = time.time()
-            epoch_metrics = []
+            # Metrics accumulate ON DEVICE; a float()/device_get per step
+            # would serialize the async dispatch pipeline with one blocking
+            # readback per scalar (hundreds of tunnel round-trips per epoch).
+            metrics_sum = None
+            steps_epoch = 0
             pending = []
             for g, n_seeds, _ in it:
                 pending.append(g)
                 if len(pending) < n_dev:
                     continue
-                key, k_step = jax.random.split(key)
-                params, teacher, opt_state, state, metrics = step_fn(
-                    params, teacher, opt_state, state, (pending, k_step))
-                epoch_metrics.append(metrics)
+                if mesh is not None or log_fn is not None \
+                        or metrics_sum is None:
+                    # plain step: returns this step's metrics (first step of
+                    # an epoch, data-parallel mode, or per-step logging —
+                    # which opts into one blocking readback per step)
+                    key, k_step = jax.random.split(key)
+                    if mesh is not None:
+                        params, teacher, opt_state, state, metrics = step_fn(
+                            params, teacher, opt_state, state,
+                            (pending, k_step))
+                    else:
+                        params, teacher, opt_state, state, metrics = \
+                            single_step(params, teacher, opt_state, state,
+                                        pending[0], k_step, node_table,
+                                        edge_table)
+                    metrics_sum = metrics if metrics_sum is None else \
+                        jax.tree_util.tree_map(jax.numpy.add, metrics_sum,
+                                               metrics)
+                    if log_fn is not None:
+                        log_fn({f"losses/{k}": float(v)
+                                for k, v in metrics.items()})
+                else:
+                    # steady state: RNG advance + metric accumulation ride
+                    # the one jitted dispatch (and donate buffers if asked)
+                    params, teacher, opt_state, state, key, metrics_sum = \
+                        loop_step(params, teacher, opt_state, state,
+                                  pending[0], key, metrics_sum, node_table,
+                                  edge_table)
+                steps_epoch += 1
                 meter.update(sum(int(p.num_edges_padded) for p in pending),
                              sum(int(p.num_nodes_padded) for p in pending))
                 pending = []
                 total_steps += 1
-                if log_fn is not None:
-                    log_fn({f"losses/{k}": float(v)
-                            for k, v in metrics.items()})
                 if (max_steps is not None and total_steps >= max_steps) \
                         or preempt.should_stop:
                     break
-            if not epoch_metrics and n_dev > 1:
+            if steps_epoch == 0 and n_dev > 1:
                 print(f"[pretrain] WARNING: epoch produced 0 steps — fewer "
                       f"than {n_dev} seed batches per epoch (leftover "
                       f"batches are dropped in data-parallel mode); reduce "
                       f"batch_size or raise dataset weights")
-            mean_metrics = {k: float(np.mean([float(m[k])
-                                              for m in epoch_metrics]))
-                            for k in epoch_metrics[0]} if epoch_metrics else {}
+            mean_metrics = {
+                k: float(v) / steps_epoch for k, v in
+                jax.device_get(metrics_sum).items()} if steps_epoch else {}
             mean_metrics.update(meter.rates())
             history.append(mean_metrics)
             if verbose:
                 msg = " ".join(f"{k}={v:.4f}" for k, v in mean_metrics.items()
                                if not k.startswith("throughput"))
                 print(f"[pretrain] epoch {epoch}/{cfg.epochs} "
-                      f"({time.time()-t0:.1f}s, {len(epoch_metrics)} steps) "
+                      f"({time.time()-t0:.1f}s, {steps_epoch} steps) "
                       f"{msg}")
             if save_root is not None:
                 # per-epoch checkpoint (crash/preemption recovery,
