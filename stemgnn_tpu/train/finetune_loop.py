@@ -111,6 +111,45 @@ def _make_node_steps(cfg: FinetuneConfig, task_kind: str):
     return train_step, eval_step
 
 
+_LOSS_KEYS = ("loss", "act_loss", "jac_loss", "env_loss")
+
+
+def _make_epoch_chunk_step(cfg: FinetuneConfig, task_kind: str, tx,
+                           chunk: int, donate: bool = False):
+    """K full-batch training epochs + per-epoch eval in ONE dispatch.
+
+    A lax.scan over (train step -> eval -> masked accuracy): predictions
+    never leave the device; the host reads back one [K, 4] loss array and
+    one [K, 3] train/val/test accuracy array per K epochs.  Per-epoch
+    logging and early-stopping decisions are unchanged (the host replays
+    the K per-epoch results in order) — the reference's per-epoch eval
+    cadence (finetune.py:217-247) at 2 readbacks per K epochs.
+    """
+    train_step_fn, eval_step_fn = _make_node_steps(cfg, task_kind)
+
+    def run_chunk(trainable, frozen, opt_state, state, key, train_mask,
+                  graph, y, eval_masks):
+        def body(carry, _):
+            trainable, opt_state, state, key = carry
+            key, k = jax.random.split(key)
+            trainable, opt_state, state, losses, _ = train_step_fn(
+                trainable, frozen, opt_state, state, k, train_mask, graph,
+                y, tx)
+            probs = eval_step_fn(trainable, frozen, state, graph)
+            correct = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32)
+            accs = jnp.stack([
+                100.0 * jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
+                for m in eval_masks])
+            lvec = jnp.stack([losses[k2] for k2 in _LOSS_KEYS])
+            return (trainable, opt_state, state, key), (lvec, accs)
+
+        (trainable, opt_state, state, key), (lvecs, accs) = jax.lax.scan(
+            body, (trainable, opt_state, state, key), None, length=chunk)
+        return trainable, opt_state, state, key, lvecs, accs
+
+    return jax.jit(run_chunk, donate_argnums=(0, 2, 3, 4) if donate else ())
+
+
 def _donation_safe(cfg: FinetuneConfig) -> bool:
     """Donating (trainable, opt_state, state) is unsafe when the EMA-adopt
     path re-aliases state leaves into trainable between steps (train_step's
@@ -313,6 +352,18 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
         else None
     mb_step_d = _make_minibatch_train_step(cfg, tx, task_kind, donate=True) \
         if (donate and minibatch) else None
+    # Epoch-chunked scan path: full-batch, whole-graph eval, no MoE usage
+    # printing to honor (stats stay per-epoch in the fallback path).
+    use_chunked_epochs = (not minibatch and not chunked_eval
+                          and cfg.epoch_chunk > 0
+                          and not any(cfg.encoder.moe_layer_flags()))
+    chunk_step = chunk_step_d = None
+    if use_chunked_epochs:
+        chunk_step = _make_epoch_chunk_step(cfg, task_kind, tx,
+                                            cfg.epoch_chunk)
+        chunk_step_d = _make_epoch_chunk_step(cfg, task_kind, tx,
+                                              cfg.epoch_chunk, donate=True) \
+            if donate else None
     moe_print_interval = max(1, cfg.epochs // 20)
     rng_np = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 0)
 
@@ -362,6 +413,40 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
 
         masks = masks_for(split)
         train_mask = jnp.asarray(masks["train"])
+
+        if use_chunked_epochs:
+            split_chunk_step = _select_step(chunk_step, chunk_step_d,
+                                            first_flag)
+            eval_masks = tuple(jnp.asarray(masks[k], jnp.float32)
+                               for k in ("train", "valid", "test"))
+            epoch = 0
+            stopped = False
+            while epoch < cfg.epochs and not stopped:
+                trainable, opt_state, state, key, lvecs, accs = \
+                    split_chunk_step(trainable, frozen, opt_state, state,
+                                     key, train_mask, graph, y, eval_masks)
+                lvecs = np.asarray(lvecs)
+                accs = np.asarray(accs)
+                for j in range(min(cfg.epoch_chunk, cfg.epochs - epoch)):
+                    loss = dict(zip(_LOSS_KEYS, (float(v)
+                                                 for v in lvecs[j])))
+                    result = {"train": float(accs[j, 0]),
+                              "val": float(accs[j, 1]),
+                              "test": float(accs[j, 2]),
+                              "metric": task2metric[cfg.task]}
+                    logger.log(idx, epoch + j, loss, result)
+                    if stopper(result):
+                        if verbose:
+                            print(f"[split {idx}] early stop at epoch "
+                                  f"{epoch + j}")
+                        stopped = True
+                        break
+                epoch += cfg.epoch_chunk
+            if verbose:
+                b = logger.get_single_best(idx)
+                print(f"[split {idx}] best val={b['val']:.2f} "
+                      f"test={b['test']:.2f}")
+            continue
 
         for epoch in range(cfg.epochs):
             if minibatch:
