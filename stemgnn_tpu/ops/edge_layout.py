@@ -52,9 +52,17 @@ class EdgeLayout:
     # forward residuals into backward order); padded slots point at a padded
     # receiver-sorted slot
     perm_s2r: Optional[jax.Array] = None   # [E_pad] int32
+    # x-window metadata for the in-kernel relu-mask recompute of the
+    # backward (ops.scatter_pallas.masked_scatter_rows_sorted): senders are
+    # sorted, so each edge chunk's source rows live in a narrow node-id
+    # window — the kernel streams those x rows sequentially instead of
+    # re-gathering an [E, D] pre-activation.  Per sender-sorted edge chunk:
+    win_lo_s: Optional[jax.Array] = None    # [C] int32 window start node id
+    win_nsub_s: Optional[jax.Array] = None  # [C] int32 ceil(span / win_w)
     # static metadata
     node_block: int = struct.field(pytree_node=False, default=128)
     edge_chunk: int = struct.field(pytree_node=False, default=512)
+    win_w: int = struct.field(pytree_node=False, default=0)  # 0 = absent
 
     @property
     def num_edges_padded(self) -> int:
@@ -133,6 +141,24 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         local = np.where(mask, keys % node_block, node_block)
         return local.astype(np.int32)[None, :]
 
+    # Per sender-sorted chunk: x-window start + subwindow count (for the
+    # masked-scatter kernel's in-kernel pre-activation recompute).  The
+    # window width is shared (static): >= the largest chunk span, so dense
+    # graphs (many edges per node) use one narrow window per chunk.
+    num_chunks = e_pad // edge_chunk
+    snd = bw["a"].reshape(num_chunks, edge_chunk)
+    msk = bw["m"].reshape(num_chunks, edge_chunk)
+    valid_chunk = msk.any(axis=1)
+    lo = np.where(valid_chunk,
+                  np.where(msk, snd, np.int64(sentinel)).min(axis=1), 0)
+    lo = lo - lo % 8       # sublane-aligned window starts (Mosaic tiling)
+    hi = np.where(valid_chunk, np.where(msk, snd, -1).max(axis=1), -1)
+    span = np.maximum(hi - lo + 1, 0)
+    max_span = int(span.max()) if len(span) else 0
+    # cap the window at 512 rows (VMEM); wider spans walk nsub subwindows
+    win_w = min(max(round_up(max_span, 128), 128), 512, num_nodes_padded)
+    nsub = np.where(valid_chunk, -(-span // win_w), 0).astype(np.int32)
+
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
         xe_r=to_dev(fw["xe"]), mask_r=to_dev(fw["m"]),
@@ -141,7 +167,8 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         xe_s=to_dev(bw["xe"]), mask_s=to_dev(bw["m"]),
         block_ptr_s=to_dev(bp_s), lrow_s=to_dev(lrow(bw["a"], bw["m"])),
         in_degree=to_dev(deg), perm_s2r=to_dev(perm),
-        node_block=node_block, edge_chunk=edge_chunk)
+        win_lo_s=to_dev(lo.astype(np.int32)), win_nsub_s=to_dev(nsub),
+        node_block=node_block, edge_chunk=edge_chunk, win_w=win_w)
 
 
 def layout_from_graph(g, node_block: int = 128,

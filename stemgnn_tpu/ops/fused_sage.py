@@ -145,6 +145,23 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 bits = jnp.unpackbits(packed_s, axis=1, count=dm.shape[1],
                                       bitorder="little")
                 dm = jnp.where(bits.astype(bool), dm, mdtype(0))
+            elif fast and layout.win_w and layout.win_lo_s is not None:
+                # recompute the relu mask INSIDE the scatter kernel from
+                # sequential x-window reads (senders sorted -> narrow
+                # windows): drops the [E, D] pre-activation re-gather
+                from stemgnn_tpu.ops.scatter_pallas import \
+                    masked_scatter_rows_sorted
+                dx = masked_scatter_rows_sorted(
+                    dm, layout.lrow_s, layout.senders_s[None, :],
+                    layout.block_ptr_s, layout.win_lo_s, layout.win_nsub_s,
+                    first.astype(mdtype),
+                    table=table.astype(mdtype) if with_table else None,
+                    xe=layout.xe_s[None, :] if with_table else None,
+                    num_nodes_padded=n_pad, win_w=layout.win_w,
+                    node_block=layout.node_block,
+                    edge_chunk=layout.edge_chunk, out_dtype=first.dtype,
+                    interpret=interpret)
+                return dx, _zero_cot(table), _zero_cot(layout)
             else:
                 pre_s = messages(first, table, layout, "s")
                 dm = jnp.where(pre_s > 0, dm, mdtype(0))

@@ -331,3 +331,208 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
             dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
         interpret=interpret,
     )(block_ptr, *operands)
+
+
+def _masked_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
+                         *refs, eb: int, nb: int, w: int, n_pad: int,
+                         with_table: bool, t_rows: int):
+    """Per-block walk that recomputes the relu mask of the backward inside
+    the kernel: for each edge chunk, the (sender-sorted) source rows live in
+    a narrow node-id window [win_lo, win_lo + nsub*w), streamed from x by
+    sequential DMA; the pre-activation is rebuilt with one-hot MXU matmuls
+
+        pre = G^T @ X_window (+ H^T @ T)      G[rr,e] = (snd[e]==start+rr)
+                                              H[t,e]  = (xe[e]==t)
+
+    and the message chunk is gated by ``pre > 0`` before the scatter matmul.
+    This replaces the backward's [E, D] pre-activation re-gather with
+    ~N*D bytes of sequential window reads (fused_sage.f_bwd relu recompute;
+    reference semantics STEM-GNN/model/encoder.py:94-97).
+    """
+    m_hbm, l_hbm, s_hbm, x_hbm = refs[0], refs[1], refs[2], refs[3]
+    k = 4
+    t_ref = refs[k] if with_table else None
+    k += with_table
+    xe_hbm = refs[k] if with_table else None
+    k += with_table
+    out_ref = refs[k]
+    (m_buf, l_buf, s_buf, xe_buf, xwin_buf, sem_m, sem_l, sem_s, sem_xe,
+     sem_x, acc_ref, pre_ref) = refs[k + 1:k + 13]
+    i = pl.program_id(0)
+    start = block_ptr_ref[i]
+    end = block_ptr_ref[i + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    c0 = start // eb
+    c1 = (end + eb - 1) // eb
+    num_chunks = c1 - c0
+
+    def get_dma(slot, c):
+        off = c * eb
+        copies = [
+            pltpu.make_async_copy(m_hbm.at[pl.ds(off, eb), :],
+                                  m_buf.at[slot], sem_m.at[slot]),
+            pltpu.make_async_copy(l_hbm.at[:, pl.ds(off, eb)],
+                                  l_buf.at[slot], sem_l.at[slot]),
+            pltpu.make_async_copy(s_hbm.at[:, pl.ds(off, eb)],
+                                  s_buf.at[slot], sem_s.at[slot]),
+        ]
+        if with_table:
+            copies.append(pltpu.make_async_copy(
+                xe_hbm.at[:, pl.ds(off, eb)], xe_buf.at[slot],
+                sem_xe.at[slot]))
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in get_dma(0, c0):
+            cp.start()
+
+        def body(kk, _):
+            slot = jax.lax.rem(kk, 2)
+            nxt = jax.lax.rem(kk + 1, 2)
+
+            @pl.when(kk + 1 < num_chunks)
+            def _():
+                for cp in get_dma(nxt, c0 + kk + 1):
+                    cp.start()
+
+            for cp in get_dma(slot, c0 + kk):
+                cp.wait()
+
+            c = c0 + kk
+            w0 = win_lo_ref[c]
+            nsub = win_nsub_ref[c]
+            snd = s_buf[slot]                    # [1, eb] int32
+            pre_ref[:] = jnp.zeros_like(pre_ref)
+
+            def sub_body(s, _):
+                # win_lo is 8-aligned on the host; w and n_pad are multiples
+                # of 128 -> row_start is sublane-aligned (Mosaic needs the
+                # annotation to prove it for the dynamic HBM slice)
+                row_start = pl.multiple_of(
+                    jnp.minimum(w0 + s * w, n_pad - w), 8)
+                cx = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(row_start, w), :],
+                    xwin_buf.at[jax.lax.rem(s, 2)], sem_x.at[jax.lax.rem(s, 2)])
+                cx.start()
+                cx.wait()
+                rows = jax.lax.broadcasted_iota(jnp.int32, (w, eb), 0)
+                # absolute-id match + subwindow ownership (windows clamped at
+                # the array end may overlap; ownership dedups)
+                gt = ((snd == row_start + rows)
+                      & ((snd - w0) // w == s)).astype(jnp.bfloat16)
+                pre_ref[:] += jax.lax.dot_general(
+                    gt, xwin_buf[jax.lax.rem(s, 2)].astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, nsub, sub_body, 0)
+
+            if with_table:
+                trows = jax.lax.broadcasted_iota(jnp.int32, (t_rows, eb), 0)
+                ht = (xe_buf[slot] == trows).astype(jnp.bfloat16)
+                pre_ref[:] += jax.lax.dot_general(
+                    ht, t_ref[...].astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            m = jnp.where(pre_ref[...] > 0, m_buf[slot],
+                          jnp.zeros((), m_buf.dtype))
+            g = c * eb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 1)
+            rows_p = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+            lr = l_buf[slot]
+            keep = (lr == rows_p) & (g >= start) & (g < end)
+            p = keep.astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                p, m.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, body, 0)
+    out_ref[:] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes_padded", "node_block",
+                                             "edge_chunk", "win_w",
+                                             "out_dtype", "interpret"))
+def masked_scatter_rows_sorted(m, local_row, senders, block_ptr, win_lo,
+                               win_nsub, x, table=None, xe=None, *,
+                               num_nodes_padded: int, win_w: int,
+                               node_block: int = NODE_BLOCK,
+                               edge_chunk: int = 512,
+                               out_dtype=jnp.float32,
+                               interpret: bool = False):
+    """sum-scatter of ``m`` [E_pad, D] gated by a recomputed relu mask:
+
+        out[n] = sum_e 1[local_row[e]==n] * 1[x[senders[e]] + T[xe[e]] > 0]
+                 * m[e]
+
+    Edges sender-sorted; ``senders``/``xe`` are [1, E_pad] int32 streams;
+    ``win_lo``/``win_nsub`` [C] per-chunk x-window metadata
+    (ops.edge_layout).  The pre-activation is recomputed in bfloat16 (the
+    bf16-message training configuration's mask semantics)."""
+    e_pad, d = m.shape
+    nb, eb, w = node_block, edge_chunk, win_w
+    assert e_pad % eb == 0 and num_nodes_padded % nb == 0
+    assert senders.shape == (1, e_pad) and local_row.shape == (1, e_pad)
+    assert num_nodes_padded >= w, (num_nodes_padded, w)
+    num_blocks = num_nodes_padded // nb
+    num_chunks = e_pad // eb
+    assert win_lo.shape == (num_chunks,) and win_nsub.shape == (num_chunks,)
+    with_table = table is not None
+    t_rows = 0 if table is None else table.shape[0]
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # m
+        pl.BlockSpec(memory_space=pl.ANY),      # local_row
+        pl.BlockSpec(memory_space=pl.ANY),      # senders
+        pl.BlockSpec(memory_space=pl.ANY),      # x
+    ]
+    operands = [m, local_row, senders, x]
+    if with_table:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # table
+        operands.append(table)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # xe
+        operands.append(xe)
+        assert xe.shape == (1, e_pad)
+
+    scratch = [
+        pltpu.VMEM((2, eb, d), m.dtype),               # m_buf
+        pltpu.VMEM((2, 1, eb), jnp.int32),             # l_buf
+        pltpu.VMEM((2, 1, eb), jnp.int32),             # s_buf
+        pltpu.VMEM((2, 1, eb), jnp.int32),             # xe_buf (maybe unused)
+        pltpu.VMEM((2, w, d), x.dtype),                # xwin_buf
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_m
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_l
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_s
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_xe
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_x
+        pltpu.VMEM((nb, d), jnp.float32),              # acc
+        pltpu.VMEM((eb, d), jnp.float32),              # pre
+    ]
+    kernel = functools.partial(_masked_block_kernel, eb=eb, nb=nb, w=w,
+                               n_pad=num_nodes_padded,
+                               with_table=with_table, t_rows=t_rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes_padded, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * (nb + w + t_rows) * d,
+            bytes_accessed=e_pad * (d * m.dtype.itemsize + 12)
+            + num_nodes_padded * d * (x.dtype.itemsize + 4),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
+        interpret=interpret,
+    )(block_ptr, win_lo, win_nsub, *operands)

@@ -258,3 +258,91 @@ def test_fused_sage_factored_backward_nan_padding(rng):
 
     g = np.asarray(jax.grad(loss)(jnp.asarray(x)))
     assert np.isfinite(g[:n]).all()
+
+
+def test_masked_scatter_kernel_matches_numpy(rng):
+    """In-kernel relu-mask recompute == explicit pre-activation mask."""
+    from stemgnn_tpu.ops.scatter_pallas import masked_scatter_rows_sorted
+    n, e, d, n_pad, t_rows = 300, 900, 128, 512, 5
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    xe = rng.integers(0, t_rows, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=128)
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    table = rng.standard_normal((t_rows, d)).astype(np.float32)
+    e_pad = lay.num_edges_padded
+    order = np.argsort(s, kind="stable")
+    dm_real = rng.standard_normal((e, d)).astype(np.float32)
+    dm = np.zeros((e_pad, d), np.float32)
+    dm[:e] = dm_real[order]
+
+    out = masked_scatter_rows_sorted(
+        jnp.asarray(dm), lay.lrow_s, lay.senders_s[None, :], lay.block_ptr_s,
+        lay.win_lo_s, lay.win_nsub_s, jnp.asarray(x),
+        table=jnp.asarray(table), xe=lay.xe_s[None, :],
+        num_nodes_padded=n_pad, win_w=lay.win_w, edge_chunk=128,
+        interpret=True)
+
+    # bf16 mask semantics (the kernel computes pre in bf16)
+    xb = x.astype(jnp.bfloat16).astype(np.float32)
+    tb = table.astype(jnp.bfloat16).astype(np.float32)
+    pre = xb[s[order]] + tb[xe[order]]
+    want = np.zeros((n_pad, d), np.float32)
+    np.add.at(want, s[order], np.where(pre > 0, dm[:e], 0.0))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
+def test_masked_scatter_kernel_wide_span(rng):
+    """Sparse graph: chunk spans exceed the window width -> subwindow walk."""
+    from stemgnn_tpu.ops.scatter_pallas import masked_scatter_rows_sorted
+    n, e, d = 4000, 1200, 64            # ~0.3 edges/node -> very wide spans
+    n_pad = 4096
+    s = np.sort(rng.choice(n, e, replace=False)).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=512)
+    assert int(np.asarray(lay.win_nsub_s).max()) > 1, "test needs nsub > 1"
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    e_pad = lay.num_edges_padded
+    order = np.argsort(s, kind="stable")
+    dm = np.zeros((e_pad, d), np.float32)
+    dm[:e] = rng.standard_normal((e, d)).astype(np.float32)
+
+    out = masked_scatter_rows_sorted(
+        jnp.asarray(dm), lay.lrow_s, lay.senders_s[None, :], lay.block_ptr_s,
+        lay.win_lo_s, lay.win_nsub_s, jnp.asarray(x),
+        num_nodes_padded=n_pad, win_w=lay.win_w, interpret=True)
+
+    xb = x.astype(jnp.bfloat16).astype(np.float32)
+    want = np.zeros((n_pad, d), np.float32)
+    np.add.at(want, s[order], np.where(xb[s[order]] > 0, dm[:e], 0.0))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
+def test_fused_sage_bf16_table_gradients_use_masked_kernel(rng):
+    """bf16-message with-table backward (masked kernel path) vs XLA grads."""
+    n, e, d, n_pad = 100, 400, 32, 128
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    xe = rng.integers(0, 3, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=512)
+    assert lay.win_w > 0
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    table = jnp.asarray(rng.standard_normal((3, d)).astype(np.float32))
+
+    lay_nowin = lay.replace(win_w=0)   # forces the recompute-gather backward
+
+    def loss(x, which_lay):
+        out = fused_sage_aggregate(x, which_lay, table, reduce="mean",
+                                   relu=True, interpret=True,
+                                   bf16_messages=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # same bf16 mask semantics -> the two backward implementations must agree
+    # to bf16 message precision (both round pre to bf16 before the sign test)
+    g1 = np.asarray(jax.grad(lambda x: loss(x, lay))(jnp.asarray(x)),
+                    np.float32)
+    g2 = np.asarray(jax.grad(lambda x: loss(x, lay_nowin))(jnp.asarray(x)),
+                    np.float32)
+    atol = 2e-3 * np.abs(g2).max()
+    np.testing.assert_allclose(g1, g2, rtol=5e-2, atol=atol)
