@@ -29,6 +29,10 @@ class EncoderConfig:
     num_experts: int = 3
     tau: float = 1.0
     moe_layers: str = "none"          # none | all | last
+    # Mixed precision: "bfloat16" runs encoder activations/messages/matmuls
+    # in bf16 (params, BatchNorm statistics, VQ, and losses stay f32) —
+    # halves the encoder's HBM traffic.  sage backbone only.
+    compute_dtype: str = "float32"    # float32 | bfloat16
 
     @property
     def moe_enabled(self) -> bool:

@@ -115,6 +115,7 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         edge_feat=aug_g.edge_feat, edge_mask=aug_g.edge_mask,
         node_mask=aug_g.node_mask, training=training, rng=k_enc,
         layout=layout, edge_table=edge_table, axis_name=axis_name)
+    z = z.astype(jnp.float32)      # VQ + losses stay f32 (mixed precision)
 
     vq_res = vq_apply(params["vq"], state["vq"], cfg.vq, z,
                       training=training, rng=k_vq, mask=aug_g.node_mask,
@@ -175,7 +176,7 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         edge_feat=orig_g.edge_feat, edge_mask=orig_g.edge_mask,
         node_mask=orig_g.node_mask, training=training, rng=k_teacher,
         layout=layout, edge_table=edge_table, axis_name=axis_name)
-    tz = jax.lax.stop_gradient(tz)
+    tz = jax.lax.stop_gradient(tz).astype(jnp.float32)
     hproj = linear_apply(params["sem_projector"], query)
 
     def _l2n(t):

@@ -68,7 +68,8 @@ def moe_sage_apply(params, x, senders, receivers, edge_mask=None,
         x, senders=receivers, receivers=senders, edge_feat=None,
         edge_mask=edge_mask, num_nodes=x.shape[0], reduce="mean", relu=False)
     combined = jnp.concatenate([agg, x], axis=-1)          # [N, 2*in]
-    out = jnp.einsum("nd,kdo->nko", combined, params["weights"])
+    out = jnp.einsum("nd,kdo->nko", combined,
+                     params["weights"].astype(combined.dtype))
     if residual and x.shape[-1] == out.shape[-1]:
         out = out + x[:, None, :]
     return out

@@ -90,7 +90,12 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
     """
     flags = cfg.moe_layer_flags()
     act = _activation(cfg)
-    z = x
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if dt == jnp.bfloat16 and cfg.backbone != "sage":
+        raise ValueError("compute_dtype=bfloat16 supports the sage backbone")
+    z = x.astype(dt)
+    if edge_feat is not None:
+        edge_feat = edge_feat.astype(dt)
     env_idx = 0
     env_reg_total = jnp.zeros(())
     env_layers = 0

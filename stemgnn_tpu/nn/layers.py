@@ -35,9 +35,11 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear_apply(params, x):
-    y = x @ params["w"]
+    # compute in the activation dtype (mixed precision: bf16 activations x
+    # f32 master weights -> bf16 matmul, f32 params untouched)
+    y = x @ params["w"].astype(x.dtype)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(x.dtype)
     return y
 
 
@@ -65,6 +67,8 @@ def batchnorm_apply(params, state, x, *, training: bool, mask=None,
       torch's momentum convention (running <- (1-m)*running + m*batch, with
       the unbiased variance in the running buffer).
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)     # statistics and normalization in f32
     if training:
         if mask is not None:
             m = mask.astype(x.dtype)[:, None]
@@ -96,7 +100,8 @@ def batchnorm_apply(params, state, x, *, training: bool, mask=None,
     else:
         new_state = state
         y = (x - state["mean"]) * jax.lax.rsqrt(state["var"] + eps)
-    return y * params["scale"] + params["bias"], new_state
+    return (y * params["scale"] + params["bias"]).astype(in_dtype), \
+        new_state
 
 
 # ---------------------------------------------------------------- LayerNorm
@@ -119,4 +124,5 @@ def dropout(key, x, rate: float, *, training: bool):
         return x
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                     jnp.zeros((), x.dtype))

@@ -87,7 +87,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
                 pipeline=pipeline, relu=True, slots=slots,
                 scale=_inv_deg(layout) if reduce == "mean" else None,
-                out_dtype=jnp.bfloat16 if bf16_out else jnp.float32)
+                out_dtype=jnp.bfloat16
+                if (bf16_out or x.dtype == jnp.bfloat16) else jnp.float32)
         pre = messages(x, table, layout, "r")
         m = jax.nn.relu(pre) if relu else pre
         sums = scatter_rows_sorted(
@@ -97,6 +98,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             pipeline=pipeline)
         if reduce == "mean":
             sums = sums / jnp.maximum(layout.in_degree, 1.0)[:, None]
+        sums = sums.astype(x.dtype) if x.dtype == jnp.bfloat16 else sums
         if want_mask:
             # relu(pre) > 0  <=>  pre > 0: pack the activation mask to bits
             # ([E, D/8] uint8, receiver order) — 1/16 the bytes of the bf16

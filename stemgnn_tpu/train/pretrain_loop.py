@@ -182,10 +182,15 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
     # Device-resident feature tables; batches carry indices only
     # (IndexedGraph) so per-step host->device traffic is ~D x smaller.
     import jax.numpy as jnp
-    node_table = jnp.asarray(np.asarray(merged["node_text_feat"], np.float32))
+    # bf16 training also stores the feature tables in bf16 (halves the
+    # per-step feature-gather traffic; the encoder computes in bf16 anyway)
+    tdt = jnp.bfloat16 if cfg.encoder.compute_dtype == "bfloat16" \
+        else jnp.float32
+    node_table = jnp.asarray(
+        np.asarray(merged["node_text_feat"], np.float32)).astype(tdt)
     etf = merged.get("edge_text_feat")
     edge_table = None if etf is None else jnp.asarray(
-        np.asarray(etf, np.float32))
+        np.asarray(etf, np.float32)).astype(tdt)
 
     n_dev = 1
     if mesh is not None:

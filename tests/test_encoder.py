@@ -94,3 +94,38 @@ def test_batchnorm_state_updates_only_in_training(rng):
                                   training=False)
     np.testing.assert_array_equal(np.asarray(st_eval["norms"][0]["mean"]),
                                   np.asarray(state["norms"][0]["mean"]))
+
+
+def test_encoder_bf16_compute_dtype(rng):
+    """bfloat16 activations: output dtype, finite values, f32 BN stats."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stemgnn_tpu.core.config import EncoderConfig
+    from stemgnn_tpu.nn.encoder import encoder_apply, encoder_init
+
+    cfg = EncoderConfig(input_dim=32, hidden_dim=32, num_layers=2,
+                        normalize="batch", dropout=0.0,
+                        compute_dtype="bfloat16")
+    params, state = encoder_init(jax.random.PRNGKey(0), cfg)
+    n, e = 64, 256
+    x = rng.standard_normal((n, 32)).astype(np.float32)
+    s = rng.integers(0, n, e)
+    r = rng.integers(0, n, e)
+    z, new_state, _ = encoder_apply(params, state, cfg, jnp.asarray(x),
+                                    jnp.asarray(s), jnp.asarray(r),
+                                    training=True,
+                                    rng=jax.random.PRNGKey(1))
+    assert z.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(z, np.float32)).all()
+    assert new_state["norms"][0]["mean"].dtype == jnp.float32
+
+    # bf16 forward tracks the f32 forward
+    cfg32 = dataclasses.replace(cfg, compute_dtype="float32")
+    z32, _, _ = encoder_apply(params, state, cfg32, jnp.asarray(x),
+                              jnp.asarray(s), jnp.asarray(r), training=True,
+                              rng=jax.random.PRNGKey(1))
+    z32 = np.asarray(z32)
+    err = np.abs(np.asarray(z, np.float32) - z32).max()
+    assert err < 0.15 * (np.abs(z32).max() + 1e-6), err
