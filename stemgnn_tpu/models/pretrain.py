@@ -115,13 +115,14 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         edge_feat=aug_g.edge_feat, edge_mask=aug_g.edge_mask,
         node_mask=aug_g.node_mask, training=training, rng=k_enc,
         layout=layout, edge_table=edge_table, axis_name=axis_name)
-    z = z.astype(jnp.float32)      # VQ + losses stay f32 (mixed precision)
-
+    # z keeps the encoder's compute dtype into the VQ (project_in runs in
+    # bf16 under mixed precision); the VQ returns f32, and the losses below
+    # are f32.
     vq_res = vq_apply(params["vq"], state["vq"], cfg.vq, z,
                       training=training, rng=k_vq, mask=aug_g.node_mask,
                       axis_name=axis_name)
     commit_loss = vq_res["loss"]
-    query = z if no_codebook else vq_res["quantize"]
+    query = z.astype(jnp.float32) if no_codebook else vq_res["quantize"]
     if no_codebook:
         commit_loss = jnp.zeros(())
 

@@ -120,7 +120,7 @@ def vq_kmeans_init(key, params, state, cfg: VQConfig, z, mask=None,
     seeded and initted=True.
     """
     xp = linear_apply(params["project_in"], z) if cfg.requires_projection else z
-    xh = _to_heads(cfg, xp)
+    xh = _to_heads(cfg, xp).astype(jnp.float32)
     if cfg.use_cosine_sim:
         xh = cb.l2norm(xh)
     embed, bins = cb.kmeans(key, xh, cfg.codebook_size,
@@ -167,8 +167,11 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
         rng = jax.random.PRNGKey(0)
     k_gumbel, k_ortho, k_expire = jax.random.split(rng, 3)
 
+    # project_in runs in z's dtype (bf16 under mixed precision — it is the
+    # VQ's FLOP-dominant matmul); everything from the per-head split on is
+    # f32 (distances, EMA statistics, commitment loss).
     xp = linear_apply(params["project_in"], z) if cfg.requires_projection else z
-    xh = _to_heads(cfg, xp)
+    xh = _to_heads(cfg, xp).astype(jnp.float32)
     if cfg.use_cosine_sim:
         xh = cb.l2norm(xh)
 
@@ -252,8 +255,9 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
                 * cfg.orthogonal_reg_weight
 
     codes = _from_heads(cfg, quantize_h)
-    out = linear_apply(params["project_out"], codes) if cfg.requires_projection \
-        else codes
+    out = linear_apply(params["project_out"],
+                       codes.astype(xp.dtype)).astype(jnp.float32) \
+        if cfg.requires_projection else codes
     indices = _ind_to_bn(cfg, ind)
     return {"quantize": out, "indices": indices, "loss": loss, "codes": codes,
             "distances": dist, "state": new_state}
