@@ -610,11 +610,17 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     gmask)
 
             def auc_of(batches):
-                preds, ys = [], []
-                for g, lab, n_real in batches:
-                    p = np.asarray(predict(trainable, frozen, state, g))
-                    preds.append(p[:n_real])
-                    ys.append(lab[:n_real])
+                if not batches:
+                    return float("nan")
+                # one [B*bs, T] readback instead of one per batch (each tiny
+                # D2H costs a full round trip over remote transports)
+                dev = [predict(trainable, frozen, state, g)
+                       for g, _, _ in batches]
+                flat = np.asarray(jnp.concatenate(dev, axis=0))
+                bs = dev[0].shape[0]
+                preds = [flat[i * bs: i * bs + n]
+                         for i, (_, _, n) in enumerate(batches)]
+                ys = [lab[:n] for _, lab, n in batches]
                 return evaluate(np.concatenate(preds), np.concatenate(ys),
                                 None, "graph")
 
