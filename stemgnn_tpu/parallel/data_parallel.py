@@ -92,6 +92,30 @@ def make_dp_pretrain_step(cfg: PretrainConfig, tx, mesh, *, bs: int,
     return jax.jit(step)
 
 
+def make_dp_pretrain_loop_step(cfg: PretrainConfig, tx, mesh, *, bs: int,
+                               axis: str = "data", indexed: bool = False):
+    """Steady-state data-parallel loop step: carries the RNG key and a
+    running metric sum inside the one jitted dispatch (the multi-device
+    analog of train.pretrain_loop.make_pretrain_loop_step)."""
+    import jax.numpy as jnp
+    n_dev = int(mesh.shape[axis])
+    dp = make_dp_pretrain_step(cfg, tx, mesh, bs=bs, axis=axis,
+                               indexed=indexed)
+
+    def loop_step(params, teacher, opt_state, state, g, key, metrics_sum,
+                  node_table=None, edge_table=None):
+        key, k = jax.random.split(key)
+        rngs = jax.random.split(k, n_dev)
+        args = (params, teacher, opt_state, state, g, rngs)
+        if indexed:
+            args = args + (node_table, edge_table)
+        params, teacher, opt_state, state, metrics = dp(*args)
+        metrics_sum = jax.tree_util.tree_map(jnp.add, metrics_sum, metrics)
+        return params, teacher, opt_state, state, key, metrics_sum
+
+    return jax.jit(loop_step)
+
+
 def device_put_replicated(tree, mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

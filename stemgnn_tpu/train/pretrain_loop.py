@@ -193,12 +193,22 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
         np.asarray(etf, np.float32)).astype(tdt)
 
     n_dev = 1
+    dp_loop_step = None
     if mesh is not None:
         from stemgnn_tpu.parallel.data_parallel import (
-            device_put_replicated, make_dp_pretrain_step, stack_graphs)
+            device_put_replicated, make_dp_pretrain_loop_step,
+            make_dp_pretrain_step, stack_graphs)
         n_dev = int(mesh.shape["data"])
         dp_step = make_dp_pretrain_step(cfg, tx, mesh, bs=cfg.batch_size,
                                         indexed=True)
+        dp_loop = make_dp_pretrain_loop_step(cfg, tx, mesh,
+                                             bs=cfg.batch_size, indexed=True)
+
+        def dp_loop_step(params, teacher, opt_state, state, graphs, key,
+                         metrics_sum):
+            return dp_loop(params, teacher, opt_state, state,
+                           stack_graphs(graphs), key, metrics_sum,
+                           node_table, edge_table)
         node_table = device_put_replicated(node_table, mesh)
         edge_table = None if edge_table is None else \
             device_put_replicated(edge_table, mesh)
@@ -249,11 +259,10 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 pending.append(g)
                 if len(pending) < n_dev:
                     continue
-                if mesh is not None or log_fn is not None \
-                        or metrics_sum is None:
+                if log_fn is not None or metrics_sum is None:
                     # plain step: returns this step's metrics (first step of
-                    # an epoch, data-parallel mode, or per-step logging —
-                    # which opts into one blocking readback per step)
+                    # an epoch, or per-step logging — which opts into one
+                    # blocking readback per step)
                     key, k_step = jax.random.split(key)
                     if mesh is not None:
                         params, teacher, opt_state, state, metrics = step_fn(
@@ -270,6 +279,10 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                     if log_fn is not None:
                         log_fn({f"losses/{k}": float(v)
                                 for k, v in metrics.items()})
+                elif mesh is not None:
+                    params, teacher, opt_state, state, key, metrics_sum = \
+                        dp_loop_step(params, teacher, opt_state, state,
+                                     pending, key, metrics_sum)
                 else:
                     # steady state: RNG advance + metric accumulation ride
                     # the one jitted dispatch (and donate buffers if asked)
