@@ -125,3 +125,70 @@ def import_reference_cache(pt_path: str, name: str) -> TAGDataset:
         class_node_text_feat=get("class_node_text_feat"),
         num_classes=int(labels.max()) + 1 if labels is not None and
         labels.size else 0)
+
+
+# -------------------------------------------------- memmap ("ST") cache
+
+def st_cache_path(name: str, encoder: str, dim: int,
+                  root: Optional[str] = None) -> str:
+    """Directory cache for huge datasets (the reference's memmap variant,
+    ``OFAPygSTDataset``, data/ofa_data.py:165-222)."""
+    root = root or DEFAULT_CACHE_ROOT
+    return osp.join(root, f"{name}__{encoder}__{dim}.st")
+
+
+def save_dataset_cache_memmap(ds: TAGDataset, encoder: str = "hash",
+                              root: Optional[str] = None) -> str:
+    """Save with the large feature tables as raw ``.npy`` (memmap-loadable);
+    everything else in one small ``meta.npz``."""
+    base = st_cache_path(ds.name, encoder, ds.node_text_feat.shape[1], root)
+    os.makedirs(base, exist_ok=True)
+    big = {"node_text_feat": ds.node_text_feat,
+           "edge_text_feat": ds.edge_text_feat}
+    if ds.class_node_text_feat is not None:
+        big["class_node_text_feat"] = ds.class_node_text_feat
+    for k, v in big.items():
+        np.save(osp.join(base, f"{k}.npy"), np.ascontiguousarray(v))
+    meta = {"x": ds.x, "xe": ds.xe, "edge_index": ds.edge_index,
+            "num_classes": np.asarray(ds.num_classes),
+            "num_tasks": np.asarray(ds.num_tasks)}
+    if ds.labels is not None:
+        meta["labels"] = np.asarray(ds.labels)
+    if ds.splits:
+        for i, split in enumerate(ds.splits):
+            for k, v in split.items():
+                meta[f"split{i}_{k}"] = v
+        meta["num_splits"] = np.asarray(len(ds.splits))
+    np.savez_compressed(osp.join(base, "meta.npz"), **meta)
+    return base
+
+
+def load_dataset_cache_memmap(name: str, encoder: str = "hash",
+                              dim: int = 768,
+                              root: Optional[str] = None,
+                              ) -> Optional[TAGDataset]:
+    """Load an ``.st`` directory cache with the feature tables memory-mapped
+    (read-only): host RAM stays O(edges), not O(nodes x dim) — samplers and
+    device uploads read rows on demand (reference OFAPygSTDataset semantics,
+    data/ofa_data.py:165-222)."""
+    base = st_cache_path(name, encoder, dim, root)
+    meta_path = osp.join(base, "meta.npz")
+    if not osp.exists(meta_path):
+        return None
+    z = np.load(meta_path)
+    mm = lambda k: np.load(osp.join(base, f"{k}.npy"), mmap_mode="r")
+    splits = None
+    if "num_splits" in z:
+        splits = [{k: z[f"split{i}_{k}"] for k in ("train", "valid", "test")}
+                  for i in range(int(z["num_splits"]))]
+    cls_path = osp.join(base, "class_node_text_feat.npy")
+    return TAGDataset(
+        name=name,
+        node_text_feat=mm("node_text_feat"),
+        edge_text_feat=mm("edge_text_feat"),
+        x=z["x"], xe=z["xe"], edge_index=z["edge_index"],
+        labels=z["labels"] if "labels" in z else None,
+        splits=splits,
+        class_node_text_feat=(mm("class_node_text_feat")
+                              if osp.exists(cls_path) else None),
+        num_classes=int(z["num_classes"]), num_tasks=int(z["num_tasks"]))

@@ -69,3 +69,24 @@ def test_get_train_node_idx_weights():
     assert len(first) == 20          # integer weight 2 repeats all 10 twice
     assert len(second) == 10         # 0.5 * 20 sampled
     assert set(second.tolist()) <= set(range(10, 30))
+
+
+def test_memmap_dataset_cache_roundtrip(tmp_path):
+    """ST (memmap) cache: feature tables load as read-only memmaps and the
+    dataset round-trips (reference OFAPygSTDataset, data/ofa_data.py:165)."""
+    import numpy as np
+    from stemgnn_tpu.data.importers import (load_dataset_cache_memmap,
+                                            save_dataset_cache_memmap)
+    from stemgnn_tpu.data.registry import load_dataset
+
+    ds = load_dataset("cora_synthetic", feat_dim=32, seed=0)
+    save_dataset_cache_memmap(ds, encoder="hash", root=str(tmp_path))
+    got = load_dataset_cache_memmap("cora_synthetic", encoder="hash", dim=32,
+                                    root=str(tmp_path))
+    assert got is not None
+    assert isinstance(got.node_text_feat, np.memmap)
+    np.testing.assert_array_equal(np.asarray(got.node_text_feat),
+                                  np.asarray(ds.node_text_feat))
+    np.testing.assert_array_equal(got.edge_index, ds.edge_index)
+    assert got.num_classes == ds.num_classes
+    assert len(got.splits) == len(ds.splits)
