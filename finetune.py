@@ -39,6 +39,8 @@ def get_args():
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--activation", "--act", default="relu")
     p.add_argument("--backbone", default="sage")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 encoder activations + VQ projections")
     p.add_argument("--normalize", default="batch")
     p.add_argument("--dropout", type=float, default=0.15)
     p.add_argument("--code_dim", type=int, default=768)
@@ -159,7 +161,8 @@ def main():
             normalize=args.normalize, dropout=args.dropout,
             activation=args.activation, moe=args.moe,
             num_experts=args.moe_experts, tau=args.moe_tau,
-            moe_layers=args.moe_layers),
+            moe_layers=args.moe_layers,
+            compute_dtype="bfloat16" if args.bf16 else "float32"),
         vq=cfglib.VQConfig(
             dim=args.hidden_dim, codebook_size=args.codebook_size,
             codebook_dim=args.code_dim, heads=args.codebook_head,

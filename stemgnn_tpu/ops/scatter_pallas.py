@@ -54,7 +54,8 @@ NODE_BLOCK = 128
 
 def _chunk_matmul(m_buf, l_buf, slot, *, chunk_id, start, end, eb, nb, fast,
                   relu, acc_ref):
-    """Accumulate P_chunk @ M_chunk into out_ref for one resident chunk."""
+    """Accumulate P_chunk @ M_chunk into the f32 accumulator for one
+    resident chunk (the epilogue writes/casts it to the output block)."""
     g = chunk_id * eb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
     lr = l_buf[slot]                       # [1, eb] int32 (sentinel == nb)
