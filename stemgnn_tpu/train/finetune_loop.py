@@ -230,6 +230,7 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
     """One minibatch training epoch (NeighborLoader [fanout]*L semantics,
     utils/loader.py:10-45)."""
     from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+    import jax.numpy as _jnp
     csc = ds.extras.get("_csc")
     if csc is None:
         csc = CSCGraph.from_edge_index(np.asarray(ds.edge_index),
@@ -243,7 +244,8 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
         ds.extras["_dev_tables"] = tables
     node_table, edge_table = tables
     labels = np.asarray(ds.labels)
-    losses = []
+    losses = []           # device-side running SUM (one readback per epoch)
+    n_batches = 0
     if task_kind == "node":
         seeds = np.nonzero(np.asarray(split["train"]))[0]
         it = NeighborBatchIterator(
@@ -260,7 +262,9 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
                 trainable, frozen, opt_state, state, k, g,
                 jnp.asarray(y_batch), jnp.asarray(seed_mask), node_table,
                 edge_table)
-            losses.append(loss)
+            losses = [loss] if not losses else [jax.tree_util.tree_map(
+                _jnp.add, losses[0], loss)]
+            n_batches += 1
     else:
         edge_ids = np.nonzero(np.asarray(split["train"]))[0]
         rng_np.shuffle(edge_ids)
@@ -292,8 +296,10 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
                 trainable, frozen, opt_state, state, k, g,
                 jnp.asarray(li), jnp.asarray(ri), jnp.asarray(y_batch),
                 jnp.asarray(label_mask), node_table, edge_table)
-            losses.append(loss)
-    return trainable, opt_state, state, key, losses
+            losses = [loss] if not losses else [jax.tree_util.tree_map(
+                _jnp.add, losses[0], loss)]
+            n_batches += 1
+    return trainable, opt_state, state, key, losses, n_batches
 
 
 def _select_step(nondonating, donating, first_flag):
@@ -450,14 +456,14 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
 
         for epoch in range(cfg.epochs):
             if minibatch:
-                trainable, opt_state, state, key, mb_losses = \
+                trainable, opt_state, state, key, mb_losses, n_mb = \
                     _minibatch_epoch(ds, cfg, task_kind, masks, rng_np,
                                      split_mb_step, trainable, frozen,
                                      opt_state, state, key)
-                loss = {k: float(np.mean([float(l[k]) for l in mb_losses]))
-                        for k in mb_losses[0]} if mb_losses else {
-                            "loss": 0.0, "act_loss": 0.0, "jac_loss": 0.0,
-                            "env_loss": 0.0}
+                loss = {k: float(v) / max(n_mb, 1) for k, v in
+                        jax.device_get(mb_losses[0]).items()} \
+                    if mb_losses else {"loss": 0.0, "act_loss": 0.0,
+                                       "jac_loss": 0.0, "env_loss": 0.0}
             else:
                 key, k_step = jax.random.split(key)
                 trainable, opt_state, state, loss, moe_stats = \
