@@ -79,6 +79,13 @@ class VQConfig:
     stochastic_sample_codes: bool = False
     sample_codebook_temp: float = 1.0
     straight_through_gumbel: bool = False
+    # Opt-in Pallas fused nearest-code kernel (ops/vq_pallas.py).  Measured
+    # on the round-1 v5e: the VQ hot loop is MXU-bound (f32 score + one-hot
+    # matmuls), so the fusion is on par with XLA's own fusion in the forward
+    # (32 vs 34 ms at arxiv scale) and the custom backward is slower than
+    # XLA autodiff (105 vs 65 ms) — default off; revisit on hardware where
+    # the [H, N, C] materializations are bandwidth-bound.
+    fused_kernel: bool = False
     sync_codebook: bool = False        # psum codebook stats over mesh axis
     # Affine re-parameterization of the euclidean codebook (vq.py:361-411):
     # EMA-track batch and codebook mean/variance; distances run against the
