@@ -130,6 +130,14 @@ def main():
                 bf16_out=True, slots=4).astype(jnp.float32) ** 2))(x)
         candidates["fused_bf16act"] = (fused_bf16act_step, x0_bf16, layout)
 
+        # + hub-dense decomposition (ops.edge_layout.HubDense): messages from
+        # the top-2048 gather-frequency nodes become a dense CNT @ f(x_hub)
+        # MXU matmul instead of row-rate-limited XLA gathers; enabled per
+        # direction when hub coverage is substantial (power-law graphs).
+        layout_hub = jax.device_put(build_edge_layout(
+            s_np, r_np, n_pad, edge_chunk=512, hub_size=2048))
+        candidates["fused_hub"] = (fused_bf16act_step, x0_bf16, layout_hub)
+
     results = {}
     for name, (fn, x_init, aux) in candidates.items():
         try:

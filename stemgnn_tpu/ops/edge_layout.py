@@ -24,6 +24,33 @@ from stemgnn_tpu.core.graph import round_up
 
 
 @struct.dataclass
+class HubDense:
+    """Hub-dense decomposition of one scatter direction.
+
+    On power-law graphs a few high-gather-frequency "hub" nodes source a
+    large fraction of messages, and the XLA row gather feeding the scatter
+    kernel is row-rate-limited (~22 ns/row on v5e regardless of row width).
+    In the factored-relu path each message is a pure per-source row, so all
+    hub contributions collapse into a dense MXU matmul
+
+        out_hub = CNT @ f(x[hub_ids]),   CNT[n, h] = #edges hub_h -> n
+
+    (plain XLA, ~1-2 ms at arxiv scale vs ~11 ms of gather), while the
+    remaining "tail" edges run through the normal Pallas scatter over a
+    tail-only sub-layout.  An in-kernel one-hot reconstruction was tried
+    first and measured *slower* (the [wh, eb] one-hot builds are VPU-bound at
+    ~10 us/chunk); the dense-count form moves that work to the MXU once per
+    graph.  CNT is bfloat16 — exact while every (node, hub) multiplicity is
+    < 256 (the builder asserts).
+    """
+    hub_ids: jax.Array     # [H] int32 hub node ids (gather side)
+    cnt: jax.Array         # [N_pad, H] bf16 dense count block of A
+    tail: "EdgeLayout"     # sub-layout over non-hub edges only
+    hub_size: int = struct.field(pytree_node=False, default=2048)
+    coverage: float = struct.field(pytree_node=False, default=0.0)
+
+
+@struct.dataclass
 class EdgeLayout:
     """Device-resident, static per graph.  All edge arrays are padded to a
     multiple of the kernel edge-chunk; padded slots carry receiver sentinel
@@ -59,6 +86,10 @@ class EdgeLayout:
     # re-gathering an [E, D] pre-activation.  Per sender-sorted edge chunk:
     win_lo_s: Optional[jax.Array] = None    # [C] int32 window start node id
     win_nsub_s: Optional[jax.Array] = None  # [C] int32 ceil(span / win_w)
+    # hub-dense decompositions per scatter direction (build_edge_layout
+    # hub_size > 0; None when the graph lacks hub concentration)
+    hub_r: Optional[HubDense] = None
+    hub_s: Optional[HubDense] = None
     # static metadata
     node_block: int = struct.field(pytree_node=False, default=128)
     edge_chunk: int = struct.field(pytree_node=False, default=512)
@@ -78,11 +109,54 @@ def _block_ptr(sorted_keys: np.ndarray, n_pad: int, nb: int) -> np.ndarray:
     return np.searchsorted(sorted_keys, bounds, side="left").astype(np.int32)
 
 
+def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
+                     num_nodes_padded: int, hub_size: int, node_block: int,
+                     edge_chunk: int, min_coverage: float) -> "HubDense":
+    """Hub-dense decomposition for one direction.  ``gather_by`` names which
+    endpoint the XLA gather indexes (the scatter key is the other one):
+    the forward scatters by receiver and gathers senders; the factored
+    backward scatters by sender and gathers receivers."""
+    gidx = senders if gather_by == "sender" else receivers
+    sidx = receivers if gather_by == "sender" else senders
+    freq = np.bincount(gidx[edge_mask], minlength=num_nodes_padded)
+    h = min(hub_size, num_nodes_padded)
+    hub_ids = np.argsort(-freq, kind="stable")[:h].astype(np.int32)
+    coverage = float(freq[hub_ids].sum() / max(edge_mask.sum(), 1))
+    if coverage < min_coverage:
+        return None
+    rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
+    rank[hub_ids] = np.arange(h)
+    is_hub = edge_mask & (rank[gidx] < h)
+    tail = edge_mask & ~is_hub
+
+    h_pad = round_up(h, 128)
+    cnt = np.zeros((num_nodes_padded, h_pad), np.float32)
+    np.add.at(cnt, (sidx[is_hub], rank[gidx[is_hub]]), 1.0)
+    assert cnt.max(initial=0.0) < 256, (
+        "edge multiplicity too large for exact bf16 counts")
+    hub_ids_pad = np.zeros(h_pad, np.int32)
+    hub_ids_pad[:h] = hub_ids
+
+    tail_layout = build_edge_layout(
+        senders[tail], receivers[tail], num_nodes_padded,
+        node_block=node_block, edge_chunk=edge_chunk)
+    return HubDense(hub_ids=jnp.asarray(hub_ids_pad),
+                    cnt=jnp.asarray(cnt, jnp.bfloat16),
+                    tail=tail_layout, hub_size=h, coverage=coverage)
+
+
 def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       xe_ids=None, edge_mask=None, node_block: int = 128,
-                      edge_chunk: int = 512) -> EdgeLayout:
+                      edge_chunk: int = 512, hub_size: int = 0,
+                      hub_min_coverage: float = 0.1) -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
-    (edge_mask False); they are re-pointed at the sentinel and sorted last."""
+    (edge_mask False); they are re-pointed at the sentinel and sorted last.
+
+    ``hub_size > 0`` additionally builds hub-dense decompositions per
+    direction (``hub_r``/``hub_s``, see HubDense) when the top ``hub_size``
+    gather-frequency nodes cover at least ``hub_min_coverage`` of the edges;
+    the factored-relu fused aggregation then computes hub messages as a
+    dense MXU matmul instead of row gathers."""
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
     e = senders.shape[0]
@@ -159,6 +233,15 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     win_w = min(max(round_up(max_span, 128), 128), 512, num_nodes_padded)
     nsub = np.where(valid_chunk, -(-span // win_w), 0).astype(np.int32)
 
+    hub_r = hub_s = None
+    if hub_size:
+        hub_r = _build_hub_dense(senders, receivers, edge_mask, "sender",
+                                 num_nodes_padded, hub_size, node_block,
+                                 edge_chunk, hub_min_coverage)
+        hub_s = _build_hub_dense(senders, receivers, edge_mask, "receiver",
+                                 num_nodes_padded, hub_size, node_block,
+                                 edge_chunk, hub_min_coverage)
+
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
         xe_r=to_dev(fw["xe"]), mask_r=to_dev(fw["m"]),
@@ -167,6 +250,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         xe_s=to_dev(bw["xe"]), mask_s=to_dev(bw["m"]),
         block_ptr_s=to_dev(bp_s), lrow_s=to_dev(lrow(bw["a"], bw["m"])),
         in_degree=to_dev(deg), perm_s2r=to_dev(perm),
+        hub_r=hub_r, hub_s=hub_s,
         win_lo_s=to_dev(lo.astype(np.int32)), win_nsub_s=to_dev(nsub),
         node_block=node_block, edge_chunk=edge_chunk, win_w=win_w)
 

@@ -76,9 +76,39 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return (1.0 / jnp.maximum(layout.in_degree, 1.0)
                 ).astype(jnp.float32)[:, None]
 
+    def _hub_split(src, hub, lrow, block_ptr, gather, mask, layout,
+                   f_hub=None):
+        """Hub-dense + tail-scatter sum (raw, unscaled): the hub part is a
+        dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring), the tail
+        part the normal Pallas scatter over the tail sub-layout."""
+        xh = jnp.take(src, hub.hub_ids, axis=0)
+        if f_hub is not None:
+            xh = f_hub(xh)
+        hub_out = jax.lax.dot_general(
+            hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m = jnp.take(src, gather, axis=0, mode="clip")
+        m = jnp.where(mask[:, None], m, src.dtype.type(0))
+        tail_out = scatter_rows_sorted(
+            m, lrow, block_ptr, num_nodes_padded=layout.num_nodes_padded,
+            node_block=layout.node_block, edge_chunk=layout.edge_chunk,
+            fast=fast, interpret=interpret, pipeline=pipeline,
+            relu=f_hub is not None, slots=slots)
+        return hub_out + tail_out
+
     def fwd_impl(x, table, layout: EdgeLayout, *, want_mask: bool = False):
         n_pad = layout.num_nodes_padded
         if factored:
+            out_dt = (jnp.bfloat16 if (bf16_out or x.dtype == jnp.bfloat16)
+                      else jnp.float32)
+            if layout.hub_r is not None and mdtype == jnp.bfloat16:
+                t = layout.hub_r.tail
+                sums = _hub_split(x.astype(mdtype), layout.hub_r, t.lrow_r,
+                                  t.block_ptr_r, t.senders_r, t.mask_r,
+                                  layout, f_hub=jax.nn.relu)
+                if reduce == "mean":
+                    sums = sums * _inv_deg(layout)
+                return sums.astype(out_dt)
             # gather raw x; relu and the mean's 1/deg run inside the kernel
             m = messages(x, table, layout, "r")
             return scatter_rows_sorted(
@@ -87,8 +117,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
                 pipeline=pipeline, relu=True, slots=slots,
                 scale=_inv_deg(layout) if reduce == "mean" else None,
-                out_dtype=jnp.bfloat16
-                if (bf16_out or x.dtype == jnp.bfloat16) else jnp.float32)
+                out_dtype=out_dt)
         pre = messages(x, table, layout, "r")
         m = jax.nn.relu(pre) if relu else pre
         sums = scatter_rows_sorted(
@@ -125,6 +154,14 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             if reduce == "mean":
                 gp = gp * _inv_deg(layout)
             gp = gp.astype(mdtype)
+            if layout.hub_s is not None and mdtype == jnp.bfloat16:
+                t = layout.hub_s.tail
+                sums = _hub_split(gp, layout.hub_s, t.lrow_s, t.block_ptr_s,
+                                  t.receivers_s, t.mask_s, layout)
+                # factored relu gate, fused with the sum in one XLA pass
+                dx = jnp.where(first.astype(jnp.float32) > 0, sums, 0.0)
+                return (dx.astype(first.dtype), _zero_cot(table),
+                        _zero_cot(layout))
             dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
             dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
             dx = scatter_rows_sorted(

@@ -1,0 +1,102 @@
+"""Hub-dense decomposition (ops.edge_layout.HubDense + the fused SAGE
+factored path): layout invariants and equality with the plain gather path
+(interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stemgnn_tpu.ops.edge_layout import build_edge_layout
+from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
+
+
+def _skewed_graph(rng, n=300, e=900):
+    hot = rng.integers(0, 8, e // 2).astype(np.int32)
+    cold = rng.integers(0, n, e - e // 2).astype(np.int32)
+    s = rng.permutation(np.concatenate([hot, cold])).astype(np.int32)
+    r = rng.integers(0, n, e).astype(np.int32)
+    return s, r
+
+
+def test_hub_dense_layout_invariants(rng):
+    n_pad = 512
+    s, r = _skewed_graph(rng)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128, hub_size=64)
+    assert lay.hub_r is not None and lay.hub_s is not None
+    hub = lay.hub_r
+    assert hub.coverage > 0.3
+    cnt = np.asarray(hub.cnt, np.float32)
+    hub_ids = np.asarray(hub.hub_ids)[:hub.hub_size]
+    rank = {int(v): i for i, v in enumerate(hub_ids)}
+    want = np.zeros_like(cnt)
+    n_hub_edges = 0
+    for si, ri in zip(s, r):
+        if int(si) in rank:
+            want[ri, rank[int(si)]] += 1
+            n_hub_edges += 1
+    np.testing.assert_array_equal(cnt, want)
+    assert cnt.sum() == n_hub_edges
+    # tail sub-layout holds exactly the remaining edges
+    tmask = np.asarray(hub.tail.mask_r)
+    assert tmask.sum() == len(s) - n_hub_edges
+    # partition: every tail sender is non-hub
+    tsend = np.asarray(hub.tail.senders_r)[tmask]
+    assert not np.isin(tsend, hub_ids).any()
+
+
+@pytest.mark.parametrize("skew,hub_size", [(True, 64), (False, 64),
+                                           (True, 512)])
+def test_fused_sage_hub_matches_plain(rng, skew, hub_size):
+    """Values and gradients of the factored bf16 path are identical through
+    the hub-dense decomposition (hub_size=512 >= n: empty tail)."""
+    n_pad = 512
+    if skew:
+        s, r = _skewed_graph(rng)
+    else:
+        s = rng.integers(0, 300, 900).astype(np.int32)
+        r = rng.integers(0, 300, 900).astype(np.int32)
+    lay_hub = build_edge_layout(s, r, n_pad, edge_chunk=128,
+                                hub_size=hub_size, hub_min_coverage=0.0)
+    lay_plain = build_edge_layout(s, r, n_pad, edge_chunk=128)
+    assert lay_hub.hub_r is not None
+    x = jnp.asarray(rng.standard_normal((n_pad, 96)).astype(np.float32))
+
+    def loss(x, lay):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, out_hub), g_hub = jax.value_and_grad(loss, has_aux=True)(x, lay_hub)
+    (_, out_plain), g_plain = jax.value_and_grad(loss, has_aux=True)(
+        x, lay_plain)
+    np.testing.assert_allclose(np.asarray(out_hub), np.asarray(out_plain),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g_hub), np.asarray(g_plain),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_hub_dense_matches_numpy(rng):
+    """End-to-end vs a dense numpy reference (bf16-rounded inputs)."""
+    n_pad = 512
+    s, r = _skewed_graph(rng)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128, hub_size=64)
+    x = rng.standard_normal((n_pad, 64)).astype(np.float32)
+    out = fused_sage_aggregate(jnp.asarray(x), lay, None, reduce="mean",
+                               relu=True, bf16_messages=True, interpret=True)
+    xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16), np.float32)
+    want = np.zeros((n_pad, 64), np.float32)
+    np.add.at(want, r, np.maximum(xb[s], 0.0))
+    deg = np.zeros(n_pad, np.float32)
+    np.add.at(deg, r, 1.0)
+    want = want / np.maximum(deg, 1.0)[:, None]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
+def test_hub_min_coverage_gate(rng):
+    """Uniform low-degree graphs skip the hub build entirely."""
+    s = rng.permutation(np.arange(500)).astype(np.int32)
+    r = rng.permutation(np.arange(500)).astype(np.int32)
+    lay = build_edge_layout(s, r, 512, edge_chunk=128, hub_size=16,
+                            hub_min_coverage=0.2)
+    assert lay.hub_r is None and lay.hub_s is None
