@@ -76,6 +76,11 @@ def get_args():
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
                    help="layer-wise streaming eval (huge graphs)")
+    p.add_argument("--use_fused_layout", type=int, default=1, choices=[0, 1],
+                   help="full-batch TPU: precomputed edge layout -> fused "
+                        "Pallas scatter + hub-dense aggregation")
+    p.add_argument("--hub_size", type=int, default=2048,
+                   help="dense hub block size (0 disables hub-dense)")
     return p
 
 
@@ -177,7 +182,8 @@ def main():
         use_vq=bool(args.use_vq), freeze_vq=bool(args.freeze_vq),
         separate_decoder_for_each_head=bool(args.separate_decoder_for_each_head),
         decoder_jac_coeff=args.decoder_jac_coeff, lamda_env=args.lamda_env,
-        num_classes=num_classes, eval_chunked=bool(args.eval_chunked))
+        num_classes=num_classes, eval_chunked=bool(args.eval_chunked),
+        use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size)
 
     logger = run_finetune(payload, cfg, pretrained=pretrained, verbose=True,
                           donate=args.donate)

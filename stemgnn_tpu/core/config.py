@@ -171,6 +171,12 @@ class FinetuneConfig:
     # per-epoch as in the reference; over a remote-dispatch transport this
     # removes ~6 host round-trips per epoch.  0 disables (per-epoch steps).
     epoch_chunk: int = 16
+    # Full-batch on TPU: precompute an ops.edge_layout.EdgeLayout (attached
+    # to the graph) so aggregation runs the fused Pallas scatter + hub-dense
+    # path; hub_size bounds the dense CNT block (0 disables hubs).  The
+    # layout path requires the sage backbone.
+    use_fused_layout: bool = True
+    hub_size: int = 2048
 
 
 def _update(dc, d: dict):

@@ -66,6 +66,13 @@ class Graph:
     # Disjoint-batch segment ids (graph id per node), for graph-level pooling.
     node_graph_id: Optional[jax.Array] = None  # [N_pad] int32
     n_graph: Optional[jax.Array] = None        # [] int32
+    # Optional precomputed kernel layout (ops.edge_layout.EdgeLayout) +
+    # per-edge-type feature table [T, D].  When present (and on TPU), the
+    # encoder's aggregation runs the fused Pallas/hub-dense path with type
+    # features gathered from the small table on the fly, instead of the XLA
+    # gather/segment path over materialized [E_pad, D] edge_feat.
+    layout: Optional[object] = None
+    edge_table: Optional[jax.Array] = None
 
     @property
     def num_nodes_padded(self) -> int:

@@ -46,7 +46,8 @@ def train_node_with_buckets(ds: TAGDataset, cfg: FinetuneConfig,
     Returns dict with best snapshot (params/state), per-bucket accuracy at the
     best-val epoch, and the final accuracy curves.
     """
-    graph = ds.to_graph()
+    from stemgnn_tpu.train.graph_setup import fused_full_graph
+    graph = fused_full_graph(ds, cfg)
     n, pad = ds.num_nodes, graph.num_nodes_padded
     y_np = np.zeros(pad, np.int32)
     y_np[:n] = np.asarray(ds.labels)[:n]
@@ -225,7 +226,8 @@ def evaluate_snapshot_on(ds: TAGDataset, cfg: FinetuneConfig, best: dict,
                          bucket_indices: Optional[Dict[str, np.ndarray]] = None):
     """Re-evaluate a best-val snapshot on a (possibly perturbed) graph
     (missing_feature.py:656-713, random_edge_drop.py:648-724)."""
-    graph = ds.to_graph()
+    from stemgnn_tpu.train.graph_setup import fused_full_graph
+    graph = fused_full_graph(ds, cfg)
     n, pad = ds.num_nodes, graph.num_nodes_padded
 
     @jax.jit

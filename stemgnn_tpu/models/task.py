@@ -53,12 +53,16 @@ def task_model_init(key, cfg: FinetuneConfig, encoder_params=None,
 def encode(params, state, cfg: FinetuneConfig, g: Graph, *, training: bool,
            rng=None, layout=None, edge_table=None,
                   axis_name: Optional[str] = None):
-    """Encoder forward on a padded graph; returns (z, new_state, aux)."""
+    """Encoder forward on a padded graph; returns (z, new_state, aux).
+    A layout/edge_table attached to the graph (core.graph.Graph) is picked
+    up automatically unless overridden."""
     z, enc_state, aux = encoder_apply(
         params["encoder"], state["encoder"], cfg.encoder,
         g.node_feat, g.senders, g.receivers, edge_feat=g.edge_feat,
         edge_mask=g.edge_mask, node_mask=g.node_mask, training=training,
-        rng=rng, layout=layout, edge_table=edge_table, axis_name=axis_name)
+        rng=rng, layout=layout if layout is not None else g.layout,
+        edge_table=edge_table if edge_table is not None else g.edge_table,
+        axis_name=axis_name)
     return z, dict(state, encoder=enc_state), aux
 
 
@@ -74,7 +78,8 @@ def maybe_kmeans_init_vq(params, state, cfg: FinetuneConfig, g: Graph,
     z, _, _ = encoder_apply(
         params["encoder"], state["encoder"], cfg.encoder,
         g.node_feat, g.senders, g.receivers, edge_feat=g.edge_feat,
-        edge_mask=g.edge_mask, node_mask=g.node_mask, training=False)
+        edge_mask=g.edge_mask, node_mask=g.node_mask, training=False,
+        layout=g.layout, edge_table=g.edge_table)
     vq_params, vq_state = vq_kmeans_init(rng, params["vq"], state["vq"],
                                          cfg.vq, z, mask=g.node_mask)
     return dict(params, vq=vq_params), dict(state, vq=vq_state)

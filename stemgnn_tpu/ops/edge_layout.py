@@ -255,14 +255,43 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         node_block=node_block, edge_chunk=edge_chunk, win_w=win_w)
 
 
-def layout_from_graph(g, node_block: int = 128,
-                      edge_chunk: int = 512) -> EdgeLayout:
+def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,
+                      xe_ids=None, hub_size: int = 0) -> EdgeLayout:
     """Build a layout from a padded Graph whose nodes are already a multiple
-    of ``node_block`` (re-pad first if not)."""
+    of ``node_block`` (re-pad first if not).  ``xe_ids`` are per-edge type
+    ids aligned with the graph's (padded) edge arrays."""
     n_pad = g.num_nodes_padded
     if n_pad % node_block:
         raise ValueError("re-pad graph nodes to a multiple of node_block")
     return build_edge_layout(
         np.asarray(g.senders), np.asarray(g.receivers), n_pad,
-        edge_mask=np.asarray(g.edge_mask),
-        node_block=node_block, edge_chunk=edge_chunk)
+        xe_ids=xe_ids, edge_mask=np.asarray(g.edge_mask),
+        node_block=node_block, edge_chunk=edge_chunk, hub_size=hub_size)
+
+
+def attach_layout(g, xe_ids=None, edge_table=None, node_block: int = 128,
+                  edge_chunk: int = 512, hub_size: int = 0):
+    """Return ``g`` with a precomputed EdgeLayout (+ optional type-feature
+    table [T, D]) attached, unlocking the fused TPU aggregation path in the
+    encoder (models/task.encode picks both up from the graph).  ``xe_ids``
+    may be unpadded ([n_edge]) — padded slots get type 0 and are masked.
+
+    A single-row ``edge_table`` keeps the aggregation factored (hub-dense
+    capable); with it attached, ``g.edge_feat`` need not be materialized.
+    Edge-type hubs interact with dropout-style edge masking only through
+    message zeroing, so layouts must be attached to graphs whose edge set is
+    fixed (full-batch finetune/eval — not the pretrain edge-dropout path
+    unless hub_size == 0 and masks are folded into messages)."""
+    e_pad = g.num_edges_padded
+    if xe_ids is not None:
+        xe_ids = np.asarray(xe_ids, np.int32)
+        if xe_ids.shape[0] < e_pad:
+            xe_ids = np.concatenate(
+                [xe_ids, np.zeros(e_pad - xe_ids.shape[0], np.int32)])
+    if edge_table is not None and np.shape(edge_table)[0] > 1:
+        hub_size = 0   # hubs need factored (per-source) messages: T <= 1
+    lay = layout_from_graph(g, node_block=node_block, edge_chunk=edge_chunk,
+                            xe_ids=xe_ids, hub_size=hub_size)
+    if edge_table is not None:
+        edge_table = jnp.asarray(edge_table)
+    return g.replace(layout=jax.device_put(lay), edge_table=edge_table)

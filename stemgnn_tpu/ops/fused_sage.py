@@ -48,9 +48,23 @@ def _zero_cot(tree):
 @functools.lru_cache(maxsize=None)
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
           interpret: bool, bf16_messages: bool, relu_residual: bool,
-          pipeline: str, bf16_out: bool, slots: int):
+          pipeline: str, bf16_out: bool, slots: int, single_type: bool):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
+
+    def _type_rows(table, xe):
+        """Per-edge type feature lookup.  The XLA row gather is row-rate-
+        limited (~22 ns/row on v5e) even from tiny tables, so small type
+        tables go through a one-hot MXU matmul instead."""
+        t_rows = table.shape[0]
+        if single_type:
+            return table[0][None, :]              # broadcast, no gather
+        if t_rows <= 32:
+            oh = jax.nn.one_hot(xe, t_rows, dtype=table.dtype)
+            return jax.lax.dot_general(
+                oh, table, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=table.dtype)
+        return jnp.take(table, xe, axis=0)
 
     def messages(x, table, layout: EdgeLayout, order: str):
         senders = layout.senders_s if order == "s" else layout.senders_r
@@ -59,8 +73,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         x = x.astype(mdtype)
         # sentinel sender == N_pad clamps to the last row (masked below)
         xs = jnp.take(x, senders, axis=0, mode="clip")
-        pre = xs + jnp.take(table.astype(mdtype), xe, axis=0) if with_table \
-            else xs
+        pre = xs + _type_rows(table.astype(mdtype), xe) if with_table else xs
         # zero padded-edge slots: the clipped row may hold garbage (NaN/inf
         # in the worst case), and 0 * NaN = NaN would survive the kernel's
         # zero one-hot column
@@ -70,30 +83,45 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
     # 1[x_j > 0] depends on the *sender row only*, so the backward needs no
     # per-edge mask recompute — it gates the scatter output per node instead
     # (d relu factoring).  This drops a whole [E, D] gather from the backward.
-    factored = relu and not with_table
+    # A single-row type table keeps messages per-source (relu(x_j + t0)), so
+    # the same factoring (and the hub-dense path) applies with a shifted
+    # activation — this covers every single-edge-text dataset (cora/pubmed/
+    # arxiv/wikics, reference dataset/*/gen_data.py "Without using edge
+    # text" convention).
+    factored = relu and (not with_table or single_type)
+
+    def _t0(table):
+        return table[0].astype(mdtype)[None, :] if (with_table
+                                                    and single_type) else None
 
     def _inv_deg(layout):
         return (1.0 / jnp.maximum(layout.in_degree, 1.0)
                 ).astype(jnp.float32)[:, None]
 
     def _hub_split(src, hub, lrow, block_ptr, gather, mask, layout,
-                   f_hub=None):
+                   relu_msgs: bool = False, t0=None):
         """Hub-dense + tail-scatter sum (raw, unscaled): the hub part is a
         dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring), the tail
-        part the normal Pallas scatter over the tail sub-layout."""
+        part the normal Pallas scatter over the tail sub-layout.  ``t0`` is
+        the broadcast single-type table row added to every message (the
+        factored T=1 case) or None."""
         xh = jnp.take(src, hub.hub_ids, axis=0)
-        if f_hub is not None:
-            xh = f_hub(xh)
+        if t0 is not None:
+            xh = xh + t0
+        if relu_msgs:
+            xh = jax.nn.relu(xh)
         hub_out = jax.lax.dot_general(
             hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m = jnp.take(src, gather, axis=0, mode="clip")
+        if t0 is not None:
+            m = m + t0
         m = jnp.where(mask[:, None], m, src.dtype.type(0))
         tail_out = scatter_rows_sorted(
             m, lrow, block_ptr, num_nodes_padded=layout.num_nodes_padded,
             node_block=layout.node_block, edge_chunk=layout.edge_chunk,
             fast=fast, interpret=interpret, pipeline=pipeline,
-            relu=f_hub is not None, slots=slots)
+            relu=relu_msgs, slots=slots)
         return hub_out + tail_out
 
     def fwd_impl(x, table, layout: EdgeLayout, *, want_mask: bool = False):
@@ -105,7 +133,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 t = layout.hub_r.tail
                 sums = _hub_split(x.astype(mdtype), layout.hub_r, t.lrow_r,
                                   t.block_ptr_r, t.senders_r, t.mask_r,
-                                  layout, f_hub=jax.nn.relu)
+                                  layout, relu_msgs=True, t0=_t0(table))
                 if reduce == "mean":
                     sums = sums * _inv_deg(layout)
                 return sums.astype(out_dt)
@@ -154,12 +182,17 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             if reduce == "mean":
                 gp = gp * _inv_deg(layout)
             gp = gp.astype(mdtype)
+            # factored relu gate: 1[x_j (+ t0) > 0], per source row (the
+            # single-type shift keeps the forward's bf16 pre-activation
+            # arithmetic so the mask matches bit-exactly)
+            t0 = _t0(table)
+            gate = first if t0 is None else first.astype(mdtype) + t0
             if layout.hub_s is not None and mdtype == jnp.bfloat16:
                 t = layout.hub_s.tail
                 sums = _hub_split(gp, layout.hub_s, t.lrow_s, t.block_ptr_s,
                                   t.receivers_s, t.mask_s, layout)
-                # factored relu gate, fused with the sum in one XLA pass
-                dx = jnp.where(first.astype(jnp.float32) > 0, sums, 0.0)
+                # gate fused with the sum in one XLA pass
+                dx = jnp.where(gate.astype(jnp.float32) > 0, sums, 0.0)
                 return (dx.astype(first.dtype), _zero_cot(table),
                         _zero_cot(layout))
             dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
@@ -168,7 +201,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 dm, layout.lrow_s, layout.block_ptr_s,
                 num_nodes_padded=n_pad, node_block=layout.node_block,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
-                pipeline=pipeline, gate=first, out_dtype=first.dtype,
+                pipeline=pipeline, gate=gate, out_dtype=first.dtype,
                 slots=slots)
             return dx, _zero_cot(table), _zero_cot(layout)
         if reduce == "mean":
@@ -240,9 +273,13 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     assert x.shape[0] == layout.num_nodes_padded, (
         x.shape, layout.num_nodes_padded)
     with_table = edge_table is not None
+    # one table row == one edge type everywhere: messages stay per-source
+    # (relu(x_j + t0)) and the factored/hub machinery applies
+    single_type = with_table and edge_table.shape[0] == 1
     relu_residual = relu_residual and relu and layout.perm_s2r is not None
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
-               bf16_messages, relu_residual, pipeline, bf16_out, slots)
+               bf16_messages, relu_residual, pipeline, bf16_out, slots,
+               single_type)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
     return fn(x, edge_table, layout)

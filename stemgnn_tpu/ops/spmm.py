@@ -88,6 +88,20 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
         from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
         return fused_sage_aggregate(x, layout, edge_table, reduce=reduce,
                                     relu=relu, bf16_messages=bf16_messages)
+    if edge_feat is None and edge_table is not None:
+        # layout-only graphs (edge_feat never materialized) must not fall
+        # back silently without their per-edge type features
+        xe = getattr(layout, "xe_r", None) if layout is not None else None
+        if xe is None:
+            raise ValueError(
+                "edge_table given without layout xe ids or edge_feat — "
+                "cannot run the non-fused path with type features")
+        # reconstruct in layout (receiver-sorted) edge order
+        edge_feat = jnp.take(edge_table, xe, axis=0)
+        return gather_scatter_aggregate(
+            x, layout.senders_r, layout.receivers_r, edge_feat=edge_feat,
+            edge_mask=layout.mask_r, num_nodes=num_nodes, reduce=reduce,
+            relu=relu, indices_are_sorted=True)
     return gather_scatter_aggregate(
         x, senders, receivers, edge_feat=edge_feat, edge_mask=edge_mask,
         num_nodes=num_nodes, reduce=reduce, relu=relu)

@@ -331,7 +331,10 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
         pad_items = round_up(max(n_items, 1), 8 if task_kind == "node"
                              else 128)
     else:
-        graph = ds.to_graph()
+        # fused-aggregation layout when on TPU (train/graph_setup.py);
+        # under minibatch training this graph still drives full-batch eval
+        from stemgnn_tpu.train.graph_setup import fused_full_graph
+        graph = fused_full_graph(ds, cfg)
         pad_items = graph.num_nodes_padded if task_kind == "node" \
             else graph.num_edges_padded
 

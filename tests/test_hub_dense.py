@@ -100,3 +100,67 @@ def test_hub_min_coverage_gate(rng):
     lay = build_edge_layout(s, r, 512, edge_chunk=128, hub_size=16,
                             hub_min_coverage=0.2)
     assert lay.hub_r is None and lay.hub_s is None
+
+
+@pytest.mark.parametrize("with_hub", [False, True])
+def test_single_type_table_factored(rng, with_hub):
+    """A one-row edge-type table keeps messages per-source: the factored
+    (and hub-dense) path must match the generic XLA reference."""
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+
+    n_pad = 512
+    s, r = _skewed_graph(rng)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128,
+                            hub_size=64 if with_hub else 0,
+                            hub_min_coverage=0.0)
+    if with_hub:
+        assert lay.hub_r is not None
+    d = 96
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((1, d)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    tb = table.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def loss_fused(x):
+        out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    def loss_ref(x):
+        ef = jnp.broadcast_to(tb[0], (len(s), tb.shape[1]))
+        out = gather_scatter_aggregate(x, jnp.asarray(s), jnp.asarray(r),
+                                       edge_feat=ef, num_nodes=n_pad,
+                                       reduce="mean", relu=True)
+        return jnp.sum(out ** 2), out
+
+    (_, o1), g1 = jax.value_and_grad(loss_fused, has_aux=True)(x)
+    (_, o2), g2 = jax.value_and_grad(loss_ref, has_aux=True)(xb)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_small_table_onehot_lookup(rng):
+    """T<=32 type tables go through the one-hot matmul lookup — results
+    must match the generic gather path (T=11, the WN18RR relation count)."""
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+
+    n_pad = 512
+    s, r = _skewed_graph(rng)
+    xe = rng.integers(0, 11, len(s)).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128, xe_ids=xe)
+    d = 96
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((11, d)).astype(np.float32))
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    tb = table.astype(jnp.bfloat16).astype(jnp.float32)
+
+    out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=True,
+                               bf16_messages=True, interpret=True)
+    ref = gather_scatter_aggregate(xb, jnp.asarray(s), jnp.asarray(r),
+                                   edge_feat=jnp.take(tb, jnp.asarray(xe),
+                                                      axis=0),
+                                   num_nodes=n_pad, reduce="mean", relu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
