@@ -211,13 +211,18 @@ def make_indexed_graph(node_ids, senders, receivers, xe_ids=None,
     nm[:n] = True
     em = np.zeros(e_pad, bool)
     em[:e] = True
+    # NUMPY leaves on purpose: the batch transfers once at the jitted step's
+    # dispatch.  Eager jnp.asarray per field costs a blocking round trip
+    # each on remote-dispatch transports (~37 ms/batch measured on the
+    # tunneled v5e vs ~1 ms host-side), and np.stack for the data-parallel
+    # path stays host-side instead of a device round trip.
     return IndexedGraph(
-        node_ids=jnp.asarray(pad1(node_ids, n_pad)),
-        senders=jnp.asarray(pad1(senders, e_pad)),
-        receivers=jnp.asarray(pad1(receivers, e_pad)),
-        node_mask=jnp.asarray(nm), edge_mask=jnp.asarray(em),
-        n_node=jnp.asarray(n, jnp.int32), n_edge=jnp.asarray(e, jnp.int32),
-        xe_ids=None if xe_ids is None else jnp.asarray(pad1(xe_ids, e_pad)))
+        node_ids=pad1(node_ids, n_pad),
+        senders=pad1(senders, e_pad),
+        receivers=pad1(receivers, e_pad),
+        node_mask=nm, edge_mask=em,
+        n_node=np.int32(n), n_edge=np.int32(e),
+        xe_ids=None if xe_ids is None else pad1(xe_ids, e_pad))
 
 
 def materialize_graph(ig: IndexedGraph, node_table, edge_table=None) -> Graph:

@@ -125,7 +125,7 @@ class NeighborBatchIterator:
                  rng: np.random.Generator, node_pad: Optional[int] = None,
                  edge_pad: Optional[int] = None, shuffle: bool = True,
                  drop_last: bool = False, use_native: bool = True,
-                 indexed: bool = False):
+                 indexed: bool = False, pad_mode: str = "auto"):
         self.csc = csc
         self.node_feat_table = node_feat_table
         self.edge_feat_table = edge_feat_table
@@ -137,22 +137,42 @@ class NeighborBatchIterator:
         self.rng = rng
         self.shuffle = shuffle
         self.drop_last = drop_last
-        if node_pad is None:
-            closure = batch_size
-            width = batch_size
-            for f in self.fanouts:
-                width = width * max(f, 1)
-                closure += width
-            node_pad = round_up(min(closure, csc.num_nodes + batch_size), 128)
-        if edge_pad is None:
-            edge_pad = round_up(max(node_pad - batch_size, 128), 128)
-        self.node_pad = node_pad
-        self.edge_pad = edge_pad
         self.indexed = indexed
         self._native = False
         if use_native:
             from stemgnn_tpu.data import native_sampler
             self._native = native_sampler.native_available()
+        closure = batch_size
+        width = batch_size
+        for f in self.fanouts:
+            width = width * max(f, 1)
+            closure += width
+        worst_n = round_up(min(closure, csc.num_nodes + batch_size), 128)
+        worst_e = round_up(max(worst_n - batch_size, 128), 128)
+        if node_pad is None and pad_mode == "auto" and len(self.seeds):
+            # Empirical padding buckets: the worst-case closure is often
+            # 10-30x the real subgraph size (sparse graphs rarely fill the
+            # fanout), which multiplies both device compute and transfer.
+            # Probe a few batches, pad 2x the max seen; the sampler caps at
+            # the bucket so a rare oversized batch truncates (the reference
+            # samplers also cap, gp/utils/graph.py:32-46).
+            probe_rng = np.random.default_rng(0xC0FFEE)
+            mx_n = mx_e = 1
+            for _ in range(8):
+                chunk = self.seeds[probe_rng.integers(
+                    0, len(self.seeds), min(batch_size, len(self.seeds)))]
+                nodes, es, _, _ = self._sample(chunk, probe_rng,
+                                               node_cap=worst_n,
+                                               edge_cap=worst_e)
+                mx_n, mx_e = max(mx_n, len(nodes)), max(mx_e, len(es))
+            node_pad = round_up(min(2 * mx_n + batch_size, worst_n), 128)
+            edge_pad = round_up(min(2 * mx_e + 128, worst_e), 128)
+        if node_pad is None:
+            node_pad = worst_n
+        if edge_pad is None:
+            edge_pad = worst_e
+        self.node_pad = node_pad
+        self.edge_pad = edge_pad
 
     def __iter__(self):
         order = self.rng.permutation(len(self.seeds)) if self.shuffle \
@@ -168,16 +188,20 @@ class NeighborBatchIterator:
         n, bs = len(self.seeds), self.batch_size
         return n // bs if self.drop_last else (n + bs - 1) // bs
 
-    def make_batch(self, seed_chunk: np.ndarray):
+    def _sample(self, seed_chunk: np.ndarray, rng, node_cap: int,
+                edge_cap: int):
         if self._native:
             from stemgnn_tpu.data import native_sampler
-            seed64 = int(self.rng.integers(0, 2**62))
-            nodes, es, ed, eids = native_sampler.sample_subgraph_native(
+            seed64 = int(rng.integers(0, 2**62))
+            return native_sampler.sample_subgraph_native(
                 self.csc, seed_chunk, self.fanouts, seed64,
-                node_cap=self.node_pad, edge_cap=self.edge_pad)
-        else:
-            nodes, es, ed, eids = sample_subgraph(self.csc, seed_chunk,
-                                                  self.fanouts, self.rng)
+                node_cap=node_cap, edge_cap=edge_cap)
+        return sample_subgraph(self.csc, seed_chunk, self.fanouts, rng)
+
+    def make_batch(self, seed_chunk: np.ndarray):
+        nodes, es, ed, eids = self._sample(seed_chunk, self.rng,
+                                           node_cap=self.node_pad,
+                                           edge_cap=self.edge_pad)
         nodes = nodes[: self.node_pad]          # safety clamp
         keep = (es < len(nodes)) & (ed < len(nodes))
         es, ed, eids = es[keep], ed[keep], eids[keep]
