@@ -515,10 +515,12 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
     """Host-side batching of molecule graphs into padded disjoint batches.
 
     Labels are padded to ``batch_size`` rows so device shapes stay fixed;
-    ``n_real`` marks the valid prefix.
+    ``n_real`` marks the valid prefix.  A GENERATOR: padded batches are
+    built lazily so huge datasets (chempcba: 437k molecules) never
+    materialize all batches in host memory at once (the reference streams
+    through DataLoaders the same way, utils/loader.py:48-72).
     """
     num_tasks = labels.shape[1]
-    batches = []
     for i in range(0, len(idxs), batch_size):
         chunk = idxs[i: i + batch_size]
         gs = [graphs[j] for j in chunk]
@@ -528,8 +530,7 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
                          edge_pad_to=round_up(max(tot_e, 1), edge_bucket))
         lab = np.full((batch_size, num_tasks), np.nan)
         lab[: len(chunk)] = np.stack([labels[j] for j in chunk])
-        batches.append((g, lab, len(chunk)))
-    return batches
+        yield g, lab, len(chunk)
 
 
 def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
@@ -545,6 +546,10 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         if shuffle_rng is not None:
             shuffle_rng.shuffle(idxs)
         return _batch_graph_list(graphs, labels, idxs, bs)
+
+    # Small splits: cache the padded eval batches across epochs.  Large
+    # splits: re-stream them each eval (bounded host memory).
+    cache_eval = len(graphs) <= 50_000
 
     batch_size = cfg.batch_size or 64
 
@@ -598,11 +603,18 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
-        eval_batches = {k: make_batches(split[k], cfg.batch_size or 64)
-                        for k in ["train", "valid", "test"]}
-        if eval_batches["train"]:
+        if cache_eval:
+            cached = {k: list(make_batches(split[k], cfg.batch_size or 64))
+                      for k in ["train", "valid", "test"]}
+            eval_batches = {k: (lambda k=k: cached[k]) for k in cached}
+        else:
+            eval_batches = {k: (lambda k=k: make_batches(
+                split[k], cfg.batch_size or 64))
+                for k in ["train", "valid", "test"]}
+        first_train = next(iter(eval_batches["train"]()), None)
+        if first_train is not None:
             params, state = task_model.maybe_kmeans_init_vq(
-                params, state, cfg, eval_batches["train"][0][0], rng=k_init)
+                params, state, cfg, first_train[0], rng=k_init)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)
@@ -618,18 +630,32 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     trainable, frozen, opt_state, state, k_step, g, y, valid,
                     gmask)
 
-            def auc_of(batches):
-                if not batches:
+            def auc_of(batch_source):
+                # predictions read back in chunks of 128 batches — one D2H
+                # round trip per chunk (each tiny readback costs a full
+                # round trip over remote transports), host memory bounded
+                # for streamed batch sources
+                preds, ys, dev, ns = [], [], [], []
+
+                def flush():
+                    if not dev:
+                        return
+                    flat = np.asarray(jnp.concatenate(dev, axis=0))
+                    bs = dev[0].shape[0]
+                    preds.extend(flat[i * bs: i * bs + n]
+                                 for i, n in enumerate(ns))
+                    dev.clear()
+                    ns.clear()
+
+                for g, lab, n in batch_source():
+                    dev.append(predict(trainable, frozen, state, g))
+                    ns.append(n)
+                    ys.append(lab[:n])
+                    if len(dev) >= 128:
+                        flush()
+                flush()
+                if not preds:
                     return float("nan")
-                # one [B*bs, T] readback instead of one per batch (each tiny
-                # D2H costs a full round trip over remote transports)
-                dev = [predict(trainable, frozen, state, g)
-                       for g, _, _ in batches]
-                flat = np.asarray(jnp.concatenate(dev, axis=0))
-                bs = dev[0].shape[0]
-                preds = [flat[i * bs: i * bs + n]
-                         for i, (_, _, n) in enumerate(batches)]
-                ys = [lab[:n] for _, lab, n in batches]
                 return evaluate(np.concatenate(preds), np.concatenate(ys),
                                 None, "graph")
 

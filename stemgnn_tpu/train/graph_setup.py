@@ -25,11 +25,27 @@ def fused_full_graph(ds, cfg: FinetuneConfig):
                   and cfg.encoder.backbone == "sage")
     if not use_layout:
         return ds.to_graph()
-    from stemgnn_tpu.ops.edge_layout import attach_layout
+    import jax.numpy as jnp
+    from stemgnn_tpu.ops.edge_layout import build_edge_layout
     graph = ds.to_graph(node_pad_to=round_up(ds.num_nodes, 128),
                         with_edge_feat=False)
-    return attach_layout(
-        graph, xe_ids=None if ds.xe is None else np.asarray(ds.xe),
-        edge_table=None if ds.edge_text_feat is None
-        else np.asarray(ds.edge_text_feat),
-        hub_size=cfg.hub_size)
+    # build from HOST arrays (mirroring make_graph's edge padding) — a
+    # np.asarray on the device graph would be a blocking D2H sync point
+    e, e_pad = ds.num_edges, graph.num_edges_padded
+    s = np.zeros(e_pad, np.int32)
+    r = np.zeros(e_pad, np.int32)
+    s[:e] = np.asarray(ds.edge_index[0], np.int32)
+    r[:e] = np.asarray(ds.edge_index[1], np.int32)
+    mask = np.arange(e_pad) < e
+    xe = None
+    if ds.xe is not None:
+        xe = np.zeros(e_pad, np.int32)
+        xe[:e] = np.asarray(ds.xe, np.int32)[:e]
+    table = None if ds.edge_text_feat is None \
+        else np.asarray(ds.edge_text_feat)
+    hub_size = cfg.hub_size if (table is None or table.shape[0] <= 1) else 0
+    lay = build_edge_layout(s, r, graph.num_nodes_padded, xe_ids=xe,
+                            edge_mask=mask, hub_size=hub_size)
+    return graph.replace(layout=jax.device_put(lay),
+                         edge_table=None if table is None
+                         else jnp.asarray(table))

@@ -316,10 +316,13 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                       f"{msg}")
             if save_root is not None:
                 # per-epoch checkpoint (crash/preemption recovery,
-                # reference pretrain.py:160-165)
+                # reference pretrain.py:160-165).  Async when buffers are
+                # not donated: the D2H readback (~seconds over tunneled
+                # transports) streams in a writer thread while the next
+                # epoch dispatches.
                 save_checkpoint(save_root, epoch, params, teacher,
                                 state, opt_state=opt_state,
-                                rng_key=key)
+                                rng_key=key, async_save=not donate)
             if (max_steps is not None and total_steps >= max_steps):
                 break
             if preempt.should_stop:
@@ -329,27 +332,67 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 break
     finally:
         preempt.restore()
+        flush_checkpoint_writes()
     return params, teacher, state, history
 
 
+_SAVE_EXECUTOR = None
+_SAVE_FUTURES = []
+
+
+def flush_checkpoint_writes():
+    """Block until all async checkpoint writes land (and re-raise errors)."""
+    global _SAVE_FUTURES
+    for f in _SAVE_FUTURES:
+        f.result()
+    _SAVE_FUTURES = []
+
+
 def save_checkpoint(save_root: str, epoch: int, params, teacher, state,
-                    opt_state=None, rng_key=None):
+                    opt_state=None, rng_key=None, async_save: bool = False):
     """Separable encoder/VQ checkpoints (pretrain.py:160-165 analog) plus the
     full train-state bundle (params + opt + EMA buffers + RNG) for exact
-    resume (SURVEY.md §5 checkpoint/resume)."""
-    os.makedirs(save_root, exist_ok=True)
-    ckpt.save_pytree(os.path.join(save_root, f"encoder_{epoch}.npz"),
-                     {"params": params["encoder"],
-                      "state": state["encoder"]})
-    ckpt.save_pytree(os.path.join(save_root, f"vq_{epoch}.npz"),
-                     {"params": params["vq"], "state": state["vq"]})
-    bundle = {"params": params, "teacher": teacher, "state": state,
-              "epoch": np.asarray(epoch)}
-    if opt_state is not None:
-        bundle["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
-    if rng_key is not None:
-        bundle["rng_key"] = np.asarray(rng_key)
-    ckpt.save_pytree(os.path.join(save_root, f"full_{epoch}.npz"), bundle)
+    resume (SURVEY.md §5 checkpoint/resume).
+
+    ``async_save``: schedule the device->host copies without blocking and
+    write the files from a single ordered writer thread.  Callers that
+    donate train-state buffers must save synchronously (a donated array's
+    buffer is invalidated by the next step before the copy could run)."""
+    global _SAVE_EXECUTOR
+    trees = {"params": params, "teacher": teacher, "state": state,
+             "opt_state": opt_state, "rng_key": rng_key}
+
+    def write(trees):
+        params, teacher, state = (trees["params"], trees["teacher"],
+                                  trees["state"])
+        os.makedirs(save_root, exist_ok=True)
+        ckpt.save_pytree(os.path.join(save_root, f"encoder_{epoch}.npz"),
+                         {"params": params["encoder"],
+                          "state": state["encoder"]})
+        ckpt.save_pytree(os.path.join(save_root, f"vq_{epoch}.npz"),
+                         {"params": params["vq"], "state": state["vq"]})
+        bundle = {"params": params, "teacher": teacher, "state": state,
+                  "epoch": np.asarray(epoch)}
+        if trees["opt_state"] is not None:
+            bundle["opt_state"] = jax.tree_util.tree_map(
+                np.asarray, trees["opt_state"])
+        if trees["rng_key"] is not None:
+            bundle["rng_key"] = np.asarray(trees["rng_key"])
+        ckpt.save_pytree(os.path.join(save_root, f"full_{epoch}.npz"), bundle)
+
+    if not async_save:
+        write(trees)
+        return
+    for leaf in jax.tree_util.tree_leaves(trees):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+    if _SAVE_EXECUTOR is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _SAVE_EXECUTOR = ThreadPoolExecutor(max_workers=1)  # ordered writes
+    _SAVE_FUTURES.append(_SAVE_EXECUTOR.submit(write, trees))
 
 
 def load_resume_bundle(save_root: str):
