@@ -27,21 +27,7 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def bench_scan(step_fn, x0, aux, iters=10):
-    @jax.jit
-    def run(x0, aux):
-        def body(x, _):
-            out = step_fn(x, aux)
-            probe = out[0, 0]
-            return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
-        x, probes = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(probes)
-
-    float(run(x0, aux))
-    t0 = time.perf_counter()
-    float(run(x0, aux))
-    return max((time.perf_counter() - t0 - 0.003) / iters, 1e-9)
+from _bench_common import bench_scan, bench_scalar_scan  # noqa: E402
 
 
 def main():

@@ -20,19 +20,7 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def bench_scan(step_fn, x0, aux, iters=10):
-    @jax.jit
-    def run(x0, aux):
-        def body(c, _):
-            probe = step_fn(x0, aux, c)
-            return c + probe * 1e-12, probe
-        c, probes = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return jnp.sum(probes) + c
-    float(run(x0, aux))
-    t0 = time.perf_counter()
-    float(run(x0, aux))
-    return max((time.perf_counter() - t0 - 0.003) / iters, 1e-9)
+from _bench_common import bench_scan, bench_scalar_scan  # noqa: E402
 
 
 def main():
@@ -68,7 +56,7 @@ def main():
             out = jnp.take(x, idx, axis=0, mode="clip")
             return jnp.sum(out.astype(jnp.float32) * (1 + c * 1e-20))
 
-        t = bench_scan(g_step, x, senders_rand, iters=8)
+        t = bench_scalar_scan(g_step, x, senders_rand, iters=8)
         rows_ns = t / e * 1e9
         gbs = e * d * np.dtype(dtype).itemsize / t / 1e9
         print(f"gather D={d:5d} {dt_name:4s}: {t*1e3:7.2f} ms  "
@@ -83,7 +71,7 @@ def main():
                        indices_are_sorted=True)
         return jnp.sum(out.astype(jnp.float32) * (1 + c * 1e-20))
 
-    t = bench_scan(g_sorted, x, senders, iters=8)
+    t = bench_scalar_scan(g_sorted, x, senders, iters=8)
     print(f"gather D=768 bf16 sorted-hint: {t*1e3:7.2f} ms  "
           f"{t/e*1e9:5.1f} ns/row")
 

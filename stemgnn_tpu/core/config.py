@@ -33,6 +33,13 @@ class EncoderConfig:
     # in bf16 (params, BatchNorm statistics, VQ, and losses stay f32) —
     # halves the encoder's HBM traffic.  sage backbone only.
     compute_dtype: str = "float32"    # float32 | bfloat16
+    # Message precision of the FUSED aggregation path (layout-attached
+    # graphs on TPU): bfloat16 messages halve gather/scatter traffic and
+    # enable the hub-dense decomposition; accumulation stays f32 either
+    # way.  Set False for strict-f32 messages (hi/lo two-pass kernels,
+    # ~2^-16 relative error; hub-dense disabled).  Forced on when
+    # compute_dtype is bfloat16.
+    fused_bf16_messages: bool = True
 
     @property
     def moe_enabled(self) -> bool:

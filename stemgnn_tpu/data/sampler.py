@@ -22,6 +22,8 @@ import numpy as np
 
 from stemgnn_tpu.core.graph import Graph, make_graph, round_up
 
+_TRUNC_WARNED = False   # one bucket-saturation warning per process
+
 
 @dataclass
 class CSCGraph:
@@ -125,7 +127,8 @@ class NeighborBatchIterator:
                  rng: np.random.Generator, node_pad: Optional[int] = None,
                  edge_pad: Optional[int] = None, shuffle: bool = True,
                  drop_last: bool = False, use_native: bool = True,
-                 indexed: bool = False, pad_mode: str = "auto"):
+                 indexed: bool = False, pad_mode: str = "auto",
+                 probe_chunks=None):
         self.csc = csc
         self.node_feat_table = node_feat_table
         self.edge_feat_table = edge_feat_table
@@ -150,34 +153,52 @@ class NeighborBatchIterator:
             closure += width
         worst_n = round_up(min(closure, csc.num_nodes + batch_size), 128)
         worst_e = round_up(max(worst_n - batch_size, 128), 128)
-        if node_pad is None and pad_mode == "auto" and len(self.seeds):
+        if (node_pad is None and edge_pad is None and pad_mode == "auto"
+                and len(self.seeds)):
             # Empirical padding buckets: the worst-case closure is often
             # 10-30x the real subgraph size (sparse graphs rarely fill the
             # fanout), which multiplies both device compute and transfer.
-            # Batch closures concentrate sharply (union of thousands of
-            # independent neighborhoods; measured CV ~0.3% at arxiv scale),
-            # so pad to the probe max plus a spread-scaled margin.  The
-            # sampler caps at the bucket, so a rare oversized batch
+            # Probe chunks are consecutive slices of a PERMUTATION (the
+            # exact batching the epoch loop does — with-replacement draws
+            # have duplicate seeds and bias closures small); pads = probe
+            # max + a spread-scaled margin.  A rare oversized batch
             # truncates like the reference's per-hop caps
             # (gp/utils/graph.py:32-46) — counted in ``truncations``.
-            probe_rng = np.random.default_rng(0xC0FFEE)
-            szs = []
-            for _ in range(12):
-                chunk = self.seeds[probe_rng.integers(
-                    0, len(self.seeds), min(batch_size, len(self.seeds)))]
-                nodes, es, _, _ = self._sample(chunk, probe_rng,
-                                               node_cap=worst_n,
-                                               edge_cap=worst_e)
-                szs.append((len(nodes), len(es)))
-            arr = np.asarray(szs)
+            # Buckets are cached on the CSC graph so per-epoch iterator
+            # rebuilds reuse the same padded shapes (one jit compilation).
+            cache_key = ("_pad_cache", batch_size, tuple(self.fanouts))
+            cache = getattr(csc, "_pad_cache", None)
+            if cache is None:
+                cache = {}
+                csc._pad_cache = cache
+            if cache_key in cache:
+                node_pad, edge_pad = cache[cache_key]
+            else:
+                probe_rng = np.random.default_rng(0xC0FFEE)
+                if probe_chunks is None:
+                    perm = probe_rng.permutation(len(self.seeds))
+                    probe_chunks = [
+                        self.seeds[perm[i * batch_size:(i + 1) * batch_size]]
+                        for i in range(min(
+                            16, max(len(perm) // max(batch_size, 1), 1)))]
+                szs = []
+                for chunk in probe_chunks:
+                    if len(chunk) == 0:
+                        continue
+                    nodes, es, _, _ = self._sample(chunk, probe_rng,
+                                                   node_cap=worst_n,
+                                                   edge_cap=worst_e)
+                    szs.append((len(nodes), len(es)))
+                arr = np.asarray(szs) if szs else np.ones((1, 2), np.int64)
 
-            def bucket(col, cap, floor):
-                mx, mn = int(col.max()), int(col.min())
-                margin = max(4 * (mx - mn), mx // 8, floor)
-                return round_up(min(mx + margin, cap), 128)
+                def bucket(col, cap, floor):
+                    mx, mn = int(col.max()), int(col.min())
+                    margin = max(6 * (mx - mn), mx // 4, floor)
+                    return round_up(min(mx + margin, cap), 128)
 
-            node_pad = bucket(arr[:, 0], worst_n, batch_size // 4 + 8)
-            edge_pad = bucket(arr[:, 1], worst_e, 128)
+                node_pad = bucket(arr[:, 0], worst_n, batch_size // 4 + 8)
+                edge_pad = bucket(arr[:, 1], worst_e, 128)
+                cache[cache_key] = (node_pad, edge_pad)
         if node_pad is None:
             node_pad = worst_n
         if edge_pad is None:
@@ -207,26 +228,37 @@ class NeighborBatchIterator:
             return native_sampler.sample_subgraph_native(
                 self.csc, seed_chunk, self.fanouts, seed64,
                 node_cap=node_cap, edge_cap=edge_cap)
-        return sample_subgraph(self.csc, seed_chunk, self.fanouts, rng)
+        nodes, es, ed, eids = sample_subgraph(self.csc, seed_chunk,
+                                              self.fanouts, rng)
+        # mirror the native sampler's capping: nodes are BFS-ordered (seeds
+        # first), edges hop-ordered — prefix truncation keeps nearest hops
+        if len(nodes) > node_cap:
+            nodes = nodes[:node_cap]
+        keep = (es < len(nodes)) & (ed < len(nodes))
+        es, ed, eids = es[keep][:edge_cap], ed[keep][:edge_cap], \
+            eids[keep][:edge_cap]
+        return nodes, es, ed, eids
 
     def make_batch(self, seed_chunk: np.ndarray):
         nodes, es, ed, eids = self._sample(seed_chunk, self.rng,
                                            node_cap=self.node_pad,
                                            edge_cap=self.edge_pad)
-        # the native sampler clamps AT the cap, so == cap means saturated
+        # both samplers clamp AT the cap, so == cap means saturated
         if len(nodes) >= self.node_pad or len(es) >= self.edge_pad:
             self.truncations += 1
-            if self.truncations == 1:
+            global _TRUNC_WARNED
+            if not _TRUNC_WARNED:
+                _TRUNC_WARNED = True
                 print(f"[sampler] batch saturated its padding bucket "
                       f"({len(nodes)}/{self.node_pad} nodes, "
                       f"{len(es)}/{self.edge_pad} edges) — truncating "
-                      f"(counted in .truncations)")
+                      f"(counted in .truncations; warning printed once)")
         nodes = nodes[: self.node_pad]          # safety clamp
         keep = (es < len(nodes)) & (ed < len(nodes))
         es, ed, eids = es[keep], ed[keep], eids[keep]
         if len(es) > self.edge_pad:
-            sel = self.rng.choice(len(es), self.edge_pad, replace=False)
-            es, ed, eids = es[sel], ed[sel], eids[sel]
+            es, ed, eids = (es[: self.edge_pad], ed[: self.edge_pad],
+                            eids[: self.edge_pad])
         if self.indexed:
             # Index-only batch: features gathered on device from the
             # resident tables (core.graph.materialize_graph) — the

@@ -144,7 +144,9 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
             z = convs.sage_apply(layer_p, z, senders, receivers,
                                  edge_feat=edge_feat, edge_mask=edge_mask,
                                  layout=layout, edge_table=edge_table,
-                                 shard_axis=edge_shard_axis)
+                                 shard_axis=edge_shard_axis,
+                                 bf16_messages=(cfg.fused_bf16_messages
+                                                or dt == jnp.bfloat16))
         elif cfg.backbone == "gcn":
             z = convs.gcn_apply(layer_p, z, senders, receivers,
                                 edge_mask=edge_mask, node_mask=node_mask)

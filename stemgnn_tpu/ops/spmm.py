@@ -84,7 +84,11 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                                       axis=shard_axis, reduce=reduce,
                                       relu=relu)
     on_tpu = jax.default_backend() == "tpu"
-    if layout is not None and on_tpu and reduce in ("mean", "sum"):
+    # the fused path sources edge features from (edge_table, layout.xe) —
+    # never take it when only materialized edge_feat carries them
+    fused_ok = (layout is not None and on_tpu and reduce in ("mean", "sum")
+                and not (edge_feat is not None and edge_table is None))
+    if fused_ok:
         from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
         return fused_sage_aggregate(x, layout, edge_table, reduce=reduce,
                                     relu=relu, bf16_messages=bf16_messages)

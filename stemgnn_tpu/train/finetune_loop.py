@@ -271,10 +271,22 @@ def _minibatch_epoch(ds: TAGDataset, cfg: FinetuneConfig, task_kind: str,
         bs = cfg.batch_size
         fanouts = [cfg.link_fanout] * cfg.encoder.num_layers
         # One iterator with fixed 2*bs seed slots -> stable padded shapes.
+        # Padding probes must see the REAL seed distribution (edge
+        # endpoints are degree-biased: larger closures than uniform nodes).
+        def _endpoint_chunk(ids):
+            u = np.asarray(ds.edge_index[0])[ids]
+            v = np.asarray(ds.edge_index[1])[ids]
+            uniq = np.unique(np.concatenate([u, v]))
+            out = np.full(2 * bs, uniq[0] if len(uniq) else 0,
+                          dtype=np.int64)
+            out[:len(uniq)] = uniq
+            return out
+        probe = [_endpoint_chunk(edge_ids[i * bs:(i + 1) * bs])
+                 for i in range(min(12, max(len(edge_ids) // max(bs, 1), 1)))]
         it = NeighborBatchIterator(
             csc, ds.node_text_feat, ds.edge_text_feat, ds.x, ds.xe,
             np.arange(ds.num_nodes), 2 * bs, fanouts, rng_np, shuffle=False,
-            indexed=True)
+            indexed=True, probe_chunks=probe)
         for i in range(0, len(edge_ids), bs):
             chunk = edge_ids[i: i + bs]
             u = ds.edge_index[0][chunk]

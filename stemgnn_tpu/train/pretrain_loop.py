@@ -341,11 +341,19 @@ _SAVE_FUTURES = []
 
 
 def flush_checkpoint_writes():
-    """Block until all async checkpoint writes land (and re-raise errors)."""
+    """Block until all async checkpoint writes land.  Waits on every
+    pending write, always clears the queue, then re-raises the first
+    error (a stale queue would poison a later run in the same process)."""
     global _SAVE_FUTURES
-    for f in _SAVE_FUTURES:
-        f.result()
-    _SAVE_FUTURES = []
+    pending, _SAVE_FUTURES = _SAVE_FUTURES, []
+    first_err = None
+    for f in pending:
+        try:
+            f.result()
+        except Exception as exc:   # noqa: BLE001 — surfaced below
+            first_err = first_err or exc
+    if first_err is not None:
+        raise first_err
 
 
 def save_checkpoint(save_root: str, epoch: int, params, teacher, state,
@@ -392,6 +400,10 @@ def save_checkpoint(save_root: str, epoch: int, params, teacher, state,
     if _SAVE_EXECUTOR is None:
         from concurrent.futures import ThreadPoolExecutor
         _SAVE_EXECUTOR = ThreadPoolExecutor(max_workers=1)  # ordered writes
+    # backpressure: at most 2 queued snapshots (each pins a full train
+    # state's buffers until written); also surfaces write errors promptly
+    while len(_SAVE_FUTURES) >= 2:
+        _SAVE_FUTURES.pop(0).result()
     _SAVE_FUTURES.append(_SAVE_EXECUTOR.submit(write, trees))
 
 

@@ -90,3 +90,62 @@ def test_memmap_dataset_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(got.edge_index, ds.edge_index)
     assert got.num_classes == ds.num_classes
     assert len(got.splits) == len(ds.splits)
+
+
+def test_padding_bucket_cache_stable_across_epochs(rng):
+    """Per-epoch iterator rebuilds must reuse the same padded shapes (pad
+    drift would recompile the jitted step every epoch)."""
+    from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+
+    n = 400
+    s = rng.integers(0, n, 2000).astype(np.int64)
+    r = rng.integers(0, n, 2000).astype(np.int64)
+    csc = CSCGraph.from_edge_index(np.stack([s, r]), n)
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    pads = set()
+    for epoch in range(3):
+        seeds = rng.permutation(n)[:300]   # fresh seeds per epoch
+        it = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                                   seeds, 64, [5, 5], rng, indexed=True)
+        pads.add((it.node_pad, it.edge_pad))
+    assert len(pads) == 1, pads
+
+
+def test_explicit_pads_not_overwritten(rng):
+    from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+
+    n = 200
+    s = rng.integers(0, n, 800).astype(np.int64)
+    r = rng.integers(0, n, 800).astype(np.int64)
+    csc = CSCGraph.from_edge_index(np.stack([s, r]), n)
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    it = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                               np.arange(n), 32, [5], rng,
+                               edge_pad=1024, indexed=True)
+    assert it.edge_pad == 1024
+    it2 = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                                np.arange(n), 32, [5], rng,
+                                node_pad=512, indexed=True)
+    assert it2.node_pad == 512
+
+
+def test_python_fallback_respects_caps(rng):
+    """The non-native sampler must clamp at the caps like the native one
+    (BFS-prefix nodes, hop-prefix edges)."""
+    from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+
+    n = 500
+    # a dense hub so closures exceed tiny caps
+    s = np.concatenate([np.arange(n), rng.integers(0, n, 3000)]).astype(np.int64)
+    r = np.concatenate([np.zeros(n, np.int64), rng.integers(0, n, 3000)])
+    csc = CSCGraph.from_edge_index(np.stack([s, r]), n)
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    it = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                               np.arange(n), 16, [10, 10], rng,
+                               node_pad=128, edge_pad=256, indexed=True,
+                               use_native=False)
+    g, n_seeds, nodes = it.make_batch(np.arange(16))
+    assert len(nodes) <= 128
+    assert g.senders.shape[0] == 256
+    # seeds survive truncation (BFS order puts them first)
+    assert np.array_equal(nodes[:16], np.arange(16))
