@@ -142,6 +142,15 @@ class PretrainConfig:
     use_scheduler: bool = True
     grad_clip: float = 1.0
     seed: int = 42
+    # Per-batch edge layouts for the minibatch steps (fused Pallas
+    # aggregation; the in-step edge-dropout mask is folded in as a runtime
+    # keep mask).  Measured NET-NEUTRAL-TO-SLOWER on v5e at arxiv scale
+    # (the runtime mask forces a dynamic-degree segment_sum per aggregation
+    # that costs about what the fused kernels save), so "auto" currently
+    # resolves to off; "on" forces it for experiments.  Future lever:
+    # compute the kept-degree once per step, or move edge dropout into the
+    # host sampler so layouts carry static masks.
+    fused_minibatch: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -114,7 +114,10 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         aug_g.node_feat, aug_g.senders, aug_g.receivers,
         edge_feat=aug_g.edge_feat, edge_mask=aug_g.edge_mask,
         node_mask=aug_g.node_mask, training=training, rng=k_enc,
-        layout=layout, edge_table=edge_table, axis_name=axis_name)
+        layout=layout, edge_table=edge_table, axis_name=axis_name,
+        # the augmented view's edge-dropout mask is random per step — the
+        # fused path must fold it into messages and the mean's degree
+        dynamic_edge_mask=layout is not None)
     # z keeps the encoder's compute dtype into the VQ (project_in runs in
     # bf16 under mixed precision); the VQ returns f32, and the losses below
     # are f32.

@@ -80,7 +80,8 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
                   training: bool = False, rng: Optional[jax.Array] = None,
                   layout=None, edge_table=None,
                   axis_name: Optional[str] = None,
-                  edge_shard_axis: Optional[str] = None):
+                  edge_shard_axis: Optional[str] = None,
+                  dynamic_edge_mask: bool = False):
     """Forward pass (encoder.py:283-323).
 
     ``axis_name``: mesh axis for cross-shard BatchNorm statistics (needed
@@ -146,7 +147,8 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
                                  layout=layout, edge_table=edge_table,
                                  shard_axis=edge_shard_axis,
                                  bf16_messages=(cfg.fused_bf16_messages
-                                                or dt == jnp.bfloat16))
+                                                or dt == jnp.bfloat16),
+                                 dynamic_edge_mask=dynamic_edge_mask)
         elif cfg.backbone == "gcn":
             z = convs.gcn_apply(layer_p, z, senders, receivers,
                                 edge_mask=edge_mask, node_mask=node_mask)

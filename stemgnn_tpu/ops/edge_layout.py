@@ -79,6 +79,11 @@ class EdgeLayout:
     # forward residuals into backward order); padded slots point at a padded
     # receiver-sorted slot
     perm_s2r: Optional[jax.Array] = None   # [E_pad] int32
+    # sorted position -> original edge index, per direction: lets runtime
+    # per-edge values (e.g. an in-step random edge-dropout mask, original
+    # order) be permuted into kernel order with one tiny int gather
+    perm_r2o: Optional[jax.Array] = None   # [E_pad] int32
+    perm_s2o: Optional[jax.Array] = None   # [E_pad] int32
     # x-window metadata for the in-kernel relu-mask recompute of the
     # backward (ops.scatter_pallas.masked_scatter_rows_sorted): senders are
     # sorted, so each edge chunk's source rows live in a narrow node-id
@@ -150,7 +155,8 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
 def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       xe_ids=None, edge_mask=None, node_block: int = 128,
                       edge_chunk: int = 512, hub_size: int = 0,
-                      hub_min_coverage: float = 0.1) -> EdgeLayout:
+                      hub_min_coverage: float = 0.1,
+                      to_device: bool = True) -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
     (edge_mask False); they are re-pointed at the sentinel and sorted last.
 
@@ -203,13 +209,26 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     perm = np.full(e_pad, e_pad - 1, np.int32)   # padded slots -> padded slot
     perm[:e] = inv_r[order_s]
 
+    def sorted_to_orig(order):
+        # padded sorted slots point at any index (they are layout-masked)
+        out = np.full(e_pad, max(min(e, e_pad - 1), 0), np.int32)
+        out[:e] = order
+        return out
+
+    perm_r2o = sorted_to_orig(order_r)
+    perm_s2o = sorted_to_orig(order_s)
+
     bp_r = _block_ptr(fw["b"], num_nodes_padded, node_block)
     bp_s = _block_ptr(bw["a"], num_nodes_padded, node_block)
 
     deg = np.zeros(num_nodes_padded, np.float32)
     np.add.at(deg, receivers[edge_mask], 1.0)
 
-    to_dev = lambda x: None if x is None else jnp.asarray(x)
+    # to_device=False keeps numpy leaves: per-batch layouts transfer once
+    # at the jitted step's dispatch — an eager jnp.asarray per array costs a
+    # blocking round trip each on tunneled transports (~1 s per layout)
+    to_dev = ((lambda x: None if x is None else jnp.asarray(x))
+              if to_device else (lambda x: x))
 
     def lrow(keys, mask):
         # per-edge local row within the owning node block; the sentinel
@@ -252,6 +271,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         xe_s=to_dev(bw["xe"]), mask_s=to_dev(bw["m"]),
         block_ptr_s=to_dev(bp_s), lrow_s=to_dev(lrow(bw["a"], bw["m"])),
         in_degree=to_dev(deg), perm_s2r=to_dev(perm),
+        perm_r2o=to_dev(perm_r2o), perm_s2o=to_dev(perm_s2o),
         hub_r=hub_r, hub_s=hub_s,
         win_lo_s=to_dev(lo.astype(np.int32)), win_nsub_s=to_dev(nsub),
         node_block=node_block, edge_chunk=edge_chunk, win_w=win_w)

@@ -66,7 +66,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 preferred_element_type=table.dtype)
         return jnp.take(table, xe, axis=0)
 
-    def messages(x, table, layout: EdgeLayout, order: str):
+    def messages(x, table, layout: EdgeLayout, order: str, keep=None):
         senders = layout.senders_s if order == "s" else layout.senders_r
         xe = layout.xe_s if order == "s" else layout.xe_r
         mask = layout.mask_s if order == "s" else layout.mask_r
@@ -77,7 +77,26 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         # zero padded-edge slots: the clipped row may hold garbage (NaN/inf
         # in the worst case), and 0 * NaN = NaN would survive the kernel's
         # zero one-hot column
-        return jnp.where(mask[:, None], pre, mdtype(0))
+        pre = jnp.where(mask[:, None], pre, mdtype(0))
+        if keep is not None:
+            # runtime per-edge mask (original order) — since keep is 0/1
+            # and relu(0) == 0, folding it into the PRE-activation commutes
+            # with the kernels' relu: keep*relu(m) == relu(keep*m)
+            pre = pre * _keep_ord(layout, keep, order)[:, None]
+        return pre
+
+    def _keep_ord(layout, keep, order):
+        perm = layout.perm_s2o if order == "s" else layout.perm_r2o
+        return jnp.take(keep, perm, axis=0).astype(mdtype)
+
+    def _dyn_inv_deg(layout, keep):
+        """1 / (# kept in-edges per node), for runtime-masked means."""
+        k_r = jnp.take(keep, layout.perm_r2o, axis=0).astype(jnp.float32)
+        k_r = jnp.where(layout.mask_r, k_r, 0.0)
+        deg = jax.ops.segment_sum(k_r, layout.receivers_r,
+                                  num_segments=layout.num_nodes_padded,
+                                  indices_are_sorted=True)
+        return (1.0 / jnp.maximum(deg, 1.0))[:, None]
 
     # With no per-edge term the message is relu(x_j): its derivative mask
     # 1[x_j > 0] depends on the *sender row only*, so the backward needs no
@@ -124,12 +143,16 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             relu=relu_msgs, slots=slots)
         return hub_out + tail_out
 
-    def fwd_impl(x, table, layout: EdgeLayout, *, want_mask: bool = False):
+    def fwd_impl(x, table, layout: EdgeLayout, keep=None, *,
+                 want_mask: bool = False):
         n_pad = layout.num_nodes_padded
+        inv_deg = (lambda: _dyn_inv_deg(layout, keep) if keep is not None
+                   else _inv_deg(layout))
         if factored:
             out_dt = (jnp.bfloat16 if (bf16_out or x.dtype == jnp.bfloat16)
                       else jnp.float32)
-            if layout.hub_r is not None and mdtype == jnp.bfloat16:
+            if (layout.hub_r is not None and mdtype == jnp.bfloat16
+                    and keep is None):
                 t = layout.hub_r.tail
                 sums = _hub_split(x.astype(mdtype), layout.hub_r, t.lrow_r,
                                   t.block_ptr_r, t.senders_r, t.mask_r,
@@ -137,16 +160,22 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 if reduce == "mean":
                     sums = sums * _inv_deg(layout)
                 return sums.astype(out_dt)
-            # gather raw x; relu and the mean's 1/deg run inside the kernel
-            m = messages(x, table, layout, "r")
-            return scatter_rows_sorted(
+            # gather raw x; relu (and, for the static mean, 1/deg) run
+            # inside the kernel; runtime-masked means scale outside
+            m = messages(x, table, layout, "r", keep)
+            sums = scatter_rows_sorted(
                 m, layout.lrow_r, layout.block_ptr_r,
                 num_nodes_padded=n_pad, node_block=layout.node_block,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
                 pipeline=pipeline, relu=True, slots=slots,
-                scale=_inv_deg(layout) if reduce == "mean" else None,
-                out_dtype=out_dt)
-        pre = messages(x, table, layout, "r")
+                scale=(_inv_deg(layout)
+                       if reduce == "mean" and keep is None else None),
+                out_dtype=jnp.float32
+                if (reduce == "mean" and keep is not None) else out_dt)
+            if reduce == "mean" and keep is not None:
+                sums = (sums * _dyn_inv_deg(layout, keep)).astype(out_dt)
+            return sums
+        pre = messages(x, table, layout, "r", keep)
         m = jax.nn.relu(pre) if relu else pre
         sums = scatter_rows_sorted(
             m, layout.lrow_r, layout.block_ptr_r,
@@ -154,7 +183,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
             pipeline=pipeline)
         if reduce == "mean":
-            sums = sums / jnp.maximum(layout.in_degree, 1.0)[:, None]
+            sums = sums * inv_deg()
         sums = sums.astype(x.dtype) if x.dtype == jnp.bfloat16 else sums
         if want_mask:
             # relu(pre) > 0  <=>  pre > 0: pack the activation mask to bits
@@ -164,52 +193,60 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return sums
 
     @jax.custom_vjp
-    def f(x, table, layout):
-        return fwd_impl(x, table, layout)
+    def f(x, table, layout, keep):
+        return fwd_impl(x, table, layout, keep)
 
-    def f_fwd(x, table, layout):
+    def f_fwd(x, table, layout, keep):
         if relu and relu_residual and not factored:
-            out, packed = fwd_impl(x, table, layout, want_mask=True)
-            return out, (packed, table, layout)
-        return fwd_impl(x, table, layout), (x, table, layout)
+            out, packed = fwd_impl(x, table, layout, keep, want_mask=True)
+            return out, (packed, table, layout, keep)
+        return fwd_impl(x, table, layout, keep), (x, table, layout, keep)
 
     def f_bwd(res, g):
-        first, table, layout = res
+        first, table, layout, keep = res
         n_pad = layout.num_nodes_padded
         if factored:
             # one fused [N, D] pass: mean scaling + bf16 narrowing of g
             gp = g.astype(jnp.float32)
             if reduce == "mean":
-                gp = gp * _inv_deg(layout)
+                gp = gp * (_dyn_inv_deg(layout, keep) if keep is not None
+                           else _inv_deg(layout))
             gp = gp.astype(mdtype)
             # factored relu gate: 1[x_j (+ t0) > 0], per source row (the
             # single-type shift keeps the forward's bf16 pre-activation
             # arithmetic so the mask matches bit-exactly)
             t0 = _t0(table)
             gate = first if t0 is None else first.astype(mdtype) + t0
-            if layout.hub_s is not None and mdtype == jnp.bfloat16:
+            if (layout.hub_s is not None and mdtype == jnp.bfloat16
+                    and keep is None):
                 t = layout.hub_s.tail
                 sums = _hub_split(gp, layout.hub_s, t.lrow_s, t.block_ptr_s,
                                   t.receivers_s, t.mask_s, layout)
                 # gate fused with the sum in one XLA pass
                 dx = jnp.where(gate.astype(jnp.float32) > 0, sums, 0.0)
                 return (dx.astype(first.dtype), _zero_cot(table),
-                        _zero_cot(layout))
+                        _zero_cot(layout), _zero_cot(keep))
             dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
             dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
+            if keep is not None:
+                dm = dm * _keep_ord(layout, keep, "s")[:, None]
             dx = scatter_rows_sorted(
                 dm, layout.lrow_s, layout.block_ptr_s,
                 num_nodes_padded=n_pad, node_block=layout.node_block,
                 edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
                 pipeline=pipeline, gate=gate, out_dtype=first.dtype,
                 slots=slots)
-            return dx, _zero_cot(table), _zero_cot(layout)
+            return (dx, _zero_cot(table), _zero_cot(layout),
+                    _zero_cot(keep))
         if reduce == "mean":
-            g = g / jnp.maximum(layout.in_degree, 1.0)[:, None]
+            g = g * (_dyn_inv_deg(layout, keep) if keep is not None
+                     else 1.0 / jnp.maximum(layout.in_degree, 1.0)[:, None])
         # per-edge upstream grad in sender-sorted order
         dm = jnp.take(g.astype(mdtype), layout.receivers_s, axis=0,
                       mode="clip")
         dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
+        if keep is not None:
+            dm = dm * _keep_ord(layout, keep, "s")[:, None]
         if relu:
             if relu_residual:
                 packed_s = jnp.take(first, layout.perm_s2r, axis=0,
@@ -233,7 +270,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                     node_block=layout.node_block,
                     edge_chunk=layout.edge_chunk, out_dtype=first.dtype,
                     interpret=interpret)
-                return dx, _zero_cot(table), _zero_cot(layout)
+                return (dx, _zero_cot(table), _zero_cot(layout),
+                        _zero_cot(keep))
             else:
                 pre_s = messages(first, table, layout, "s")
                 dm = jnp.where(pre_s > 0, dm, mdtype(0))
@@ -243,7 +281,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
             pipeline=pipeline)
         dtable = _zero_cot(table)
-        return dx, dtable, _zero_cot(layout)
+        return dx, dtable, _zero_cot(layout), _zero_cot(keep)
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -255,7 +293,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          bf16_messages: bool = False,
                          relu_residual: bool = False,
                          pipeline: str = "rolling", bf16_out: bool = False,
-                         slots: int = 2):
+                         slots: int = 2, edge_keep=None):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -282,4 +320,4 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                single_type)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
-    return fn(x, edge_table, layout)
+    return fn(x, edge_table, layout, edge_keep)

@@ -63,7 +63,8 @@ def gather_scatter_aggregate(x, senders, receivers, edge_feat=None,
 def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                    num_nodes: Optional[int] = None, reduce: str = "mean",
                    relu: bool = True, layout=None, edge_table=None,
-                   bf16_messages: bool = True, shard_axis: Optional[str] = None):
+                   bf16_messages: bool = True, shard_axis: Optional[str] = None,
+                   dynamic_edge_mask: bool = False):
     """Dispatching front-end for the fused SAGE aggregation.
 
     ``layout`` is an :class:`stemgnn_tpu.ops.edge_layout.EdgeLayout`
@@ -90,8 +91,14 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                 and not (edge_feat is not None and edge_table is None))
     if fused_ok:
         from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
-        return fused_sage_aggregate(x, layout, edge_table, reduce=reduce,
-                                    relu=relu, bf16_messages=bf16_messages)
+        # NOTE: a static layout bakes the edge validity mask; a RUNTIME
+        # edge mask (e.g. the pretrain edge-dropout augmentation) must be
+        # declared via dynamic_edge_mask so it is folded into the messages
+        # and the mean's degree
+        return fused_sage_aggregate(
+            x, layout, edge_table, reduce=reduce, relu=relu,
+            bf16_messages=bf16_messages,
+            edge_keep=edge_mask if dynamic_edge_mask else None)
     if edge_feat is None and edge_table is not None:
         # layout-only graphs (edge_feat never materialized) must not fall
         # back silently without their per-edge type features

@@ -52,7 +52,7 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
     """
 
     def step(params, teacher, opt_state, state, g, rng, node_table=None,
-             edge_table=None):
+             edge_table=None, layout=None):
         if indexed:
             from stemgnn_tpu.core.graph import materialize_graph
             g = materialize_graph(g, node_table, edge_table)
@@ -65,7 +65,8 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
         def loss_fn(params):
             return pretrain_forward(params, teacher, state, cfg, aug_g, g,
                                     bs=bs, rng=k_fwd, training=True,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name, layout=layout,
+                                    edge_table=edge_table)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -100,7 +101,7 @@ def make_pretrain_loop_step(cfg: PretrainConfig, tx, *, bs: int,
     import jax.numpy as jnp
 
     def loop_step(params, teacher, opt_state, state, g, key, metrics_sum,
-                  node_table=None, edge_table=None):
+                  node_table=None, edge_table=None, layout=None):
         key, k_step = jax.random.split(key)
         if indexed:
             from stemgnn_tpu.core.graph import materialize_graph
@@ -113,7 +114,8 @@ def make_pretrain_loop_step(cfg: PretrainConfig, tx, *, bs: int,
 
         def loss_fn(params):
             return pretrain_forward(params, teacher, state, cfg, aug_g, g,
-                                    bs=bs, rng=k_fwd, training=True)
+                                    bs=bs, rng=k_fwd, training=True,
+                                    layout=layout, edge_table=edge_table)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -232,6 +234,21 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
         loop_step = make_pretrain_loop_step(cfg, tx, bs=cfg.batch_size,
                                             donate=donate, indexed=True)
 
+    def batch_layout(g):
+        """Per-batch edge layout for the fused minibatch path (host numpy —
+        IndexedGraph leaves are numpy; transfers ride the step dispatch)."""
+        from stemgnn_tpu.ops.edge_layout import build_edge_layout
+        return build_edge_layout(g.senders, g.receivers, g.num_nodes_padded,
+                                 xe_ids=g.xe_ids, edge_mask=g.edge_mask,
+                                 to_device=False)
+
+    # "auto" resolves to off for now: measured net-neutral-to-slower on
+    # v5e (PretrainConfig.fused_minibatch docstring)
+    use_batch_layouts = (mesh is None
+                         and jax.default_backend() == "tpu"
+                         and cfg.encoder.backbone == "sage"
+                         and cfg.fused_minibatch == "on")
+
     from stemgnn_tpu.utils.observability import (PreemptionHandler,
                                                  ThroughputMeter)
     preempt = PreemptionHandler()
@@ -272,7 +289,9 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                         params, teacher, opt_state, state, metrics = \
                             single_step(params, teacher, opt_state, state,
                                         pending[0], k_step, node_table,
-                                        edge_table)
+                                        edge_table,
+                                        batch_layout(pending[0])
+                                        if use_batch_layouts else None)
                     metrics_sum = metrics if metrics_sum is None else \
                         jax.tree_util.tree_map(jax.numpy.add, metrics_sum,
                                                metrics)
@@ -289,7 +308,9 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                     params, teacher, opt_state, state, key, metrics_sum = \
                         loop_step(params, teacher, opt_state, state,
                                   pending[0], key, metrics_sum, node_table,
-                                  edge_table)
+                                  edge_table,
+                                  batch_layout(pending[0])
+                                  if use_batch_layouts else None)
                 steps_epoch += 1
                 meter.update(sum(int(p.num_edges_padded) for p in pending),
                              sum(int(p.num_nodes_padded) for p in pending))

@@ -164,3 +164,75 @@ def test_small_table_onehot_lookup(rng):
                                    num_nodes=n_pad, reduce="mean", relu=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("with_table,relu", [(False, True), (True, True),
+                                             (True, False)])
+def test_edge_keep_runtime_mask(rng, with_table, relu):
+    """A runtime per-edge keep mask (the pretrain edge-dropout) through the
+    fused path == the XLA reference with the same mask (values + grads),
+    including the dynamic mean degree."""
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+
+    n_pad = 512
+    s, r = _skewed_graph(rng)
+    e = len(s)
+    xe = rng.integers(0, 7, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128,
+                            xe_ids=xe if with_table else None)
+    d = 96
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    table = jnp.asarray(rng.standard_normal((7, d)).astype(np.float32)) \
+        if with_table else None
+    keep = jnp.asarray(rng.random(e) < 0.8)
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def loss_fused(x):
+        out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=relu,
+                                   bf16_messages=True, interpret=True,
+                                   edge_keep=keep)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    def loss_ref(x):
+        ef = None
+        if with_table:
+            tb = table.astype(jnp.bfloat16).astype(jnp.float32)
+            ef = jnp.take(tb, jnp.asarray(xe), axis=0)
+        out = gather_scatter_aggregate(x, jnp.asarray(s), jnp.asarray(r),
+                                       edge_feat=ef, edge_mask=keep,
+                                       num_nodes=n_pad, reduce="mean",
+                                       relu=relu)
+        return jnp.sum(out ** 2), out
+
+    (_, o1), g1 = jax.value_and_grad(loss_fused, has_aux=True)(x)
+    (_, o2), g2 = jax.value_and_grad(loss_ref, has_aux=True)(xb)
+    # atol covers one bf16 ULP at |pre| ~ 8 (the paths round x + t_row at
+    # different points)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=3e-2, atol=8e-2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=3e-2, atol=8e-2)
+
+
+def test_edge_keep_hub_layout_falls_back(rng):
+    """Hub-dense cannot honor runtime masks — a hub layout with edge_keep
+    must still produce correct (non-hub) results."""
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+
+    n_pad = 512
+    s, r = _skewed_graph(rng)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128, hub_size=64,
+                            hub_min_coverage=0.0)
+    assert lay.hub_r is not None
+    d = 64
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+    keep = jnp.asarray(rng.random(len(s)) < 0.7)
+    out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                               bf16_messages=True, interpret=True,
+                               edge_keep=keep)
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = gather_scatter_aggregate(xb, jnp.asarray(s), jnp.asarray(r),
+                                   edge_mask=keep, num_nodes=n_pad,
+                                   reduce="mean", relu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
