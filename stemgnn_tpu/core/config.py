@@ -144,12 +144,12 @@ class PretrainConfig:
     seed: int = 42
     # Per-batch edge layouts for the minibatch steps (fused Pallas
     # aggregation; the in-step edge-dropout mask is folded in as a runtime
-    # keep mask).  Measured NET-NEUTRAL-TO-SLOWER on v5e at arxiv scale
-    # (the runtime mask forces a dynamic-degree segment_sum per aggregation
-    # that costs about what the fused kernels save), so "auto" currently
-    # resolves to off; "on" forces it for experiments.  Future lever:
-    # compute the kept-degree once per step, or move edge dropout into the
-    # host sampler so layouts carry static masks.
+    # keep mask).  Measured a NET LOSS on the tunneled v5e: the ~5 MB/step
+    # layout transfer at the tunnel's ~34 MB/s H2D (~140 ms) dwarfs the
+    # ~23 ms/step the kernels save (host build is 14 ms; building in-jit
+    # is worse still — a 112k device sort alone is 105 ms).  On hosts with
+    # PCIe-attached TPUs the transfer is ~0.2 ms and this should win, so
+    # the machinery stays ("on" forces it); "auto" resolves to off here.
     fused_minibatch: str = "auto"
 
 

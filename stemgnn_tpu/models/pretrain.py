@@ -117,7 +117,8 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         layout=layout, edge_table=edge_table, axis_name=axis_name,
         # the augmented view's edge-dropout mask is random per step — the
         # fused path must fold it into messages and the mean's degree
-        dynamic_edge_mask=layout is not None)
+        # (needless when dropout is disabled: static layout masks suffice)
+        dynamic_edge_mask=layout is not None and cfg.edge_p > 0)
     # z keeps the encoder's compute dtype into the VQ (project_in runs in
     # bf16 under mixed precision); the VQ returns f32, and the losses below
     # are f32.
