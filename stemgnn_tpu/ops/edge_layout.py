@@ -116,7 +116,8 @@ def _block_ptr(sorted_keys: np.ndarray, n_pad: int, nb: int) -> np.ndarray:
 
 def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                      num_nodes_padded: int, hub_size: int, node_block: int,
-                     edge_chunk: int, min_coverage: float) -> "HubDense":
+                     edge_chunk: int, min_coverage: float,
+                     tail_e_pad_to: int = 0) -> "HubDense":
     """Hub-dense decomposition for one direction.  ``gather_by`` names which
     endpoint the XLA gather indexes (the scatter key is the other one):
     the forward scatters by receiver and gathers senders; the factored
@@ -146,7 +147,8 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
 
     tail_layout = build_edge_layout(
         senders[tail], receivers[tail], num_nodes_padded,
-        node_block=node_block, edge_chunk=edge_chunk)
+        node_block=node_block, edge_chunk=edge_chunk,
+        e_pad_to=tail_e_pad_to)
     return HubDense(hub_ids=jnp.asarray(hub_ids_pad),
                     cnt=jnp.asarray(cnt, jnp.bfloat16),
                     tail=tail_layout, hub_size=h, coverage=coverage)
@@ -156,7 +158,9 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       xe_ids=None, edge_mask=None, node_block: int = 128,
                       edge_chunk: int = 512, hub_size: int = 0,
                       hub_min_coverage: float = 0.1,
-                      to_device: bool = True) -> EdgeLayout:
+                      to_device: bool = True, win_floor: int = 0,
+                      e_pad_to: int = 0,
+                      hub_tail_e_pad_to: int = 0) -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
     (edge_mask False); they are re-pointed at the sentinel and sorted last.
 
@@ -164,7 +168,12 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     direction (``hub_r``/``hub_s``, see HubDense) when the top ``hub_size``
     gather-frequency nodes cover at least ``hub_min_coverage`` of the edges;
     the factored-relu fused aggregation then computes hub messages as a
-    dense MXU matmul instead of row gathers."""
+    dense MXU matmul instead of row gathers.
+
+    ``win_floor``/``e_pad_to`` force minimum values on the derived static
+    window width / padded edge count so a *family* of layouts (one per mesh
+    shard, stacked into a single pytree for shard_map) shares identical
+    static metadata and array shapes."""
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
     e = senders.shape[0]
@@ -181,7 +190,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     s = np.where(edge_mask, senders, sentinel)
     r = np.where(edge_mask, receivers, sentinel)
 
-    e_pad = round_up(max(e, edge_chunk), edge_chunk)
+    e_pad = round_up(max(e, edge_chunk, e_pad_to), edge_chunk)
 
     def pack(sort_key, a, b, xe, mask):
         order = np.argsort(sort_key, kind="stable")
@@ -250,6 +259,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     hi = np.where(valid_chunk, np.where(msk, snd, -1).max(axis=1), -1)
     span = np.maximum(hi - lo + 1, 0)
     max_span = int(span.max()) if len(span) else 0
+    max_span = max(max_span, win_floor)
     # cap the window at 512 rows (VMEM); wider spans walk nsub subwindows
     win_w = min(max(round_up(max_span, 128), 128), 512, num_nodes_padded)
     nsub = np.where(valid_chunk, -(-span // win_w), 0).astype(np.int32)
@@ -258,10 +268,12 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     if hub_size:
         hub_r = _build_hub_dense(senders, receivers, edge_mask, "sender",
                                  num_nodes_padded, hub_size, node_block,
-                                 edge_chunk, hub_min_coverage)
+                                 edge_chunk, hub_min_coverage,
+                                 tail_e_pad_to=hub_tail_e_pad_to)
         hub_s = _build_hub_dense(senders, receivers, edge_mask, "receiver",
                                  num_nodes_padded, hub_size, node_block,
-                                 edge_chunk, hub_min_coverage)
+                                 edge_chunk, hub_min_coverage,
+                                 tail_e_pad_to=hub_tail_e_pad_to)
 
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),

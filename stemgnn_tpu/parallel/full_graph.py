@@ -122,50 +122,90 @@ def make_edge_parallel_steps(cfg: FinetuneConfig, tx, mesh, y,
 
 
 def prepare_halo_graph(ds: TAGDataset, num_shards: int,
-                       pad_multiple: int = 128, with_reversed: bool = False):
+                       pad_multiple: int = 128, with_reversed: bool = False,
+                       fused: bool = False, hub_size: int = 0,
+                       node_block: int = 128, edge_chunk: int = 512):
     """Host prep for the halo layout: node features/labels/masks sharded by
     1-D destination-range ownership + the static halo-exchange plan.
     ``with_reversed`` additionally builds the reversed-edge partition (MoE
-    out-edge aggregation)."""
-    from stemgnn_tpu.parallel.halo import build_halo_partition
+    out-edge aggregation).
+
+    ``fused=True`` additionally builds stacked per-shard EdgeLayouts (local
+    + remote) so the SAGE aggregation runs the Pallas scatter (+ hub-dense
+    when ``hub_size > 0`` and the dataset has a single edge type) with edge
+    features sourced from the [T, D] type table instead of a materialized
+    [E, D] array; returns ``(sg, nb, sg_rev, layouts, edge_table)`` then.
+    """
+    from stemgnn_tpu.parallel.halo import (build_halo_layouts,
+                                           build_halo_partition)
 
     ei = np.asarray(ds.edge_index)
-    part, nb, _ = build_halo_partition(
-        ei[0].astype(np.int64), ei[1].astype(np.int64), ds.num_nodes,
-        num_shards, edge_feat=ds.edge_features().astype(np.float32),
-        pad_multiple=pad_multiple)
     S = num_shards
+    if fused:
+        part, nb, R = build_halo_partition(
+            ei[0].astype(np.int64), ei[1].astype(np.int64), ds.num_nodes,
+            S, pad_multiple=max(pad_multiple, node_block),
+            xe_ids=np.asarray(ds.xe, np.int32))
+        num_types = int(ds.edge_text_feat.shape[0])
+        lay_loc, lay_rem = build_halo_layouts(
+            part, nb, R, S, node_block=node_block, edge_chunk=edge_chunk,
+            hub_size=hub_size if num_types <= 1 else 0)
+        layouts = (jax.device_put(jax.tree.map(jnp.asarray, lay_loc)),
+                   jax.device_put(jax.tree.map(jnp.asarray, lay_rem)))
+        edge_table = jnp.asarray(ds.edge_text_feat, jnp.float32)
+    else:
+        part, nb, _ = build_halo_partition(
+            ei[0].astype(np.int64), ei[1].astype(np.int64), ds.num_nodes,
+            S, edge_feat=ds.edge_features().astype(np.float32),
+            pad_multiple=pad_multiple)
+        layouts, edge_table = None, None
     d = ds.node_text_feat.shape[1]
     feats = np.zeros((S * nb, d), np.float32)
     feats[: ds.num_nodes] = ds.node_features()
     node_mask = np.zeros(S * nb, bool)
     node_mask[: ds.num_nodes] = True
-    sg = {k: jnp.asarray(v) for k, v in part.items()}
+    sg = {k: jnp.asarray(v) for k, v in part.items()
+          if k not in ("xe_loc", "xe_rem")}
     sg["node_feat"] = jnp.asarray(feats.reshape(S, nb, d))
     sg["node_mask"] = jnp.asarray(node_mask.reshape(S, nb))
     sg_rev = None
     if with_reversed:
         part_rev, nb2, _ = build_halo_partition(
             ei[1].astype(np.int64), ei[0].astype(np.int64), ds.num_nodes,
-            num_shards, pad_multiple=pad_multiple)
+            num_shards, pad_multiple=max(pad_multiple, node_block)
+            if fused else pad_multiple)
         assert nb2 == nb
         sg_rev = {k: jnp.asarray(v) for k, v in part_rev.items()}
+    if fused:
+        return sg, nb, sg_rev, layouts, edge_table
     return sg, nb, sg_rev
 
 
 def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
-                    with_reversed: bool = False):
+                    with_reversed: bool = False, layouts=None,
+                    edge_table=None, interpret: bool = False):
     """Jitted (train_step, eval_step) over the halo (node-sharded) layout.
 
     ``y`` [S, Nb] owner-sharded labels.  Loss = global masked mean via psum
     of per-shard sums; grads psum-ed (each device's backward covers only its
     contribution paths, including cotangents arriving through the all_to_all
     transpose of the halo exchange).
+
+    ``layouts`` = stacked ``(lay_loc, lay_rem)`` from
+    :func:`prepare_halo_graph(fused=True)`: aggregation then runs the fused
+    Pallas scatter + hub-dense kernels per shard with per-edge type features
+    from ``edge_table`` (VERDICT r1 item 1 — the scale-out path must run on
+    the fast kernels, not XLA segment_sum).
     """
-    from stemgnn_tpu.parallel.halo import _local, halo_encoder_apply
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           halo_encoder_apply)
 
     def per_device_train(trainable, frozen, opt_state, state, rng,
-                         train_mask, y_loc, sg, sg_rev=None):
+                         train_mask, y_loc, sg, *rest):
+        rest = list(rest)
+        sg_rev = rest.pop(0) if with_reversed else None
+        lays = ((_shard_layout(rest[0]), _shard_layout(rest[1]))
+                if layouts is not None else (None, None))
         part = _local({k: v for k, v in sg.items()
                        if k not in ("node_feat", "node_mask")})
         part_rev = None if sg_rev is None else _local(sg_rev)
@@ -177,7 +217,8 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
             z, enc_state, aux = halo_encoder_apply(
                 params["encoder"], state["encoder"], cfg.encoder, x_loc,
                 part, axis=axis, training=True, rng=rng, node_mask=nm_loc,
-                part_rev=part_rev)
+                part_rev=part_rev, lay_loc=lays[0], lay_rem=lays[1],
+                edge_table=edge_table, interpret=interpret)
             logits, _, st = task_model.task_logits(
                 params, dict(state, encoder=enc_state), cfg, z,
                 training=True, rng=rng, mask=nm_loc)
@@ -198,7 +239,11 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, new_state, loss
 
-    def per_device_eval(trainable, frozen, state, sg, sg_rev=None):
+    def per_device_eval(trainable, frozen, state, sg, *rest):
+        rest = list(rest)
+        sg_rev = rest.pop(0) if with_reversed else None
+        lays = ((_shard_layout(rest[0]), _shard_layout(rest[1]))
+                if layouts is not None else (None, None))
         part = _local({k: v for k, v in sg.items()
                        if k not in ("node_feat", "node_mask")})
         params = _merge(trainable, frozen)
@@ -206,7 +251,9 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
             params["encoder"], state["encoder"], cfg.encoder,
             sg["node_feat"][0], part, axis=axis, training=False,
             node_mask=sg["node_mask"][0],
-            part_rev=None if sg_rev is None else _local(sg_rev))
+            part_rev=None if sg_rev is None else _local(sg_rev),
+            lay_loc=lays[0], lay_rem=lays[1], edge_table=edge_table,
+            interpret=interpret)
         logits, _, _ = task_model.task_logits(
             params, dict(state, encoder=enc_state), cfg, z, training=False,
             mask=sg["node_mask"][0])
@@ -214,39 +261,62 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
         return jax.lax.all_gather(probs, axis, tiled=True)
 
     rep = P()
-    sg_spec = {k: P(axis) for k in
-               ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
-                "send_idx", "ef_loc", "ef_rem", "node_feat", "node_mask")}
+    sg_keys = ["s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
+               "send_idx", "node_feat", "node_mask"]
+    if layouts is None:
+        sg_keys += ["ef_loc", "ef_rem"]
+    sg_spec = {k: P(axis) for k in sg_keys}
     rev_spec = () if not with_reversed else (
         {k: P(axis) for k in ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem",
                               "m_rem", "send_idx")},)
+    lay_spec = () if layouts is None else tuple(
+        jax.tree.map(lambda _: P(axis), lay) for lay in layouts)
     train = jax.jit(jax.shard_map(
         per_device_train, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, P(axis), P(axis), sg_spec)
-        + rev_spec,
+        + rev_spec + lay_spec,
         out_specs=(rep, rep, rep, rep), check_vma=False))
     evals = jax.jit(jax.shard_map(
         per_device_eval, mesh=mesh,
-        in_specs=(rep, rep, rep, sg_spec) + rev_spec, out_specs=rep,
-        check_vma=False))
+        in_specs=(rep, rep, rep, sg_spec) + rev_spec + lay_spec,
+        out_specs=rep, check_vma=False))
     return train, evals
 
 
 def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
                                pretrained=None, verbose: bool = False,
-                               axis: str = "edge", pad_multiple: int = 128):
+                               axis: str = "edge", pad_multiple: int = 128,
+                               fused=None, hub_size: int = 2048,
+                               interpret: bool = False,
+                               edge_chunk: int = 512):
     """Full-graph node finetune on the halo layout (communication =
-    boundary-feature all_to_all per layer instead of v1's [N, D] psum)."""
+    boundary-feature all_to_all per layer instead of v1's [N, D] psum).
+
+    ``fused`` switches the per-shard aggregation to the Pallas scatter +
+    hub-dense kernels (default: on when running on TPU and
+    ``cfg.use_fused_layout``; pass ``fused=True, interpret=True`` to
+    exercise the fused path on CPU)."""
     if cfg.use_vq and not cfg.freeze_vq:
         raise NotImplementedError(
             "halo mode shards nodes, so unfrozen VQ EMA stats would diverge "
             "per shard; freeze_vq (the reference finetune default, "
             "finetune.py:179-181) or psum the stats via the v1 mode")
+    if fused is None:
+        fused = (jax.default_backend() == "tpu"
+                 and getattr(cfg, "use_fused_layout", False))
     n_shards = int(mesh.shape[axis])
     moe = any(cfg.encoder.moe_layer_flags())
-    sg, nb, sg_rev = prepare_halo_graph(ds, n_shards,
-                                        pad_multiple=pad_multiple,
-                                        with_reversed=moe)
+    layouts = edge_table = None
+    if fused:
+        node_block = min(128, pad_multiple)
+        sg, nb, sg_rev, layouts, edge_table = prepare_halo_graph(
+            ds, n_shards, pad_multiple=pad_multiple, with_reversed=moe,
+            fused=True, hub_size=hub_size, node_block=node_block,
+            edge_chunk=edge_chunk)
+    else:
+        sg, nb, sg_rev = prepare_halo_graph(ds, n_shards,
+                                            pad_multiple=pad_multiple,
+                                            with_reversed=moe)
     n, n_pad = ds.num_nodes, n_shards * nb
     y_np = np.zeros(n_pad, np.int32)
     y_np[:n] = np.asarray(ds.labels)[:n]
@@ -254,9 +324,14 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
 
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
     train_step, eval_step = make_halo_steps(cfg, tx, mesh, y, axis=axis,
-                                            with_reversed=moe)
+                                            with_reversed=moe,
+                                            layouts=layouts,
+                                            edge_table=edge_table,
+                                            interpret=interpret)
     logger = Logger()
     rev_args = (sg_rev,) if moe else ()
+    if layouts is not None:
+        rev_args = rev_args + layouts
 
     for idx, split in enumerate(ds.splits[: cfg.repeat]):
         key = jax.random.PRNGKey(idx)

@@ -48,7 +48,8 @@ def _round_up(v: int, m: int) -> int:
 def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
                          num_nodes: int, num_shards: int,
                          edge_feat: Optional[np.ndarray] = None,
-                         pad_multiple: int = 128):
+                         pad_multiple: int = 128,
+                         xe_ids: Optional[np.ndarray] = None):
     """Host-side partitioner.
 
     Splits the edge list by destination ownership and precomputes the static
@@ -70,6 +71,8 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
     nb = _round_up(-(-num_nodes // S), pad_multiple)
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
+    if xe_ids is not None:
+        xe_ids = np.asarray(xe_ids, np.int32)
     owner = receivers // nb
     src_owner = senders // nb
 
@@ -79,12 +82,15 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
         sel = owner == i
         s_i, r_i, so_i = senders[sel], receivers[sel] - i * nb, src_owner[sel]
         ef_i = edge_feat[sel] if edge_feat is not None else None
+        xe_i = xe_ids[sel] if xe_ids is not None else None
         is_loc = so_i == i
         loc.append((s_i[is_loc] - i * nb, r_i[is_loc],
-                    ef_i[is_loc] if ef_i is not None else None))
+                    ef_i[is_loc] if ef_i is not None else None,
+                    xe_i[is_loc] if xe_i is not None else None))
         # Remote sources: dedupe per owner, assign stable slots.
         s_rem, r_rem, so_rem = s_i[~is_loc], r_i[~is_loc], so_i[~is_loc]
         ef_rem = ef_i[~is_loc] if ef_i is not None else None
+        xe_rem = xe_i[~is_loc] if xe_i is not None else None
         slot_of = {}
         for j in range(S):
             if j == i:
@@ -93,7 +99,7 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
             requests[(i, j)] = uniq
             for k, node in enumerate(uniq):
                 slot_of[int(node)] = (j, k)
-        rem.append((s_rem, r_rem, ef_rem, slot_of))
+        rem.append((s_rem, r_rem, ef_rem, slot_of, xe_rem))
 
     R = _round_up(max([len(v) for v in requests.values()] + [1]),
                   min(pad_multiple, 8))
@@ -113,16 +119,21 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
     if edge_feat is not None:
         out["ef_loc"] = np.zeros((S, el, d), edge_feat.dtype)
         out["ef_rem"] = np.zeros((S, er, d), edge_feat.dtype)
+    if xe_ids is not None:
+        out["xe_loc"] = np.zeros((S, el), np.int32)
+        out["xe_rem"] = np.zeros((S, er), np.int32)
 
     for i in range(S):
-        s_l, r_l, ef_l = loc[i]
+        s_l, r_l, ef_l, xe_l = loc[i]
         k = len(s_l)
         out["s_loc"][i, :k] = s_l
         out["r_loc"][i, :k] = r_l
         out["m_loc"][i, :k] = True
         if ef_l is not None:
             out["ef_loc"][i, :k] = ef_l
-        s_r, r_r, ef_r, slot_of = rem[i]
+        if xe_l is not None:
+            out["xe_loc"][i, :k] = xe_l
+        s_r, r_r, ef_r, slot_of, xe_r = rem[i]
         k = len(s_r)
         halo_ids = np.fromiter(
             ((lambda jk: jk[0] * R + jk[1])(slot_of[int(s)]) for s in s_r),
@@ -132,6 +143,8 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
         out["m_rem"][i, :k] = True
         if ef_r is not None:
             out["ef_rem"][i, :k] = ef_r
+        if xe_r is not None:
+            out["xe_rem"][i, :k] = xe_r
         # send_idx rows live on the *owning* device j.
         for j in range(S):
             if j == i:
@@ -145,6 +158,152 @@ def build_halo_partition(senders: np.ndarray, receivers: np.ndarray,
 def _local(part):
     """Strip the leading length-1 shard axis shard_map leaves on each entry."""
     return {k: v[0] for k, v in part.items()}
+
+
+def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
+                       node_block: int = 128, edge_chunk: int = 512,
+                       hub_size: int = 0, hub_min_coverage: float = 0.1):
+    """Per-shard :class:`~stemgnn_tpu.ops.edge_layout.EdgeLayout` pairs for
+    the fused Pallas aggregation, stacked along a leading shard axis.
+
+    ``part`` is the stacked output of :func:`build_halo_partition` (numpy).
+    Returns ``(lay_loc, lay_rem)``:
+
+      * ``lay_loc`` — layouts over the local-source edges; node space is the
+        owned block ``[0, nb)`` for both gather (senders) and scatter
+        (receivers).
+      * ``lay_rem`` — layouts over the remote-source edges; senders index the
+        halo buffer ``[0, S*R)``, receivers the owned block, so the node
+        space is ``round_up(max(S*R, nb), node_block)`` (the halo buffer and
+        the output both live padded to that size inside the fused aggregate).
+
+    Static metadata (``win_w``, hub presence, padded shapes) is forced
+    uniform across shards so the per-shard layouts stack into one pytree
+    that feeds through shard_map with a ``P(axis)`` spec on every leaf.
+    Hub-dense decompositions (``hub_size > 0``) are kept only when EVERY
+    shard clears ``hub_min_coverage`` (the pytree structure must match).
+    """
+    import jax.tree_util as jtu
+
+    from stemgnn_tpu.ops.edge_layout import build_edge_layout
+
+    S = num_shards
+    if nb % node_block:
+        raise ValueError(f"nodes-per-shard {nb} must be a multiple of "
+                         f"node_block {node_block} (pick pad_multiple "
+                         f"accordingly in build_halo_partition)")
+    m_rem = _round_up(max(S * R, nb), node_block)
+    e_loc = part["s_loc"].shape[1]
+    e_rem = part["s_rem"].shape[1]
+
+    def build_all(senders, receivers, masks, xes, n_pad, e_pad_to, hub):
+        def one(i, win_floor=0):
+            # hubs built unconditionally per shard (min_coverage -1); the
+            # keep/strip decision below is global so every shard has the
+            # same pytree structure
+            return build_edge_layout(
+                senders[i], receivers[i], n_pad,
+                xe_ids=None if xes is None else xes[i],
+                edge_mask=masks[i], node_block=node_block,
+                edge_chunk=edge_chunk, hub_size=hub,
+                hub_min_coverage=-1.0, to_device=False,
+                win_floor=win_floor, e_pad_to=e_pad_to,
+                hub_tail_e_pad_to=e_pad_to)
+        lays = [one(i) for i in range(S)]
+        win = max(lay.win_w for lay in lays)
+        lays = [lay if lay.win_w == win else one(i, win_floor=win)
+                for i, lay in enumerate(lays)]
+        if hub:
+            # keep a direction's hubs only if every shard built one (the
+            # exact-bf16-multiplicity guard can refuse) AND the aggregate
+            # edge-weighted coverage clears the threshold
+            n_edges = np.array([m.sum() for m in masks], np.float64)
+            def keep(getter):
+                hs = [getter(lay) for lay in lays]
+                if any(h is None for h in hs):
+                    return False
+                cov = sum(h.coverage * e for h, e in zip(hs, n_edges))
+                return cov / max(n_edges.sum(), 1.0) >= hub_min_coverage
+            keep_r = keep(lambda lay: lay.hub_r)
+            keep_s = keep(lambda lay: lay.hub_s)
+
+            def norm(lay):
+                def fix(h):
+                    return h.replace(coverage=0.0,
+                                     tail=h.tail.replace(win_w=win))
+                return lay.replace(
+                    hub_r=fix(lay.hub_r) if keep_r else None,
+                    hub_s=fix(lay.hub_s) if keep_s else None)
+            lays = [norm(lay) for lay in lays]
+        return jtu.tree_map(lambda *xs: np.stack(xs), *lays)
+
+    xe_loc = part.get("xe_loc")
+    xe_rem = part.get("xe_rem")
+    lay_loc = build_all(part["s_loc"], part["r_loc"], part["m_loc"], xe_loc,
+                        nb, e_loc, hub_size)
+    lay_rem = build_all(part["s_rem"], part["r_rem"], part["m_rem"], xe_rem,
+                        m_rem, e_rem, hub_size)
+    return lay_loc, lay_rem
+
+
+def _shard_layout(lay):
+    """Strip the leading shard axis from a stacked layout pytree."""
+    import jax.tree_util as jtu
+    return jtu.tree_map(lambda a: a[0], lay)
+
+
+def halo_sage_aggregate_fused(x_local, part, lay_loc, lay_rem,
+                              edge_table=None, *, axis: str,
+                              reduce: str = "mean", relu: bool = True,
+                              interpret: bool = False,
+                              bf16_messages: bool = True,
+                              keep_loc=None, keep_rem=None):
+    """Fused-kernel variant of :func:`halo_sage_aggregate`.
+
+    Local and remote edge shards each run the Pallas one-hot MXU scatter
+    (+ hub-dense decomposition when the layouts carry one) with ``reduce=
+    'sum'``; the mean divides by the combined in-degree at the end so the
+    result matches :func:`halo_sage_aggregate` /
+    :func:`stemgnn_tpu.ops.spmm.gather_scatter_aggregate` on the owned node
+    block.  ``lay_loc``/``lay_rem`` are the per-shard (already stripped)
+    layouts from :func:`build_halo_layouts`; per-edge type features come
+    from ``edge_table`` [T, D] via the layouts' xe ids.  ``keep_loc``/
+    ``keep_rem`` are optional runtime 0/1 edge masks in the partition's
+    (padded, pre-sort) edge order — the pretrain edge-dropout augmentation.
+    """
+    from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
+
+    nb, d = x_local.shape
+    halo = halo_exchange(x_local, part["send_idx"], axis)
+    m_rem = lay_rem.num_nodes_padded
+    halo_p = jnp.pad(halo, ((0, m_rem - halo.shape[0]), (0, 0)))
+    dynamic = keep_loc is not None or keep_rem is not None
+    if dynamic and (keep_loc is None or keep_rem is None):
+        raise ValueError("runtime edge masks must cover both edge shards: "
+                         "pass keep_loc AND keep_rem")
+    sum_loc = fused_sage_aggregate(
+        x_local, lay_loc, edge_table, reduce="sum", relu=relu,
+        interpret=interpret, bf16_messages=bf16_messages,
+        edge_keep=keep_loc)
+    sum_rem = fused_sage_aggregate(
+        halo_p, lay_rem, edge_table, reduce="sum", relu=relu,
+        interpret=interpret, bf16_messages=bf16_messages,
+        edge_keep=keep_rem)
+    agg = sum_loc.astype(jnp.float32) + sum_rem[:nb].astype(jnp.float32)
+    if reduce == "sum":
+        return agg
+    if dynamic:
+        def kept_deg(lay, keep, n_out):
+            k = jnp.take(keep, lay.perm_r2o, axis=0).astype(jnp.float32)
+            k = jnp.where(lay.mask_r, k, 0.0)
+            return jax.ops.segment_sum(k, lay.receivers_r,
+                                       num_segments=lay.num_nodes_padded,
+                                       indices_are_sorted=True)[:n_out]
+        deg = kept_deg(lay_loc, keep_loc, nb) + \
+            kept_deg(lay_rem, keep_rem, nb)
+    else:
+        deg = lay_loc.in_degree[:nb] + lay_rem.in_degree[:nb]
+    return agg / jnp.maximum(deg, 1.0)[:, None]
 
 
 def halo_exchange(x_local, send_idx, axis: str):
@@ -213,7 +372,9 @@ def halo_moe_sage_aggregate(z_local, part_rev, params_layer, weights, *,
 
 def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                        axis: str, training: bool = False, rng=None,
-                       node_mask=None, part_rev=None):
+                       node_mask=None, part_rev=None, lay_loc=None,
+                       lay_rem=None, edge_table=None,
+                       interpret: bool = False):
     """Encoder forward over the node-sharded halo layout.
 
     Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` for the SAGE
@@ -224,6 +385,12 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
     with :func:`build_halo_partition` on swapped endpoints.  The MoE env
     regularizer and router usage stats are psum-reduced so they match the
     single-device values.
+
+    ``lay_loc``/``lay_rem`` (per-shard, stripped — see
+    :func:`build_halo_layouts`) switch the SAGE aggregation to the fused
+    Pallas scatter + hub-dense kernels; per-edge type features then come
+    from ``edge_table`` [T, D] through the layouts' xe ids (``part`` may
+    omit ``ef_loc``/``ef_rem`` entirely in that case).
     """
     flags = cfg.moe_layer_flags()
     if cfg.backbone != "sage":
@@ -289,8 +456,15 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
             if ef is not None and ef.shape[-1] != z.shape[-1]:
                 raise ValueError(
                     "edge feature dim must equal layer input dim")
-            agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",
-                                      relu=True)
+            if lay_loc is not None:
+                agg = halo_sage_aggregate_fused(
+                    z, part, lay_loc, lay_rem, edge_table, axis=axis,
+                    reduce="mean", relu=True, interpret=interpret,
+                    bf16_messages=cfg.fused_bf16_messages)
+                agg = agg.astype(z.dtype)
+            else:
+                agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",
+                                          relu=True)
             z = linear_apply(layer_p["lin_l"], agg) + \
                 linear_apply(layer_p["lin_r"], z)
         if cfg.normalize != "none":

@@ -336,3 +336,167 @@ def test_halo_finetune_moe_learns(rng):
     best = run_finetune_halo_parallel(ds, cfg, mesh,
                                       pad_multiple=8).get_best()
     assert best["test"]["mean"] > 70, best
+
+
+def test_halo_fused_aggregate_matches_single(rng):
+    """Fused (Pallas interpret) halo aggregation with a type table ==
+    single-device gather/scatter with materialized edge features."""
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate_fused)
+    n, e, S, T = 100, 800, 8, 5
+    x, s, r, _ = random_graph(rng, n=n, e=e, d=D, with_edge_feat=False)
+    table = rng.standard_normal((T, D)).astype(np.float32)
+    xe = rng.integers(0, T, size=e).astype(np.int32)
+    part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8, xe_ids=xe)
+    lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
+                                          edge_chunk=128)
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    want = gather_scatter_aggregate(jnp.asarray(x_pad), jnp.asarray(s),
+                                    jnp.asarray(r), jnp.asarray(table[xe]),
+                                    num_nodes=n_pad, reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(x_loc, part, ll, lr, tab):
+        out = halo_sage_aggregate_fused(
+            x_loc[0], _local(part), _shard_layout(ll), _shard_layout(lr),
+            tab, axis="edge", interpret=True, bf16_messages=False)
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    part_dev = {k: jnp.asarray(v) for k, v in part.items()}
+    spec = {k: P("edge") for k in part_dev}
+    lls = jax.tree.map(jnp.asarray, lay_loc)
+    lrs = jax.tree.map(jnp.asarray, lay_rem)
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("edge"), spec, jax.tree.map(lambda _: P("edge"), lls),
+                  jax.tree.map(lambda _: P("edge"), lrs), P()),
+        out_specs=P(), check_vma=False))(
+            jnp.asarray(x_pad.reshape(S, nb, D)), part_dev, lls, lrs,
+            jnp.asarray(table))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_halo_fused_hub_aggregate_matches_single(rng):
+    """Fused halo aggregation WITH hub-dense decompositions (power-law-ish
+    senders, no edge features -> factored path) == plain gather/scatter."""
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate_fused)
+    n, e, S = 96, 1024, 8
+    # concentrate senders on a few hubs so every shard clears the coverage
+    hubs = rng.integers(0, 8, size=e)
+    tail = rng.integers(0, n, size=e)
+    s = np.where(rng.random(e) < 0.7, hubs, tail).astype(np.int32)
+    r = rng.integers(0, n, size=e).astype(np.int32)
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8)
+    lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
+                                          edge_chunk=128, hub_size=8,
+                                          hub_min_coverage=0.05)
+    assert lay_loc.hub_r is not None or lay_rem.hub_r is not None
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    want = gather_scatter_aggregate(jnp.asarray(x_pad), jnp.asarray(s),
+                                    jnp.asarray(r), None,
+                                    num_nodes=n_pad, reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(x_loc, part, ll, lr):
+        out = halo_sage_aggregate_fused(
+            x_loc[0], _local(part), _shard_layout(ll), _shard_layout(lr),
+            None, axis="edge", interpret=True, bf16_messages=True)
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    part_dev = {k: jnp.asarray(v) for k, v in part.items()}
+    spec = {k: P("edge") for k in part_dev}
+    lls = jax.tree.map(jnp.asarray, lay_loc)
+    lrs = jax.tree.map(jnp.asarray, lay_rem)
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("edge"), spec, jax.tree.map(lambda _: P("edge"), lls),
+                  jax.tree.map(lambda _: P("edge"), lrs)),
+        out_specs=P(), check_vma=False))(
+            jnp.asarray(x_pad.reshape(S, nb, D)), part_dev, lls, lrs)
+    # bf16 messages: tolerance per hub-dense kernel tests
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_halo_fused_grads_match_xla(rng):
+    """Backward through the fused halo aggregation (custom VJP incl. the
+    all_to_all transpose) == backward through the XLA halo path."""
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate,
+                                           halo_sage_aggregate_fused)
+    n, e, S = 64, 400, 8
+    x, s, r, _ = random_graph(rng, n=n, e=e, d=D, with_edge_feat=False)
+    part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8)
+    lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
+                                          edge_chunk=128)
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    mesh = make_mesh(axis_names=("edge",))
+    part_dev = {k: jnp.asarray(v) for k, v in part.items()}
+    spec = {k: P("edge") for k in part_dev}
+    lls = jax.tree.map(jnp.asarray, lay_loc)
+    lrs = jax.tree.map(jnp.asarray, lay_rem)
+
+    def g_fused(x_loc, part, ll, lr):
+        def loss(xl):
+            out = halo_sage_aggregate_fused(
+                xl[0], _local(part), _shard_layout(ll), _shard_layout(lr),
+                None, axis="edge", interpret=True, bf16_messages=False)
+            return jax.lax.psum(jnp.sum(out ** 2), "edge")
+        return jax.grad(loss)(x_loc)
+
+    def g_xla(x_loc, part):
+        def loss(xl):
+            out = halo_sage_aggregate(xl[0], _local(part), axis="edge")
+            return jax.lax.psum(jnp.sum(out ** 2), "edge")
+        return jax.grad(loss)(x_loc)
+
+    xs = jnp.asarray(x_pad.reshape(S, nb, D))
+    got = jax.jit(jax.shard_map(
+        g_fused, mesh=mesh,
+        in_specs=(P("edge"), spec, jax.tree.map(lambda _: P("edge"), lls),
+                  jax.tree.map(lambda _: P("edge"), lrs)),
+        out_specs=P("edge"), check_vma=False))(xs, part_dev, lls, lrs)
+    want = jax.jit(jax.shard_map(
+        g_xla, mesh=mesh, in_specs=(P("edge"), spec),
+        out_specs=P("edge"), check_vma=False))(xs, part_dev)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_halo_finetune_fused_learns(rng):
+    """End-to-end halo trainer on the FUSED kernels reaches the accuracy
+    band of the XLA halo trainer (interpret-mode Pallas on CPU)."""
+    from stemgnn_tpu.core.config import FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.full_graph import run_finetune_halo_parallel
+
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=4, feat_dim=D,
+                                train_per_split=50, val_per_split=60,
+                                num_splits=1, seed=1)
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="node", epochs=50, early_stop=25, lr=1e-2, repeat=1,
+        num_classes=4)
+    mesh = make_mesh(axis_names=("edge",))
+    best = run_finetune_halo_parallel(
+        ds, cfg, mesh, pad_multiple=8, fused=True, interpret=True,
+        hub_size=0, edge_chunk=128).get_best()
+    assert best["test"]["mean"] > 75, best
