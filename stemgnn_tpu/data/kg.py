@@ -106,10 +106,24 @@ def load_kg_dataset(name: str = "WN18RR", root: str = REFERENCE_KG_ROOT,
 
     e_total = edge_index.shape[1]
     offs = np.cumsum([0] + counts)
-    split = make_index_splits(e_total,
-                              np.arange(offs[0], offs[1]),
-                              np.arange(offs[1], offs[2]),
-                              np.arange(offs[2], offs[3]))
+    resplit = counts[0] == 0 and e_total > 0
+    if resplit:
+        # The reference snapshot ships FB15K237 WITHOUT train.txt (only
+        # valid/test + entity2wikidata.json are in-tree; full split sizes
+        # documented at process_datasets.py:291).  Fall back to a
+        # deterministic 80/10/10 repartition of the available triples so
+        # the dataset still runs end-to-end; flagged in extras.
+        perm = np.random.default_rng(0).permutation(e_total)
+        n_tr = int(e_total * 0.8)
+        n_va = int(e_total * 0.1)
+        split = make_index_splits(e_total, perm[:n_tr],
+                                  perm[n_tr: n_tr + n_va],
+                                  perm[n_tr + n_va:])
+    else:
+        split = make_index_splits(e_total,
+                                  np.arange(offs[0], offs[1]),
+                                  np.arange(offs[1], offs[2]),
+                                  np.arange(offs[2], offs[3]))
 
     ds = TAGDataset(
         name=name,
@@ -122,7 +136,8 @@ def load_kg_dataset(name: str = "WN18RR", root: str = REFERENCE_KG_ROOT,
         splits=[split],
         class_node_text_feat=class_node_text_feat.astype(np.float32),
         num_classes=len(rel_list), num_tasks=1,
-        extras={"relations": rel_list, "split_counts": counts})
+        extras={"relations": rel_list, "split_counts": counts,
+                "resplit_missing_train": resplit})
     if cache:
         try:
             save_dataset_cache(ds, text_encoder)

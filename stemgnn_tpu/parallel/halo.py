@@ -374,7 +374,8 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                        axis: str, training: bool = False, rng=None,
                        node_mask=None, part_rev=None, lay_loc=None,
                        lay_rem=None, edge_table=None,
-                       interpret: bool = False):
+                       interpret: bool = False, stat_axes=None,
+                       keep_loc=None, keep_rem=None):
     """Encoder forward over the node-sharded halo layout.
 
     Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` for the SAGE
@@ -391,6 +392,16 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
     Pallas scatter + hub-dense kernels; per-edge type features then come
     from ``edge_table`` [T, D] through the layouts' xe ids (``part`` may
     omit ``ef_loc``/``ef_rem`` entirely in that case).
+
+    ``stat_axes``: mesh axes for the statistics psums (BatchNorm batch
+    moments, MoE env regularizer + usage stats) — defaults to ``(axis,)``;
+    the 2-axis halo pretrain passes ``('data', axis)`` so the replicated
+    state stays consistent across data replicas.  Halo exchange always runs
+    over ``axis`` alone (node ownership is sharded on that axis only).
+
+    ``keep_loc``/``keep_rem``: runtime 0/1 edge masks in the partition's
+    padded edge order (pretrain edge-dropout augmentation); folded into the
+    messages AND the mean's degree on both the fused and the XLA path.
     """
     flags = cfg.moe_layer_flags()
     if cfg.backbone != "sage":
@@ -404,11 +415,23 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                                         _reg_loss)
 
     act = _activation(cfg)
+    if stat_axes is None:
+        stat_axes = (axis,)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     # Decorrelate per-device dropout masks (gumbel keys stay shard-local
     # too: routing is a per-node decision).
-    rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+    for ax in stat_axes:
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+    if keep_loc is not None and lay_loc is None:
+        # XLA path: fold the runtime edge mask into the partition masks —
+        # halo_sage_aggregate derives both the messages and the mean's
+        # degree from them
+        part = dict(part,
+                    m_loc=jnp.logical_and(part["m_loc"],
+                                          keep_loc.astype(bool)),
+                    m_rem=jnp.logical_and(part["m_rem"],
+                                          keep_rem.astype(bool)))
     z = x_local
     new_norm_states = []
     env_idx = 0
@@ -429,7 +452,8 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                 num = jnp.sum(jnp.sum(weights * log_pi, axis=-1))
                 cnt = jnp.asarray(z.shape[0], z.dtype)
                 env_reg_total = env_reg_total + \
-                    jax.lax.psum(num, axis) / jax.lax.psum(cnt, axis)
+                    jax.lax.psum(num, stat_axes) / \
+                    jax.lax.psum(cnt, stat_axes)
                 env_layers += 1
             else:
                 weights = jax.nn.softmax(logits, axis=-1)
@@ -445,9 +469,10 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                 top1 = jnp.where(node_mask[:, None], top1, 0.0)
             moe_stats.append({
                 "layer": i,
-                "sum_prob": jax.lax.psum(jnp.sum(w_stat, axis=0), axis),
-                "sum_top1": jax.lax.psum(jnp.sum(top1, axis=0), axis),
-                "count": jax.lax.psum(count, axis)})
+                "sum_prob": jax.lax.psum(jnp.sum(w_stat, axis=0),
+                                         stat_axes),
+                "sum_top1": jax.lax.psum(jnp.sum(top1, axis=0), stat_axes),
+                "count": jax.lax.psum(count, stat_axes)})
             z = halo_moe_sage_aggregate(z, part_rev, layer_p, weights,
                                         axis=axis)
             env_idx += 1
@@ -460,7 +485,8 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                 agg = halo_sage_aggregate_fused(
                     z, part, lay_loc, lay_rem, edge_table, axis=axis,
                     reduce="mean", relu=True, interpret=interpret,
-                    bf16_messages=cfg.fused_bf16_messages)
+                    bf16_messages=cfg.fused_bf16_messages,
+                    keep_loc=keep_loc, keep_rem=keep_rem)
                 agg = agg.astype(z.dtype)
             else:
                 agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",
@@ -470,7 +496,7 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
         if cfg.normalize != "none":
             z, ns = batchnorm_apply(params["norms"][i], state["norms"][i], z,
                                     training=training, mask=node_mask,
-                                    axis_name=axis)
+                                    axis_name=stat_axes)
             new_norm_states.append(ns)
         else:
             new_norm_states.append(state["norms"][i])

@@ -1,0 +1,333 @@
+"""Full-graph pretraining on the 2-axis ``('data', 'edge')`` mesh.
+
+The SURVEY.md §7.1 end state: the merged pretrain graph is node-sharded over
+the ``edge`` mesh axis (halo layout, fused Pallas kernels), while the
+``data`` axis runs independent stochastic views — each data replica draws
+its own augmentation (feature-column mask + undirected edge dropout,
+STEM-GNN/pretrain.py:41-45) and owns a disjoint slice of the epoch's seed
+nodes.  Every loss is a *global* masked mean (psum of sums / psum of
+counts over BOTH axes), so the step optimizes the pooled objective over all
+(replica, node) pairs; the VQ codebook EMA/affine statistics psum over both
+axes too — the direct analog of the reference's only hot-loop collective
+(STEM-GNN/model/vq.py:666-674) — and the commitment loss uses the global
+psum mean (unequal valid-node counts per shard).
+
+Reference semantics per loss: pt_model.py:42-43 (feat recon on seeds),
+46-65 (topo recon, subsampled pos edges + uniform negatives), 68-83
+(topo-sem edge-feature MSE), 86-102 (sem recon vs detached EMA teacher).
+Deviations forced by sharding, both documented below: (a) topo positives
+are sampled per shard from the shard's own edges (an unbiased ratio
+estimator of the global mean — every valid edge is equally likely); (b)
+negative pairs take ``u`` from the local shard and ``v`` from the next
+shard over (``ppermute`` shift 1), giving cross-shard pairs without an
+all_gather of the embedding table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from stemgnn_tpu.core.config import PretrainConfig
+from stemgnn_tpu.models.pretrain import EPS, ema_update_teacher
+from stemgnn_tpu.nn.layers import linear_apply
+from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                       build_halo_layouts,
+                                       build_halo_partition, halo_exchange,
+                                       halo_encoder_apply)
+from stemgnn_tpu.train.augment import _pair_hash_uniform, mask_feature
+from stemgnn_tpu.vq import vq_apply
+
+
+def prepare_halo_pretrain_graph(node_feat: np.ndarray, edge_index: np.ndarray,
+                                num_shards: int, xe_ids=None, edge_table=None,
+                                *, pad_multiple: int = 128,
+                                node_block: int = 128, edge_chunk: int = 512,
+                                hub_size: int = 0):
+    """Host prep for halo pretraining.
+
+    Beyond :func:`prepare_halo_graph`'s entries, the partition carries the
+    concatenated per-shard edge view used by the loss estimators:
+
+      * ``cs``/``cr`` [S, el+er] — sender/receiver ids into the combined
+        embedding table ``concat([z_local, z_halo])`` (remote senders offset
+        by Nb), receiver ids local;
+      * ``cm`` — combined validity mask; ``cxe`` — combined edge-type ids;
+      * ``cgs``/``cgr`` — ORIGINAL global endpoint ids, for the
+        deterministic per-undirected-pair dropout hash (both directions of a
+        pair live on different shards, so the keep decision must be a pure
+        function of the global pair, not of shard-local state).
+
+    Returns ``(sg, nb, layouts, edge_table_dev)``.
+    """
+    ei = np.asarray(edge_index)
+    senders = ei[0].astype(np.int64)
+    receivers = ei[1].astype(np.int64)
+    n = node_feat.shape[0]
+    S = num_shards
+    part, nb, R = build_halo_partition(
+        senders, receivers, n, S, pad_multiple=max(pad_multiple, node_block),
+        xe_ids=xe_ids if xe_ids is not None else np.zeros(len(senders),
+                                                          np.int32))
+    num_types = 1 if edge_table is None else int(np.shape(edge_table)[0])
+    lay_loc, lay_rem = build_halo_layouts(
+        part, nb, R, S, node_block=node_block, edge_chunk=edge_chunk,
+        hub_size=hub_size if num_types <= 1 else 0)
+
+    # Combined edge view (local first, remote offset into the halo slice).
+    el = part["s_loc"].shape[1]
+    cs = np.concatenate([part["s_loc"], part["s_rem"] + nb], axis=1)
+    cr = np.concatenate([part["r_loc"], part["r_rem"]], axis=1)
+    cm = np.concatenate([part["m_loc"], part["m_rem"]], axis=1)
+    cxe = np.concatenate([part["xe_loc"], part["xe_rem"]], axis=1)
+    # Original global endpoints per combined slot (receiver-owner split is
+    # deterministic, so recompute the same split order host-side).
+    owner = receivers // nb
+    src_owner = senders // nb
+    cgs = np.zeros_like(cs)
+    cgr = np.zeros_like(cr)
+    for i in range(S):
+        sel = owner == i
+        is_loc = src_owner[sel] == i
+        s_i, r_i = senders[sel], receivers[sel]
+        kl, kr = int(is_loc.sum()), int((~is_loc).sum())
+        cgs[i, :kl] = s_i[is_loc]
+        cgr[i, :kl] = r_i[is_loc]
+        cgs[i, el: el + kr] = s_i[~is_loc]
+        cgr[i, el: el + kr] = r_i[~is_loc]
+
+    d = node_feat.shape[1]
+    feats = np.zeros((S * nb, d), np.float32)
+    feats[:n] = node_feat
+    node_mask = np.zeros(S * nb, bool)
+    node_mask[:n] = True
+    sg = {k: jnp.asarray(v) for k, v in part.items()
+          if k not in ("xe_loc", "xe_rem", "ef_loc", "ef_rem")}
+    sg["cs"] = jnp.asarray(cs)
+    sg["cr"] = jnp.asarray(cr)
+    sg["cm"] = jnp.asarray(cm)
+    sg["cxe"] = jnp.asarray(cxe)
+    sg["cgs"] = jnp.asarray(cgs.astype(np.int32))
+    sg["cgr"] = jnp.asarray(cgr.astype(np.int32))
+    sg["node_feat"] = jnp.asarray(feats.reshape(S, nb, d))
+    sg["node_mask"] = jnp.asarray(node_mask.reshape(S, nb))
+    layouts = (jax.device_put(jax.tree.map(jnp.asarray, lay_loc)),
+               jax.device_put(jax.tree.map(jnp.asarray, lay_rem)))
+    et = None if edge_table is None else jnp.asarray(edge_table, jnp.float32)
+    return sg, nb, layouts, et
+
+
+def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
+                          part, x_loc, node_mask_loc, seed_mask_loc, *,
+                          rng, lay_loc, lay_rem, edge_table,
+                          node_axis: str, axes, training: bool = True,
+                          interpret: bool = False):
+    """Pretrain forward on one (data-replica, node-shard) device.
+
+    ``part`` per-device partition slice (``_local``-stripped) including the
+    combined edge view; ``seed_mask_loc`` [Nb] marks this replica's seed
+    nodes among the owned block; ``axes`` the psum axes tuple
+    (``('data', node_axis)`` or ``(node_axis,)``).  Returns
+    ``(total_loss, (aux, new_state))`` with every loss a global psum mean.
+    """
+    (k_aug_f, k_aug_e, k_enc, k_vq, k_topo, k_topo_neg,
+     k_teacher) = jax.random.split(rng, 7)
+
+    def gsum(v):
+        return jax.lax.psum(v, axes)
+
+    # ---- augmentation (pretrain.py:41-45).  The column mask must be the
+    # SAME on every node shard (one global view per data replica): the rng
+    # here is per-data-replica and is NOT folded by the node-shard index.
+    x_aug = mask_feature(k_aug_f, x_loc, cfg.feat_p) if cfg.feat_p > 0 \
+        else x_loc
+    keep_loc = keep_rem = None
+    if cfg.edge_p > 0:
+        el = part["s_loc"].shape[0]
+        seed = jax.random.randint(k_aug_e, (), 0, jnp.iinfo(jnp.int32).max)
+        u = _pair_hash_uniform(seed, part["cgs"], part["cgr"])
+        keepc = u >= cfg.edge_p
+        keep_loc, keep_rem = keepc[:el], keepc[el:]
+
+    z, enc_state, enc_aux = halo_encoder_apply(
+        params["encoder"], state["encoder"], cfg.encoder, x_aug, part,
+        axis=node_axis, training=training, rng=k_enc,
+        node_mask=node_mask_loc, lay_loc=lay_loc, lay_rem=lay_rem,
+        edge_table=edge_table, interpret=interpret, stat_axes=axes,
+        keep_loc=keep_loc, keep_rem=keep_rem)
+
+    # decorrelate per-shard gumbel/expiry draws
+    k_vq = jax.random.fold_in(k_vq, jax.lax.axis_index(node_axis))
+    vq_res = vq_apply(params["vq"], state["vq"], cfg.vq, z,
+                      training=training, rng=k_vq, mask=node_mask_loc,
+                      axis_name=axes, commit_psum_axis=axes)
+    commit_loss = vq_res["loss"]
+    query = vq_res["quantize"]
+    seed_f = seed_mask_loc.astype(jnp.float32)
+
+    # ---- feat recon (pt_model.py:42-43) over this replica's seed nodes.
+    recon = linear_apply(params["feat_dec"], query)
+    se = jnp.sum((recon - x_loc) ** 2, axis=-1)
+    feat_recon_loss = gsum(jnp.sum(se * seed_f)) / jnp.maximum(
+        gsum(jnp.sum(seed_f)) * recon.shape[-1], 1.0)
+
+    # ---- topo / topo-sem recon over subsampled local edges.
+    ratio = cfg.topo_recon_ratio
+    if ratio > 0.0:
+        e_comb = part["cs"].shape[0]
+        num = max(int(e_comb * ratio), 1)
+        k_slots = jax.random.fold_in(k_topo, jax.lax.axis_index(node_axis))
+        slots = jax.random.randint(k_slots, (num,), 0, e_comb)
+        w = part["cm"][slots].astype(jnp.float32)
+        q_halo = halo_exchange(query, part["send_idx"], node_axis)
+        q_full = jnp.concatenate([query, q_halo], axis=0)
+        pos_s, pos_r = part["cs"][slots], part["cr"][slots]
+        from stemgnn_tpu.nn.decoders import inner_product_decode
+        pos_p = inner_product_decode(params["topo_dec"], q_full, pos_s,
+                                     pos_r, sigmoid=True)
+        w_sum = jnp.maximum(gsum(jnp.sum(w)), 1.0)
+        pos_loss = gsum(-jnp.sum(w * jnp.log(pos_p + EPS))) / w_sum
+
+        # Negatives: u local; v from the NEXT node shard over (ppermute) so
+        # pairs cross shard boundaries without gathering the whole table.
+        nb = query.shape[0]
+        k_u, k_v = jax.random.split(
+            jax.random.fold_in(k_topo_neg, jax.lax.axis_index(node_axis)))
+        neg_u = jax.random.randint(k_u, (num,), 0, nb)
+        neg_v = jax.random.randint(k_v, (num,), 0, nb)
+        proj = params["topo_dec"]
+        q_proj = linear_apply(proj["lin"], query) if "lin" in proj else query
+        pu, mu = q_proj[neg_u], node_mask_loc[neg_u].astype(jnp.float32)
+        pv, mv = q_proj[neg_v], node_mask_loc[neg_v].astype(jnp.float32)
+        n_shards = jax.lax.axis_size(node_axis)
+        if n_shards > 1:
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            pv = jax.lax.ppermute(pv, node_axis, perm)
+            mv = jax.lax.ppermute(mv, node_axis, perm)
+        neg_p = jax.nn.sigmoid(jnp.sum(pu * pv, axis=-1))
+        wn = mu * mv
+        neg_loss = gsum(-jnp.sum(wn * jnp.log(1.0 - neg_p + EPS))) / \
+            jnp.maximum(gsum(jnp.sum(wn)), 1.0)
+        topo_recon_loss = pos_loss + neg_loss
+
+        if edge_table is not None:
+            zz = jnp.concatenate([q_full[pos_s], q_full[pos_r]], axis=-1)
+            pred_e = linear_apply(params["topo_sem_dec"], zz)
+            target = jnp.take(edge_table, part["cxe"][slots], axis=0)
+            se_e = jnp.mean((pred_e - target) ** 2, axis=-1)
+            topo_sem_recon_loss = gsum(jnp.sum(w * se_e)) / w_sum
+        else:
+            topo_sem_recon_loss = jnp.zeros(())
+    else:
+        topo_recon_loss = jnp.zeros(())
+        topo_sem_recon_loss = jnp.zeros(())
+
+    # ---- sem recon vs the detached EMA teacher on the CLEAN graph.
+    tz, teacher_state, _ = halo_encoder_apply(
+        teacher_params, state["sem_encoder"], cfg.encoder, x_loc, part,
+        axis=node_axis, training=training, rng=k_teacher,
+        node_mask=node_mask_loc, lay_loc=lay_loc, lay_rem=lay_rem,
+        edge_table=edge_table, interpret=interpret, stat_axes=axes)
+    tz = jax.lax.stop_gradient(tz).astype(jnp.float32)
+    hproj = linear_apply(params["sem_projector"], query)
+
+    def _l2n(t):
+        return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True),
+                               1e-12)
+
+    cos_term = 1.0 - jnp.sum(_l2n(tz) * _l2n(hproj), axis=-1)
+    sem_recon_loss = gsum(jnp.sum(cos_term * seed_f)) / jnp.maximum(
+        gsum(jnp.sum(seed_f)), 1.0)
+
+    env_reg_loss = enc_aux["env_reg"]
+    losses = {
+        "feat_recon_loss": feat_recon_loss,
+        "topo_recon_loss": topo_recon_loss,
+        "topo_sem_recon_loss": topo_sem_recon_loss,
+        "sem_recon_loss": sem_recon_loss,
+        "commit_loss": commit_loss,
+        "env_reg_loss": env_reg_loss,
+    }
+    total = (cfg.feat_lambda * feat_recon_loss
+             + cfg.topo_lambda * topo_recon_loss
+             + cfg.topo_sem_lambda * topo_sem_recon_loss
+             + cfg.sem_lambda * sem_recon_loss
+             + commit_loss
+             + cfg.lamda_env * env_reg_loss)
+    new_state = {"encoder": enc_state, "vq": vq_res["state"],
+                 "sem_encoder": teacher_state}
+    aux = {"losses": losses, "indices": vq_res["indices"]}
+    return total, (aux, new_state)
+
+
+def make_halo_pretrain_step(cfg: PretrainConfig, tx, mesh, layouts,
+                            edge_table, *, data_axis: Optional[str] = "data",
+                            node_axis: str = "edge",
+                            interpret: bool = False):
+    """Jitted 2-axis pretrain step.
+
+    Inputs: replicated (params, teacher, opt_state, state); ``rngs``
+    [n_data, 2] per-data-replica keys; ``seed_masks`` [n_data, S, Nb]
+    per-replica seed-node masks (disjoint slices of the epoch's weighted
+    resample); ``sg`` the stacked partition; the two stacked layouts.
+    Grads/states psum/pmean over both axes; the loss value is already
+    global, so the returned metrics are identical on every device.
+    """
+    axes = (data_axis, node_axis) if data_axis else (node_axis,)
+
+    def per_device(params, teacher, opt_state, state, rngs, seed_masks, sg,
+                   lay_loc_s, lay_rem_s):
+        lay_loc = _shard_layout(lay_loc_s)
+        lay_rem = _shard_layout(lay_rem_s)
+        part = _local({k: v for k, v in sg.items()
+                       if k not in ("node_feat", "node_mask")})
+        x_loc = sg["node_feat"][0]
+        nm_loc = sg["node_mask"][0]
+        rng = rngs[0]
+        seed_loc = seed_masks[0, 0]
+
+        def loss_fn(params):
+            return halo_pretrain_forward(
+                params, teacher, state, cfg, part, x_loc, nm_loc, seed_loc,
+                rng=rng, lay_loc=lay_loc, lay_rem=lay_rem,
+                edge_table=edge_table, node_axis=node_axis, axes=axes,
+                training=True, interpret=interpret)
+
+        (loss, (aux, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, axes)
+        # replicated-state consistency: per-device dead-code expiry reseeds
+        # and BN updates can differ; average them (stats inside were already
+        # psum-ed, so this is a near-no-op safeguard, as in data_parallel)
+        new_state = jax.lax.pmean(new_state, axes)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if cfg.vq.ema_update:
+            from stemgnn_tpu.vq import adopt_ema_embed
+            params = dict(params, vq=adopt_ema_embed(params["vq"],
+                                                     new_state["vq"]))
+        teacher = ema_update_teacher(teacher, params["encoder"],
+                                     cfg.sem_encoder_decay)
+        metrics = dict(aux["losses"], loss=loss)   # already global values
+        return params, teacher, opt_state, new_state, metrics
+
+    rep = P()
+    sg_spec = {k: P(node_axis) for k in
+               ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
+                "send_idx", "cs", "cr", "cm", "cxe", "cgs", "cgr",
+                "node_feat", "node_mask")}
+    lay_specs = tuple(jax.tree.map(lambda _: P(node_axis), lay)
+                      for lay in layouts)
+    rng_spec = P(data_axis) if data_axis else rep
+    seed_spec = P(data_axis, node_axis) if data_axis else P(None, node_axis)
+    step = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rng_spec, seed_spec, sg_spec)
+        + lay_specs,
+        out_specs=(rep, rep, rep, rep, rep), check_vma=False)
+    return jax.jit(step)

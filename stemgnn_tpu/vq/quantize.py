@@ -148,7 +148,8 @@ def _orthogonal_loss(key, embed, cfg: VQConfig):
 def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
              rng: Optional[jax.Array] = None, mask=None,
              freeze_codebook: bool = False,
-             axis_name: Optional[str] = None):
+             axis_name: Optional[str] = None,
+             commit_psum_axis=None):
     """Quantize z [N, dim].
 
     Returns a dict with:
@@ -162,6 +163,14 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
       state              — updated EMA state (unchanged unless ema_update).
     ``mask`` [N] marks valid rows in padded batches: masked rows are excluded
     from losses and codebook statistics, mirroring vq.py's mask plumbing.
+
+    ``commit_psum_axis`` makes the commitment loss a GLOBAL masked mean
+    (psum of sums / psum of counts) — required when the N axis itself is
+    sharded across devices (halo pretrain), where per-device local means
+    would weight shards with unequal valid counts unequally.  ``axis_name``
+    alone only syncs the EMA/affine statistics (the dp semantics, where each
+    replica owns a same-sized batch and pmean-ed grads already average the
+    local commit means).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -308,10 +317,15 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
             if mask is not None:
                 m = (mask[None, :, None] if cfg.separate_codebook_per_head
                      else jnp.repeat(mask, cfg.heads)[None, :, None])
-                commit = jnp.sum(se * m) / jnp.maximum(
-                    jnp.sum(m) * se.shape[0] * se.shape[-1], 1.0)
+                num = jnp.sum(se * m)
+                den = jnp.sum(m) * se.shape[0] * se.shape[-1]
             else:
-                commit = jnp.mean(se)
+                num = jnp.sum(se)
+                den = jnp.asarray(se.size, jnp.float32)
+            if commit_psum_axis is not None:
+                num = jax.lax.psum(num, commit_psum_axis)
+                den = jax.lax.psum(den, commit_psum_axis)
+            commit = num / jnp.maximum(den, 1.0)
             loss = loss + commit * cfg.commitment_weight
         if cfg.orthogonal_reg_weight > 0 and not freeze_codebook:
             loss = loss + _orthogonal_loss(k_ortho, params["embed"], cfg) \

@@ -500,3 +500,149 @@ def test_halo_finetune_fused_learns(rng):
         ds, cfg, mesh, pad_multiple=8, fused=True, interpret=True,
         hub_size=0, edge_chunk=128).get_best()
     assert best["test"]["mean"] > 75, best
+
+
+def test_halo_pretrain_loss_parity_2axis(rng):
+    """2-axis ('data','edge') halo pretrain forward == single-device
+    pretrain loss components (augmentation off, topo ratio 0 — the
+    deterministic terms: feat recon, sem recon, commit)."""
+    from stemgnn_tpu.models.pretrain import pretrain_init
+    from stemgnn_tpu.nn.encoder import encoder_apply
+    from stemgnn_tpu.nn.layers import linear_apply
+    from stemgnn_tpu.parallel.halo import _local, _shard_layout
+    from stemgnn_tpu.parallel.halo_pretrain import (
+        halo_pretrain_forward, prepare_halo_pretrain_graph)
+    from stemgnn_tpu.vq import vq_apply
+
+    n, e, S, T = 90, 500, 4, 3
+    x, s, r, _ = random_graph(rng, n=n, e=e, d=D, with_edge_feat=False)
+    table = rng.standard_normal((T, D)).astype(np.float32)
+    xe = rng.integers(0, T, size=e).astype(np.int32)
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0, orthogonal_reg_weight=0.0),
+        feat_p=0.0, edge_p=0.0, topo_recon_ratio=0.0)
+    params, teacher, state = pretrain_init(jax.random.PRNGKey(0), cfg)
+
+    sg, nb, layouts, et = prepare_halo_pretrain_graph(
+        x, np.stack([s, r]), S, xe_ids=xe, edge_table=table,
+        pad_multiple=8, node_block=8, edge_chunk=128)
+    n_pad = S * nb
+    seeds = np.zeros(n_pad, bool)
+    seeds[rng.choice(n, 40, replace=False)] = True
+
+    # ---- expected, single device on the full padded graph
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    nm = np.zeros(n_pad, bool)
+    nm[:n] = True
+    z, _, _ = encoder_apply(
+        params["encoder"], state["encoder"], cfg.encoder,
+        jnp.asarray(x_pad), jnp.asarray(s), jnp.asarray(r),
+        edge_feat=jnp.asarray(table[xe]), node_mask=jnp.asarray(nm),
+        training=True)
+    vq_res = vq_apply(params["vq"], state["vq"], cfg.vq, z, training=True,
+                      mask=jnp.asarray(nm))
+    q = vq_res["quantize"]
+    sf = jnp.asarray(seeds, jnp.float32)
+    se = jnp.sum((linear_apply(params["feat_dec"], q)
+                  - jnp.asarray(x_pad)) ** 2, -1)
+    want_feat = float(jnp.sum(se * sf) / (jnp.sum(sf) * D))
+    tz, _, _ = encoder_apply(
+        teacher, state["sem_encoder"], cfg.encoder, jnp.asarray(x_pad),
+        jnp.asarray(s), jnp.asarray(r), edge_feat=jnp.asarray(table[xe]),
+        node_mask=jnp.asarray(nm), training=True)
+    hp = linear_apply(params["sem_projector"], q)
+
+    def l2n(t):
+        return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True),
+                               1e-12)
+    cos = 1.0 - jnp.sum(l2n(tz) * l2n(hp), -1)
+    want_sem = float(jnp.sum(cos * sf) / jnp.sum(sf))
+    want_commit = float(vq_res["loss"])
+
+    # ---- got: 2x2 mesh, seeds split across the two data replicas
+    mesh = make_mesh(axis_sizes=(2, 4), axis_names=("data", "edge"))
+    seed_rep = np.zeros((2, n_pad), bool)
+    idx = np.flatnonzero(seeds)
+    seed_rep[0, idx[::2]] = True
+    seed_rep[1, idx[1::2]] = True
+    seed_masks = jnp.asarray(seed_rep.reshape(2, S, nb))
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    def f(rngs, seed_masks, sg, ll, lr):
+        part = _local({k: v for k, v in sg.items()
+                       if k not in ("node_feat", "node_mask")})
+        loss, (aux, _) = halo_pretrain_forward(
+            params, teacher, state, cfg, part, sg["node_feat"][0],
+            sg["node_mask"][0], seed_masks[0, 0], rng=rngs[0],
+            lay_loc=_shard_layout(ll), lay_rem=_shard_layout(lr),
+            edge_table=et, node_axis="edge", axes=("data", "edge"),
+            training=True, interpret=True)
+        return loss, aux["losses"]
+
+    sg_spec = {k: (P("edge") if k not in () else P())
+               for k in sg}
+    loss, losses = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"), P("data", "edge"), sg_spec,
+                  jax.tree.map(lambda _: P("edge"), layouts[0]),
+                  jax.tree.map(lambda _: P("edge"), layouts[1])),
+        out_specs=(P(), P()), check_vma=False))(
+            rngs, seed_masks, sg, *layouts)
+    # NOTE: the halo VQ rng differs per shard, but sampling is deterministic
+    # argmax (stochastic_sample_codes=False), so codes match exactly.
+    np.testing.assert_allclose(float(losses["feat_recon_loss"]), want_feat,
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(losses["sem_recon_loss"]), want_sem,
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(losses["commit_loss"]), want_commit,
+                               rtol=2e-4)
+
+
+def test_halo_pretrain_step_trains(rng):
+    """Full 2-axis halo pretrain STEP (all losses on, augmentation on):
+    loss is finite and decreases over a few optimizer steps."""
+    from stemgnn_tpu.models.pretrain import pretrain_init
+    from stemgnn_tpu.parallel.halo_pretrain import (
+        make_halo_pretrain_step, prepare_halo_pretrain_graph)
+    from stemgnn_tpu.train.optim import make_optimizer
+
+    n, e, S, T = 80, 400, 4, 3
+    x, s, r, _ = random_graph(rng, n=n, e=e, d=D, with_edge_feat=False)
+    table = rng.standard_normal((T, D)).astype(np.float32)
+    xe = rng.integers(0, T, size=e).astype(np.int32)
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0, orthogonal_reg_weight=0.1,
+                    orthogonal_reg_max_codes=4),
+        feat_p=0.2, edge_p=0.2, topo_recon_ratio=0.1, lr=3e-3)
+    params, teacher, state = pretrain_init(jax.random.PRNGKey(0), cfg)
+    sg, nb, layouts, et = prepare_halo_pretrain_graph(
+        x, np.stack([s, r]), S, xe_ids=xe, edge_table=table,
+        pad_multiple=8, node_block=8, edge_chunk=128)
+    n_pad = S * nb
+    mesh = make_mesh(axis_sizes=(2, 4), axis_names=("data", "edge"))
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, grad_clip=cfg.grad_clip)
+    opt_state = tx.init(params)
+    step = make_halo_pretrain_step(cfg, tx, mesh, layouts, et,
+                                   interpret=True)
+    seeds = np.zeros((2, n_pad), bool)
+    seeds[0, :n:2] = True
+    seeds[1, 1:n:2] = True
+    seed_masks = jnp.asarray(seeds.reshape(2, S, nb))
+    key = jax.random.PRNGKey(3)
+    hist = []
+    for it in range(6):
+        key, k = jax.random.split(key)
+        rngs = jax.random.split(k, 2)
+        params, teacher, opt_state, state, metrics = step(
+            params, teacher, opt_state, state, rngs, seed_masks, sg,
+            *layouts)
+        hist.append(float(metrics["loss"]))
+    assert np.isfinite(hist).all(), hist
+    assert hist[-1] < hist[0], hist
