@@ -143,6 +143,92 @@ class TfidfSvdEncoder:
         return out / np.maximum(norms, 1e-12)
 
 
+class JaxSentenceEncoder:
+    """Framework-owned ST backend: the pure-JAX DistilBERT forward
+    (stemgnn_tpu.nn.distilbert) + WordPiece tokenizer, fed from a local
+    weights directory — runs on the same TPU as training, no torch in the
+    encode path.  Semantics of multi-qa-distilbert-cos-v1: last hidden ->
+    attention-masked mean pool -> l2norm (data_utils.py:14-79).
+
+    ``model_dir`` must contain ``vocab.txt`` plus ``model.safetensors`` or
+    ``pytorch_model.bin`` (a standard HF snapshot of
+    sentence-transformers/multi-qa-distilbert-cos-v1 or any DistilBERT).
+    """
+
+    def __init__(self, model_dir: str, batch_size: int = 128,
+                 max_length: int = 512):
+        import os.path as osp
+
+        from stemgnn_tpu.nn.distilbert import (DistilBertConfig,
+                                               WordPieceTokenizer,
+                                               import_hf_state_dict)
+        self.tokenizer = WordPieceTokenizer.from_vocab_file(
+            osp.join(model_dir, "vocab.txt"))
+        sd = None
+        st_path = osp.join(model_dir, "model.safetensors")
+        pt_path = osp.join(model_dir, "pytorch_model.bin")
+        if osp.exists(st_path):
+            try:
+                from safetensors.numpy import load_file
+                sd = load_file(st_path)
+            except ImportError:
+                sd = None
+        if sd is None and osp.exists(pt_path):
+            import torch
+            sd = torch.load(pt_path, map_location="cpu",
+                            weights_only=True)
+        if sd is None:
+            raise FileNotFoundError(
+                f"no model.safetensors / pytorch_model.bin in {model_dir}")
+        # infer layer count / dims from the checkpoint
+        import re as _re
+        n_layers = 1 + max(
+            int(m.group(1)) for k in sd
+            for m in [_re.search(r"transformer\.layer\.(\d+)\.", k)] if m)
+        we = sd[[k for k in sd if k.endswith(
+            "embeddings.word_embeddings.weight")][0]]
+        shape = we.shape if hasattr(we, "shape") else np.asarray(we).shape
+        ffn = sd[[k for k in sd if k.endswith("ffn.lin1.weight")][0]]
+        ffn_out = (ffn.shape if hasattr(ffn, "shape")
+                   else np.asarray(ffn).shape)[0]
+        self.cfg = DistilBertConfig(vocab_size=int(shape[0]),
+                                    dim=int(shape[1]), n_layers=n_layers,
+                                    hidden_dim=int(ffn_out))
+        self.params = import_hf_state_dict(sd, self.cfg)
+        self.batch_size = batch_size
+        self.max_length = max_length
+        import functools
+
+        import jax
+
+        from stemgnn_tpu.nn.distilbert import (distilbert_apply,
+                                               mean_pool_normalize)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def fwd(params, ids, mask):
+            hid = distilbert_apply(params, self.cfg, ids, mask)
+            return mean_pool_normalize(hid, mask)
+
+        self._fwd = fwd
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        outs = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i: i + bs])
+            ids, mask = self.tokenizer.batch(chunk,
+                                             max_length=self.max_length)
+            if len(chunk) < bs and len(texts) > bs:
+                # keep the batch dim bucketed too (one compile shape)
+                pad = bs - len(chunk)
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            emb = np.asarray(self._fwd(self.params, ids, mask))
+            outs.append(emb[: len(chunk)])
+        return np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, self.cfg.dim), np.float32)
+
+
 class SentenceTransformerEncoder:
     """ST backend via locally cached transformers weights (mean pooling +
     l2norm, matching multi-qa-distilbert-cos-v1 semantics)."""
@@ -181,6 +267,15 @@ def get_text_encoder(name: str = "hash", dim: int = 768, **kw):
     if name == "tfidf":
         return TfidfSvdEncoder(dim=dim, **kw)
     if name in ("ST", "st"):
+        # Prefer the framework-owned JAX forward when a local snapshot
+        # exists (ST_MODEL_DIR env or the conventional cache path); fall
+        # back to the torch/sentence-transformers stack.
+        import os
+        import os.path as osp
+        model_dir = kw.pop("model_dir", None) or os.environ.get(
+            "ST_MODEL_DIR", "/root/repo/data_cache/st_model")
+        if osp.exists(osp.join(model_dir, "vocab.txt")):
+            return JaxSentenceEncoder(model_dir=model_dir, **kw)
         try:
             return SentenceTransformerEncoder(**kw)
         except Exception as exc:  # weights not cached locally
