@@ -128,7 +128,7 @@ class NeighborBatchIterator:
                  edge_pad: Optional[int] = None, shuffle: bool = True,
                  drop_last: bool = False, use_native: bool = True,
                  indexed: bool = False, pad_mode: str = "auto",
-                 probe_chunks=None):
+                 probe_chunks=None, pad_tag: str = ""):
         self.csc = csc
         self.node_feat_table = node_feat_table
         self.edge_feat_table = edge_feat_table
@@ -141,7 +141,11 @@ class NeighborBatchIterator:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.indexed = indexed
-        self.truncations = 0
+        self.truncations = 0      # genuine sampler clamps at the worst-case
+                                  # closure caps (reference per-hop caps,
+                                  # gp/utils/graph.py:32-46) — edges dropped
+        self.escalations = 0      # bucket regrowths (one recompile, NO
+                                  # dropped edges — NeighborLoader semantics)
         self._native = False
         if use_native:
             from stemgnn_tpu.data import native_sampler
@@ -166,7 +170,18 @@ class NeighborBatchIterator:
             # (gp/utils/graph.py:32-46) — counted in ``truncations``.
             # Buckets are cached on the CSC graph so per-epoch iterator
             # rebuilds reuse the same padded shapes (one jit compilation).
-            cache_key = ("_pad_cache", batch_size, tuple(self.fanouts))
+            # The key carries a probe-identity component: iterators over the
+            # same CSC with identical batch size/fanouts but a different
+            # seed distribution (uniform nodes vs degree-biased link
+            # endpoints) must not reuse each other's buckets.
+            if not pad_tag and probe_chunks is not None:
+                import hashlib
+                h = hashlib.blake2b(digest_size=8)
+                for c in probe_chunks[:4]:
+                    h.update(np.ascontiguousarray(c).tobytes())
+                pad_tag = h.hexdigest()
+            cache_key = ("_pad_cache", batch_size, tuple(self.fanouts),
+                         pad_tag)
             cache = getattr(csc, "_pad_cache", None)
             if cache is None:
                 cache = {}
@@ -199,12 +214,17 @@ class NeighborBatchIterator:
                 node_pad = bucket(arr[:, 0], worst_n, batch_size // 4 + 8)
                 edge_pad = bucket(arr[:, 1], worst_e, 128)
                 cache[cache_key] = (node_pad, edge_pad)
+            self._cache_ref = (cache, cache_key)
+        else:
+            self._cache_ref = None
         if node_pad is None:
             node_pad = worst_n
         if edge_pad is None:
             edge_pad = worst_e
         self.node_pad = node_pad
         self.edge_pad = edge_pad
+        self._worst_n = worst_n
+        self._worst_e = worst_e
 
     def __iter__(self):
         order = self.rng.permutation(len(self.seeds)) if self.shuffle \
@@ -240,20 +260,43 @@ class NeighborBatchIterator:
         return nodes, es, ed, eids
 
     def make_batch(self, seed_chunk: np.ndarray):
+        # Sample against the WORST-CASE closure caps, not the padding
+        # bucket: a batch that outgrows its bucket escalates the bucket
+        # (one recompile, zero dropped edges — NeighborLoader semantics,
+        # reference utils/loader.py:10-45) instead of truncating.  Genuine
+        # truncation only happens at the closure caps themselves (== the
+        # reference's per-hop caps, gp/utils/graph.py:32-46).
         nodes, es, ed, eids = self._sample(seed_chunk, self.rng,
-                                           node_cap=self.node_pad,
-                                           edge_cap=self.edge_pad)
-        # both samplers clamp AT the cap, so == cap means saturated
-        if len(nodes) >= self.node_pad or len(es) >= self.edge_pad:
+                                           node_cap=self._worst_n,
+                                           edge_cap=self._worst_e)
+        if len(nodes) >= self._worst_n or len(es) >= self._worst_e:
             self.truncations += 1
             global _TRUNC_WARNED
             if not _TRUNC_WARNED:
                 _TRUNC_WARNED = True
-                print(f"[sampler] batch saturated its padding bucket "
-                      f"({len(nodes)}/{self.node_pad} nodes, "
-                      f"{len(es)}/{self.edge_pad} edges) — truncating "
+                print(f"[sampler] batch saturated the worst-case closure "
+                      f"cap ({len(nodes)}/{self._worst_n} nodes, "
+                      f"{len(es)}/{self._worst_e} edges) — truncating "
                       f"(counted in .truncations; warning printed once)")
-        nodes = nodes[: self.node_pad]          # safety clamp
+        if len(nodes) > self.node_pad or len(es) > self.edge_pad:
+            # Grow with headroom so a slowly-rising tail does not retrigger
+            # per batch; share the new bucket via the CSC cache so sibling
+            # iterators recompile at most once too.
+            self.escalations += 1
+            if len(nodes) > self.node_pad:
+                self.node_pad = round_up(
+                    min(len(nodes) + len(nodes) // 8 + 1, self._worst_n),
+                    128)
+            if len(es) > self.edge_pad:
+                self.edge_pad = round_up(
+                    min(len(es) + len(es) // 8 + 1, self._worst_e), 128)
+            if self._cache_ref is not None:
+                cache, key = self._cache_ref
+                cache[key] = (self.node_pad, self.edge_pad)
+            print(f"[sampler] padding bucket escalated to "
+                  f"({self.node_pad} nodes, {self.edge_pad} edges) — one "
+                  f"recompile, no dropped edges (count in .escalations)")
+        nodes = nodes[: self.node_pad]          # closure-cap clamp only
         keep = (es < len(nodes)) & (ed < len(nodes))
         es, ed, eids = es[keep], ed[keep], eids[keep]
         if len(es) > self.edge_pad:

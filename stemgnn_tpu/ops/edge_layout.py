@@ -114,22 +114,49 @@ def _block_ptr(sorted_keys: np.ndarray, n_pad: int, nb: int) -> np.ndarray:
     return np.searchsorted(sorted_keys, bounds, side="left").astype(np.int32)
 
 
+# Break-even model constants, measured on the tunneled v5e (BASELINE.md
+# round-1 notes): the XLA row gather is row-rate-limited at ~22 ns/row
+# regardless of width; effective bf16 MXU throughput and HBM bandwidth for
+# the dense CNT block.  Tune per target chip.
+HUB_GATHER_NS_PER_ROW = 22e-9
+HUB_MXU_FLOPS = 150e12
+HUB_HBM_BPS = 7e11
+
+
 def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                      num_nodes_padded: int, hub_size: int, node_block: int,
                      edge_chunk: int, min_coverage: float,
-                     tail_e_pad_to: int = 0) -> "HubDense":
+                     tail_e_pad_to: int = 0,
+                     feat_dim_hint: int = 768) -> "HubDense":
     """Hub-dense decomposition for one direction.  ``gather_by`` names which
     endpoint the XLA gather indexes (the scatter key is the other one):
     the forward scatters by receiver and gathers senders; the factored
-    backward scatters by sender and gathers receivers."""
+    backward scatters by sender and gathers receivers.
+
+    Gating: beyond the raw ``min_coverage`` floor, the decomposition must
+    clear an estimated BREAK-EVEN — the dense CNT block costs are
+    coverage-independent (an [N_pad, h_pad] bf16 read + an N*h*D MXU
+    matmul), so a barely-qualifying graph would pay full dense cost for a
+    small gather saving.  Estimated saving = covered_rows * gather-row
+    latency; estimated cost = matmul FLOPs / MXU rate + CNT bytes / HBM
+    rate.  A negative ``min_coverage`` bypasses ALL gating (the stacked
+    halo builder gates globally instead)."""
     gidx = senders if gather_by == "sender" else receivers
     sidx = receivers if gather_by == "sender" else senders
     freq = np.bincount(gidx[edge_mask], minlength=num_nodes_padded)
     h = min(hub_size, num_nodes_padded)
     hub_ids = np.argsort(-freq, kind="stable")[:h].astype(np.int32)
-    coverage = float(freq[hub_ids].sum() / max(edge_mask.sum(), 1))
-    if coverage < min_coverage:
-        return None
+    covered = float(freq[hub_ids].sum())
+    coverage = covered / max(edge_mask.sum(), 1)
+    if min_coverage >= 0:
+        if coverage < min_coverage:
+            return None
+        h_pad_est = round_up(h, 128)
+        dense_cost = (2.0 * num_nodes_padded * h_pad_est * feat_dim_hint
+                      / HUB_MXU_FLOPS
+                      + num_nodes_padded * h_pad_est * 2.0 / HUB_HBM_BPS)
+        if covered * HUB_GATHER_NS_PER_ROW < 1.2 * dense_cost:
+            return None
     rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
     rank[hub_ids] = np.arange(h)
     is_hub = edge_mask & (rank[gidx] < h)
@@ -160,7 +187,8 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       hub_min_coverage: float = 0.1,
                       to_device: bool = True, win_floor: int = 0,
                       e_pad_to: int = 0,
-                      hub_tail_e_pad_to: int = 0) -> EdgeLayout:
+                      hub_tail_e_pad_to: int = 0,
+                      feat_dim_hint: int = 768) -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
     (edge_mask False); they are re-pointed at the sentinel and sorted last.
 
@@ -269,11 +297,13 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         hub_r = _build_hub_dense(senders, receivers, edge_mask, "sender",
                                  num_nodes_padded, hub_size, node_block,
                                  edge_chunk, hub_min_coverage,
-                                 tail_e_pad_to=hub_tail_e_pad_to)
+                                 tail_e_pad_to=hub_tail_e_pad_to,
+                                 feat_dim_hint=feat_dim_hint)
         hub_s = _build_hub_dense(senders, receivers, edge_mask, "receiver",
                                  num_nodes_padded, hub_size, node_block,
                                  edge_chunk, hub_min_coverage,
-                                 tail_e_pad_to=hub_tail_e_pad_to)
+                                 tail_e_pad_to=hub_tail_e_pad_to,
+                                 feat_dim_hint=feat_dim_hint)
 
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
@@ -291,6 +321,8 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
 
 def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,
                       xe_ids=None, hub_size: int = 0) -> EdgeLayout:
+    feat_dim = int(g.node_feat.shape[-1]) if getattr(g, "node_feat", None) \
+        is not None else 768
     """Build a layout from a padded Graph whose nodes are already a multiple
     of ``node_block`` (re-pad first if not).  ``xe_ids`` are per-edge type
     ids aligned with the graph's (padded) edge arrays."""
@@ -300,7 +332,8 @@ def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,
     return build_edge_layout(
         np.asarray(g.senders), np.asarray(g.receivers), n_pad,
         xe_ids=xe_ids, edge_mask=np.asarray(g.edge_mask),
-        node_block=node_block, edge_chunk=edge_chunk, hub_size=hub_size)
+        node_block=node_block, edge_chunk=edge_chunk, hub_size=hub_size,
+        feat_dim_hint=feat_dim)
 
 
 def attach_layout(g, xe_ids=None, edge_table=None, node_block: int = 128,

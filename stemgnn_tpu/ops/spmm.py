@@ -109,9 +109,19 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                 "cannot run the non-fused path with type features")
         # reconstruct in layout (receiver-sorted) edge order
         edge_feat = jnp.take(edge_table, xe, axis=0)
+        lmask = layout.mask_r
+        if dynamic_edge_mask and edge_mask is not None:
+            # permute the runtime edge mask (original order) into layout
+            # order and fold it in — messages AND the mean's degree
+            if layout.perm_r2o is None:
+                raise ValueError(
+                    "dynamic_edge_mask on the layout fallback path needs "
+                    "layout.perm_r2o (rebuild the layout)")
+            keep = jnp.take(edge_mask, layout.perm_r2o, axis=0)
+            lmask = jnp.logical_and(lmask, keep.astype(bool))
         return gather_scatter_aggregate(
             x, layout.senders_r, layout.receivers_r, edge_feat=edge_feat,
-            edge_mask=layout.mask_r, num_nodes=num_nodes, reduce=reduce,
+            edge_mask=lmask, num_nodes=num_nodes, reduce=reduce,
             relu=relu, indices_are_sorted=True)
     return gather_scatter_aggregate(
         x, senders, receivers, edge_feat=edge_feat, edge_mask=edge_mask,

@@ -144,8 +144,84 @@ def test_python_fallback_respects_caps(rng):
                                np.arange(n), 16, [10, 10], rng,
                                node_pad=128, edge_pad=256, indexed=True,
                                use_native=False)
-    g, n_seeds, nodes = it.make_batch(np.arange(16))
-    assert len(nodes) <= 128
-    assert g.senders.shape[0] == 256
-    # seeds survive truncation (BFS order puts them first)
+    # the raw sampler clamps AT the caps (BFS-prefix nodes, hop-prefix edges)
+    nodes, es, ed, eids = it._sample(np.arange(16), rng, node_cap=128,
+                                     edge_cap=256)
+    assert len(nodes) <= 128 and len(es) <= 256
     assert np.array_equal(nodes[:16], np.arange(16))
+    # a full batch ESCALATES an undersized bucket instead of truncating
+    g, n_seeds, nodes = it.make_batch(np.arange(16))
+    assert it.escalations == 1
+    assert len(nodes) <= it.node_pad
+    assert g.senders.shape[0] == it.edge_pad
+    # seeds survive (BFS order puts them first)
+    assert np.array_equal(nodes[:16], np.arange(16))
+
+
+def test_bucket_escalation_no_dropped_edges():
+    """A batch that outgrows its padding bucket triggers exactly one bucket
+    regrowth (recompile) and drops ZERO edges (NeighborLoader semantics,
+    VERDICT r1 item 7) — truncation only at the worst-case closure caps."""
+    n_hub_in = 400
+    # star graph: node 0 has 400 in-edges; plus a sparse tail
+    senders = np.concatenate([np.arange(1, n_hub_in + 1),
+                              np.arange(1, 50)])
+    receivers = np.concatenate([np.zeros(n_hub_in, np.int64),
+                                np.arange(2, 51)])
+    n = n_hub_in + 2
+    csc = CSCGraph.from_edge_index(np.stack([senders, receivers]), n)
+    feats = np.ones((n, 4), np.float32)
+    it = NeighborBatchIterator(
+        csc, feats, None, np.arange(n), None, seeds=np.array([0]),
+        batch_size=1, fanouts=[n_hub_in], rng=np.random.default_rng(0),
+        node_pad=128, edge_pad=128, use_native=False)
+    g, n_seeds, nodes = it.make_batch(np.array([0]))
+    assert it.escalations == 1
+    assert it.truncations == 0
+    # every in-edge of the hub survived
+    assert int(np.asarray(g.edge_mask).sum()) == n_hub_in
+    assert it.edge_pad >= n_hub_in
+    # the grown bucket is reused without further escalation
+    g2, _, _ = it.make_batch(np.array([0]))
+    assert it.escalations == 1
+    assert int(np.asarray(g2.edge_mask).sum()) == n_hub_in
+
+
+def test_exact_bucket_fill_not_counted():
+    """len == bucket is a fit, not a truncation/escalation (ADVICE r1)."""
+    senders = np.arange(1, 128 + 1)
+    receivers = np.zeros(128, np.int64)
+    n = 130
+    csc = CSCGraph.from_edge_index(np.stack([senders, receivers]), n)
+    feats = np.ones((n, 4), np.float32)
+    it = NeighborBatchIterator(
+        csc, feats, None, np.arange(n), None, seeds=np.array([0]),
+        batch_size=1, fanouts=[128], rng=np.random.default_rng(0),
+        node_pad=256, edge_pad=128, use_native=False)
+    g, _, _ = it.make_batch(np.array([0]))
+    assert int(np.asarray(g.edge_mask).sum()) == 128
+    assert it.escalations == 0 and it.truncations == 0
+
+
+def test_pad_cache_keyed_by_probe_identity():
+    """Two iterators over one CSC with the same (batch, fanout) but
+    different probe distributions get independent buckets (ADVICE r1)."""
+    rng = np.random.default_rng(0)
+    n, e = 400, 1200
+    hub_s = rng.integers(0, n, e)
+    csc = CSCGraph.from_edge_index(
+        np.stack([hub_s, rng.integers(0, 8, e)]).astype(np.int64), n)
+    feats = np.ones((n, 4), np.float32)
+    # probe A: low-degree seeds; probe B: the 8 hub receivers
+    probe_a = [np.arange(100, 108)]
+    probe_b = [np.arange(0, 8)]
+    it_a = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                                 seeds=np.arange(100, 200), batch_size=8,
+                                 fanouts=[50], rng=np.random.default_rng(1),
+                                 use_native=False, probe_chunks=probe_a)
+    it_b = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                                 seeds=np.arange(0, 8), batch_size=8,
+                                 fanouts=[50], rng=np.random.default_rng(1),
+                                 use_native=False, probe_chunks=probe_b)
+    # hub receivers have ~150 in-edges each: bucket B must be larger
+    assert it_b.edge_pad > it_a.edge_pad
