@@ -85,22 +85,94 @@ def load_dataset_cache(name: str, encoder: str = "hash", dim: int = 768,
                 if "extras_json" in z else {}))
 
 
+class _PygStub:
+    """Shape-agnostic stand-in for any pickled torch_geometric class: state
+    lands in ``__dict__`` (PyG's BaseStorage/Data pickle protocol is
+    ``__getstate__ -> dict``), construction args are ignored."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__["_state"] = state
+
+
+def _install_pyg_stub_modules():
+    """Register stub ``torch_geometric`` modules so reference caches
+    (pickled PyG ``Data`` objects) unpickle WITHOUT torch_geometric
+    installed — pickle resolves classes by (module, name) string, and the
+    stubs absorb any class from the package.  No-op when real PyG exists."""
+    import sys
+    import types
+    existing = sys.modules.get("torch_geometric")
+    if existing is not None and not getattr(existing, "__pyg_stub__", False):
+        return   # real torch_geometric present
+    try:
+        import torch_geometric  # noqa: F401  (import outside sys.modules)
+        return
+    except ImportError:
+        pass
+
+    def make_mod(modname):
+        m = types.ModuleType(modname)
+        m.__pyg_stub__ = True
+
+        def ga(attr, _mod=modname):
+            cls = type(attr, (_PygStub,), {"__module__": _mod})
+            setattr(m, attr, cls)
+            return cls
+        m.__getattr__ = ga
+        return m
+
+    for modname in ("torch_geometric", "torch_geometric.data",
+                    "torch_geometric.data.data",
+                    "torch_geometric.data.storage",
+                    "torch_geometric.data.in_memory_dataset"):
+        if modname not in sys.modules:
+            sys.modules[modname] = make_mod(modname)
+
+
 def import_reference_cache(pt_path: str, name: str) -> TAGDataset:
     """Import a reference ``geometric_data_processed.pt`` cache (torch-saved
     PyG collated Data, reference data/ofa_data.py:113-121) into a TAGDataset.
 
-    Requires torch; works with plain dict-like payloads — the saved object is
-    ``(data, slices)`` from InMemoryDataset.collate.
+    Requires torch only: when torch_geometric is absent, stub modules absorb
+    the pickled PyG classes (Data holds a ``_store`` GlobalStorage whose
+    ``_mapping`` dict carries the tensors — PyG 2.3 pickle layout), so the
+    import works in environments where PyG cannot be installed.
     """
     import torch
+    _install_pyg_stub_modules()
     payload = torch.load(pt_path, map_location="cpu", weights_only=False)
     data = payload[0] if isinstance(payload, (tuple, list)) else payload
 
+    def _mapping_of(obj):
+        # PyG Data: attributes live in obj._store._mapping (GlobalStorage);
+        # plain dicts / namespaces work too
+        d = getattr(obj, "__dict__", {})
+        store = d.get("_store")
+        if store is not None:
+            sd = getattr(store, "__dict__", {})
+            return sd.get("_mapping", sd)
+        return d.get("_mapping", d) if d else (
+            obj if isinstance(obj, dict) else {})
+
+    mapping = _mapping_of(data)
+
     def get(key, default=None):
-        v = getattr(data, key, None)
-        if v is None and hasattr(data, "get"):
-            v = data.get(key, default)
-        return None if v is None else np.asarray(v)
+        v = getattr(data, key, None) if not isinstance(data, dict) else None
+        if not _is_tensorlike(v):
+            v = mapping.get(key, default)
+        if v is None or not _is_tensorlike(v):
+            return None
+        return np.asarray(v)
+
+    def _is_tensorlike(v):
+        return v is not None and (hasattr(v, "numpy") or
+                                  isinstance(v, np.ndarray))
 
     node_text_feat = get("node_text_feat")
     edge_text_feat = get("edge_text_feat")
