@@ -177,6 +177,10 @@ class IndexedGraph:
     n_node: jax.Array               # [] int32
     n_edge: jax.Array               # [] int32
     xe_ids: Optional[jax.Array] = None   # [E_pad] int32 into the edge table
+    # per-node graph segment ids for disjoint graph batches (graph-task
+    # pooling); None for single-graph batches
+    node_graph_id: Optional[jax.Array] = None   # [N_pad] int32
+    n_graph: Optional[int] = None
 
     @property
     def num_nodes_padded(self) -> int:
@@ -191,7 +195,8 @@ def make_indexed_graph(node_ids, senders, receivers, xe_ids=None,
                        node_pad_to: Optional[int] = None,
                        edge_pad_to: Optional[int] = None,
                        node_multiple: int = 8,
-                       edge_multiple: int = 128) -> IndexedGraph:
+                       edge_multiple: int = 128,
+                       node_graph_id=None, n_graph=None) -> IndexedGraph:
     """Host prep of an :class:`IndexedGraph` (numpy in, device arrays out)."""
     node_ids = np.asarray(node_ids, np.int32)
     senders = np.asarray(senders, np.int32)
@@ -222,7 +227,13 @@ def make_indexed_graph(node_ids, senders, receivers, xe_ids=None,
         receivers=pad1(receivers, e_pad),
         node_mask=nm, edge_mask=em,
         n_node=np.int32(n), n_edge=np.int32(e),
-        xe_ids=None if xe_ids is None else pad1(xe_ids, e_pad))
+        xe_ids=None if xe_ids is None else pad1(xe_ids, e_pad),
+        node_graph_id=None if node_graph_id is None else (
+            # padded rows get an out-of-range segment id so pooled segments
+            # [0, n_graph) never receive padding contributions
+            pad1(np.asarray(node_graph_id, np.int32), n_pad)
+            + np.where(nm, 0, np.int32(n_graph if n_graph else 1))),
+        n_graph=n_graph)
 
 
 def materialize_graph(ig: IndexedGraph, node_table, edge_table=None) -> Graph:
@@ -239,7 +250,8 @@ def materialize_graph(ig: IndexedGraph, node_table, edge_table=None) -> Graph:
     return Graph(node_feat=node_feat, senders=ig.senders,
                  receivers=ig.receivers, node_mask=ig.node_mask,
                  edge_mask=ig.edge_mask, n_node=ig.n_node, n_edge=ig.n_edge,
-                 edge_feat=ef)
+                 edge_feat=ef, node_graph_id=ig.node_graph_id,
+                 n_graph=ig.n_graph)
 
 
 def pad_graph(g: Graph, node_pad_to: int, edge_pad_to: int) -> Graph:
@@ -278,6 +290,53 @@ def compute_in_degree(receivers, edge_mask, num_nodes: int):
     """In-degree per node counting only valid edges (for mean aggregation)."""
     ones = edge_mask.astype(jnp.float32)
     return jax.ops.segment_sum(ones, receivers, num_segments=num_nodes)
+
+
+class IndexedGraphList:
+    """List-like bundle of id-based graph dicts + the shared feature
+    tables.  The graph-task dataset format for huge molecule corpora: host
+    memory is O(atoms) ints (not O(atoms x D) floats), and the trainer's
+    batches stay indexed until the device-side gather."""
+
+    def __init__(self, items, node_table, edge_table=None):
+        self.items = items
+        self.node_table = node_table
+        self.edge_table = edge_table
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def __iter__(self):
+        return iter(self.items)
+
+
+def batch_indexed_graphs(graphs, node_pad_to: Optional[int] = None,
+                         edge_pad_to: Optional[int] = None) -> IndexedGraph:
+    """Disjoint union of id-based host graphs (dicts with keys x / senders /
+    receivers / [xe]) into one padded IndexedGraph with per-node graph ids —
+    the graph-task batch format whose host work and H2D payload are int-only
+    (features gather on device from the shared dedup tables)."""
+    offsets = np.cumsum([0] + [np.asarray(g["x"]).shape[0] for g in graphs])
+    node_ids = np.concatenate([np.asarray(g["x"], np.int32) for g in graphs])
+    senders = np.concatenate(
+        [np.asarray(g["senders"], np.int32) + offsets[i]
+         for i, g in enumerate(graphs)])
+    receivers = np.concatenate(
+        [np.asarray(g["receivers"], np.int32) + offsets[i]
+         for i, g in enumerate(graphs)])
+    xe = None
+    if graphs and graphs[0].get("xe") is not None:
+        xe = np.concatenate([np.asarray(g["xe"], np.int32) for g in graphs])
+    gid = np.concatenate(
+        [np.full(np.asarray(g["x"]).shape[0], i, np.int32)
+         for i, g in enumerate(graphs)])
+    return make_indexed_graph(node_ids, senders, receivers, xe_ids=xe,
+                              node_pad_to=node_pad_to,
+                              edge_pad_to=edge_pad_to,
+                              node_graph_id=gid, n_graph=len(graphs))
 
 
 def batch_graphs(graphs, node_pad_to: Optional[int] = None,

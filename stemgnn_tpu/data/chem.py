@@ -593,7 +593,8 @@ def smiles2graph(smiles: str, *, removeHs: bool = True,
 def mol_dataset_from_smiles(smiles_list: Sequence[str],
                             labels: np.ndarray,
                             split_names: Sequence[str],
-                            encoder=None, dim: int = 768):
+                            encoder=None, dim: int = 768,
+                            indexed: bool = False):
     """Full chem dataset assembly (gen_data.py:66-110): parse every SMILES,
     deduplicate node/edge texts across the dataset, encode unique texts once,
     and return (graphs, labels, split) in the graph-task bundle format
@@ -602,7 +603,15 @@ def mol_dataset_from_smiles(smiles_list: Sequence[str],
     ``labels``: [G, T] float with NaN for absent tasks.  ``split_names``:
     per-graph 'train'|'valid'|'test'.  ``encoder``: a text encoder with
     ``.encode(list[str]) -> [K, D]`` (default: offline hash encoder).
+
+    ``indexed=True`` returns an :class:`IndexedGraphList` — per-graph int
+    ids into the shared dedup tables instead of materialized [n_i, D]
+    feature rows.  At chempcba scale (437k molecules x 768 dims) the
+    materialized form needs ~30 GB host RAM and makes every epoch's batch
+    building memcpy-bound; the indexed form is ~100 B/graph and gathers
+    features on device (see BASELINE.md graph-eval measurement).
     """
+    from stemgnn_tpu.core.graph import IndexedGraphList
     from stemgnn_tpu.data.dataset import make_index_splits
     from stemgnn_tpu.data.text_encoder import get_text_encoder
 
@@ -622,17 +631,30 @@ def mol_dataset_from_smiles(smiles_list: Sequence[str],
     edge_table = encoder.encode(list(edge2id)) if edge2id else \
         np.zeros((1, dim), np.float32)
 
-    graphs = []
-    for g in parsed:
-        nf = node_table[[node2id[t] for t in g["node_feat"]]]
-        if len(g["edge_feat"]):
-            ef = edge_table[[edge2id[t] for t in g["edge_feat"]]]
-        else:
-            ef = np.zeros((0, node_table.shape[1]), np.float32)
-        graphs.append({"node_feat": nf.astype(np.float32),
-                       "senders": g["edge_list"][:, 0].astype(np.int32),
-                       "receivers": g["edge_list"][:, 1].astype(np.int32),
-                       "edge_feat": ef.astype(np.float32)})
+    if indexed:
+        items = []
+        for g in parsed:
+            items.append({
+                "x": np.asarray([node2id[t] for t in g["node_feat"]],
+                                np.int32),
+                "senders": g["edge_list"][:, 0].astype(np.int32),
+                "receivers": g["edge_list"][:, 1].astype(np.int32),
+                "xe": np.asarray([edge2id[t] for t in g["edge_feat"]],
+                                 np.int32)})
+        graphs = IndexedGraphList(items, node_table.astype(np.float32),
+                                  edge_table.astype(np.float32))
+    else:
+        graphs = []
+        for g in parsed:
+            nf = node_table[[node2id[t] for t in g["node_feat"]]]
+            if len(g["edge_feat"]):
+                ef = edge_table[[edge2id[t] for t in g["edge_feat"]]]
+            else:
+                ef = np.zeros((0, node_table.shape[1]), np.float32)
+            graphs.append({"node_feat": nf.astype(np.float32),
+                           "senders": g["edge_list"][:, 0].astype(np.int32),
+                           "receivers": g["edge_list"][:, 1].astype(np.int32),
+                           "edge_feat": ef.astype(np.float32)})
 
     idx = {"train": [], "valid": [], "test": []}
     for i, name in enumerate(split_names):

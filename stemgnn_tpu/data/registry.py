@@ -109,5 +109,8 @@ def load_smiles_csv(path: str, feat_dim: int = 768,
             labels.append([float(v) if v.strip() != "" else np.nan
                            for v in row[2:]])
     enc = get_text_encoder(text_encoder, dim=feat_dim)
+    # indexed bundle: id-based graphs + shared dedup tables — at chempcba
+    # scale the materialized form needs ~84 GB host RAM and ~305 s/epoch of
+    # host batch building vs ~15 s indexed (scripts/bench_graph_eval.py)
     return mol_dataset_from_smiles(smiles, np.asarray(labels, float), splits,
-                                   encoder=enc, dim=feat_dim)
+                                   encoder=enc, dim=feat_dim, indexed=True)

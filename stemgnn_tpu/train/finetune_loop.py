@@ -531,15 +531,31 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
     built lazily so huge datasets (chempcba: 437k molecules) never
     materialize all batches in host memory at once (the reference streams
     through DataLoaders the same way, utils/loader.py:48-72).
+
+    When ``graphs`` is an :class:`~stemgnn_tpu.core.graph.IndexedGraphList`
+    the batches stay INDEXED (int ids into the shared dedup tables): host
+    work and H2D payload drop ~D x, and features gather on device inside
+    the jitted step — the chempcba-scale path (BASELINE.md graph-eval
+    measurement).
     """
+    from stemgnn_tpu.core.graph import batch_indexed_graphs
+    indexed = getattr(graphs, "node_table", None) is not None
     num_tasks = labels.shape[1]
     for i in range(0, len(idxs), batch_size):
         chunk = idxs[i: i + batch_size]
         gs = [graphs[j] for j in chunk]
-        tot_n = sum(g["node_feat"].shape[0] for g in gs)
-        tot_e = sum(len(g["senders"]) for g in gs)
-        g = batch_graphs(gs, node_pad_to=round_up(tot_n + 1, node_bucket),
-                         edge_pad_to=round_up(max(tot_e, 1), edge_bucket))
+        if indexed:
+            tot_n = sum(len(g["x"]) for g in gs)
+            tot_e = sum(len(g["senders"]) for g in gs)
+            g = batch_indexed_graphs(
+                gs, node_pad_to=round_up(tot_n + 1, node_bucket),
+                edge_pad_to=round_up(max(tot_e, 1), edge_bucket))
+        else:
+            tot_n = sum(g["node_feat"].shape[0] for g in gs)
+            tot_e = sum(len(g["senders"]) for g in gs)
+            g = batch_graphs(gs,
+                             node_pad_to=round_up(tot_n + 1, node_bucket),
+                             edge_pad_to=round_up(max(tot_e, 1), edge_bucket))
         lab = np.full((batch_size, num_tasks), np.nan)
         lab[: len(chunk)] = np.stack([labels[j] for j in chunk])
         yield g, lab, len(chunk)
@@ -548,10 +564,19 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
 def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     pretrained=None, verbose: bool = False,
                     seed_base: int = 0, donate: bool = False):
+    from stemgnn_tpu.core.graph import materialize_graph
     num_tasks = labels.shape[1]
     logger = Logger()
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
     donate = donate and _donation_safe(cfg)
+    indexed = getattr(graphs, "node_table", None) is not None
+    if indexed:
+        node_tab = jnp.asarray(np.asarray(graphs.node_table))
+        edge_tab = None if graphs.edge_table is None else \
+            jnp.asarray(np.asarray(graphs.edge_table))
+
+    def _prep(g):
+        return materialize_graph(g, node_tab, edge_tab) if indexed else g
 
     def make_batches(mask, bs, shuffle_rng=None):
         idxs = np.where(mask)[0]
@@ -567,6 +592,8 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
 
     def _train_impl(trainable, frozen, opt_state, state, rng, g, y, valid,
                     gmask):
+        g = _prep(g)
+
         def loss_fn(trainable):
             params = _merge(trainable, frozen)
             z, state2, aux = task_model.encode(params, state, cfg, g,
@@ -594,6 +621,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
 
     @jax.jit
     def predict(trainable, frozen, state, g):
+        g = _prep(g)
         params = _merge(trainable, frozen)
         z, state2, _ = task_model.encode(params, state, cfg, g,
                                          training=False)
@@ -626,7 +654,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         first_train = next(iter(eval_batches["train"]()), None)
         if first_train is not None:
             params, state = task_model.maybe_kmeans_init_vq(
-                params, state, cfg, first_train[0], rng=k_init)
+                params, state, cfg, _prep(first_train[0]), rng=k_init)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)

@@ -273,3 +273,37 @@ def test_dataset_cache_roundtrips_extras(tmp_path):
     assert back.extras["split_counts"] == [2, 1, 0]
     assert back.extras["relations"] == ["a", "b"]
     np.testing.assert_array_equal(back.edge_index, ds.edge_index)
+
+
+def test_mol_bundle_indexed_matches_materialized():
+    """The indexed (id-based) graph-task bundle trains/evaluates identically
+    to the materialized one — same graphs, same tables, device-side gather."""
+    import jax
+    from stemgnn_tpu.core.config import EncoderConfig, FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.chem import mol_dataset_from_smiles
+    from stemgnn_tpu.train.finetune_loop import run_finetune
+
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C#N", "CCOC", "CNC",
+              "O=C=O", "c1ccncc1", "CCS"] * 4
+    labels = np.asarray([[float(i % 2)] for i in range(len(smiles))])
+    split_names = (["train"] * 24 + ["valid"] * 8 + ["test"] * 8)
+    kw = dict(dim=16)
+    g_mat, y, split = mol_dataset_from_smiles(smiles, labels, split_names,
+                                              **kw)
+    g_idx, y2, split2 = mol_dataset_from_smiles(smiles, labels, split_names,
+                                                indexed=True, **kw)
+    assert len(g_idx) == len(g_mat)
+    assert g_idx.node_table.shape[1] == 16
+
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=16, hidden_dim=16, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=16, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="graph", epochs=4, early_stop=10, lr=5e-3, repeat=1,
+        num_classes=1, batch_size=8, use_vq=False)
+    b_mat = run_finetune((g_mat, y, split), cfg).get_best()
+    b_idx = run_finetune((g_idx, y2, split2), cfg).get_best()
+    # identical math (features are the same rows, gathered on device)
+    np.testing.assert_allclose(b_idx["test"]["mean"], b_mat["test"]["mean"],
+                               rtol=1e-4, atol=1e-3)
