@@ -6,14 +6,20 @@ all_to_all boundary exchange) at 1, 2, ..., N devices on one synthetic
 power-law graph, and reports scaling efficiency vs the single-device rate
 (driver target: >= 80% at N hosts, BASELINE.md).
 
-On a real TPU slice this is the headline scaling number.  Without one it
-still runs on a virtual CPU mesh (``--force_cpu_devices N``) to validate
-the mechanics; those rates are NOT hardware-meaningful.
+Runs BOTH aggregation paths per device count:
+  * xla   — gather + segment_sum (portable),
+  * fused — per-shard Pallas one-hot MXU scatter layouts
+            (parallel.halo.build_halo_layouts; interpret mode off-TPU),
+so scaling is measured on the kernels that earn the single-chip number
+(VERDICT r1 item 1).  Each line also carries the static COMMUNICATION
+diagnostics of the partition — per-layer all_to_all bytes, boundary edge
+fraction, halo slots — which are hardware-independent and tracked
+round-over-round in BASELINE.md even when only a virtual CPU mesh exists.
 
 Usage:
   python scripts/bench_scaling.py                     # all visible devices
   python scripts/bench_scaling.py --force_cpu_devices 8 --edges 200000
-Prints one JSON line per device count.
+Prints one JSON line per (path, device count).
 """
 
 import argparse
@@ -35,6 +41,13 @@ def main():
                     help="provision a virtual CPU mesh of this size")
     ap.add_argument("--device_counts", type=str, default="",
                     help="comma list, default 1,2,4,...,N")
+    ap.add_argument("--paths", type=str, default="",
+                    help="comma list of xla,fused (default: both on TPU, "
+                         "xla-only on CPU unless --fused_interpret)")
+    ap.add_argument("--fused_interpret", action="store_true",
+                    help="run the fused path in Pallas interpret mode on "
+                         "CPU (slow; mechanics/diagnostics only)")
+    ap.add_argument("--hub_size", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -46,12 +59,21 @@ def main():
     from jax.sharding import PartitionSpec as P
 
     from stemgnn_tpu.data.synthetic import random_power_law_graph
-    from stemgnn_tpu.parallel.halo import (build_halo_partition, _local,
-                                           halo_sage_aggregate)
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate,
+                                           halo_sage_aggregate_fused)
     from stemgnn_tpu.parallel.mesh import make_mesh
 
     devices = jax.devices()
+    on_tpu = devices[0].platform == "tpu"
     n, e, d = args.nodes, args.edges, args.dim
+    if args.paths:
+        paths = args.paths.split(",")
+    else:
+        paths = ["xla", "fused"] if (on_tpu or args.fused_interpret) \
+            else ["xla"]
     if args.device_counts:
         counts = [int(c) for c in args.device_counts.split(",")]
     else:
@@ -62,54 +84,95 @@ def main():
     _, s_np, r_np, _ = random_power_law_graph(n, e, d, seed=0,
                                               with_edge_feat=False)
     rng = np.random.default_rng(0)
-    base_rate = None
+    base_rate = {}
     for n_dev in counts:
         mesh = make_mesh(axis_names=("edge",), devices=devices[:n_dev])
-        part, nb, _ = build_halo_partition(s_np, r_np, n, n_dev)
+        part, nb, R = build_halo_partition(s_np, r_np, n, n_dev)
         x = rng.standard_normal((n_dev * nb, d)).astype(np.float32)
 
-        def step(x_sh, part):
-            def loss_fn(x_sh):
-                def fwd(x_loc, part):
-                    out = halo_sage_aggregate(x_loc[0], _local(part),
-                                              axis="edge")
-                    return jax.lax.psum(jnp.sum(out.astype(jnp.float32) ** 2),
-                                        "edge")
-                spec = {k: P("edge") for k in part}
-                return jax.shard_map(
-                    fwd, mesh=mesh, in_specs=(P("edge"), spec),
-                    out_specs=P(), check_vma=False)(
-                        x_sh.reshape(n_dev, nb, d), part)
-            return jax.grad(loss_fn)(x_sh)
+        # static communication diagnostics (hardware-independent): the only
+        # cross-device traffic per layer is the all_to_all of send_idx-
+        # selected rows — S * S * R * d floats total across the mesh.
+        boundary_edges = int(part["m_rem"].sum())
+        a2a_bytes_per_layer = n_dev * n_dev * R * d * 4
+        diag = {
+            "halo_slots_R": int(R),
+            "boundary_edge_frac": round(boundary_edges / max(e, 1), 4),
+            "all_to_all_MB_per_layer": round(a2a_bytes_per_layer / 1e6, 2),
+        }
 
-        @jax.jit
-        def run(x, part):
-            def body(x, _):
-                dx = step(x, part)
-                probe = dx.reshape(-1)[0]
-                return x.at[0, 0].add(probe * 1e-9), probe
-            x, probes = jax.lax.scan(body, x, None, length=args.iters)
-            return jnp.sum(probes)
+        lay_loc = lay_rem = None
+        if "fused" in paths and n_dev >= 1:
+            lay_loc, lay_rem = build_halo_layouts(
+                part, nb, R, n_dev, node_block=min(128, nb),
+                edge_chunk=512, hub_size=args.hub_size)
+            lay_loc = jax.device_put(jax.tree.map(jnp.asarray, lay_loc))
+            lay_rem = jax.device_put(jax.tree.map(jnp.asarray, lay_rem))
+
+        def make_step(path):
+            interpret = not on_tpu
+
+            def step(x_sh, part, ll=None, lr=None):
+                def loss_fn(x_sh):
+                    def fwd(x_loc, part, *lays):
+                        if path == "fused":
+                            out = halo_sage_aggregate_fused(
+                                x_loc[0], _local(part),
+                                _shard_layout(lays[0]),
+                                _shard_layout(lays[1]), None, axis="edge",
+                                interpret=interpret, bf16_messages=True)
+                        else:
+                            out = halo_sage_aggregate(x_loc[0], _local(part),
+                                                      axis="edge")
+                        return jax.lax.psum(
+                            jnp.sum(out.astype(jnp.float32) ** 2), "edge")
+                    spec = {k: P("edge") for k in part}
+                    lay_args, lay_specs = (), ()
+                    if path == "fused":
+                        lay_args = (ll, lr)
+                        lay_specs = tuple(
+                            jax.tree.map(lambda _: P("edge"), la)
+                            for la in lay_args)
+                    return jax.shard_map(
+                        fwd, mesh=mesh, in_specs=(P("edge"), spec)
+                        + lay_specs, out_specs=P(), check_vma=False)(
+                            x_sh.reshape(n_dev, nb, d), part, *lay_args)
+                return jax.grad(loss_fn)(x_sh)
+
+            @jax.jit
+            def run(x, part, ll=None, lr=None):
+                def body(x, _):
+                    dx = step(x, part, ll, lr)
+                    probe = dx.reshape(-1)[0]
+                    return x.at[0, 0].add(probe * 1e-9), probe
+                x, probes = jax.lax.scan(body, x, None, length=args.iters)
+                return jnp.sum(probes)
+            return run
 
         part_dev = jax.device_put(part)
         x_dev = jnp.asarray(x)
-        float(run(x_dev, part_dev))                      # compile + warm
-        t0 = time.perf_counter()
-        float(run(x_dev, part_dev))
-        dt = max((time.perf_counter() - t0) / args.iters, 1e-9)
-        rate = e / dt
-        if base_rate is None:
-            base_rate = rate
-        print(json.dumps({
-            "metric": "halo_sage_fwd_bwd_edges_per_s",
-            "devices": n_dev,
-            "value": round(rate),
-            "unit": "edges/s",
-            "efficiency_vs_1dev": round(rate / (base_rate * n_dev), 4),
-            # virtual CPU meshes share one host: efficiency there validates
-            # mechanics only, not the >=80% hardware target
-            "platform": devices[0].platform,
-        }), flush=True)
+        for path in paths:
+            run = make_step(path)
+            lay_args = (lay_loc, lay_rem) if path == "fused" else ()
+            float(run(x_dev, part_dev, *lay_args))       # compile + warm
+            t0 = time.perf_counter()
+            float(run(x_dev, part_dev, *lay_args))
+            dt = max((time.perf_counter() - t0) / args.iters, 1e-9)
+            rate = e / dt
+            if path not in base_rate:
+                base_rate[path] = rate
+            print(json.dumps({
+                "metric": f"halo_sage_fwd_bwd_edges_per_s_{path}",
+                "devices": n_dev,
+                "value": round(rate),
+                "unit": "edges/s",
+                "efficiency_vs_1dev": round(
+                    rate / (base_rate[path] * n_dev), 4),
+                # virtual CPU meshes share one host: efficiency there
+                # validates mechanics only, not the >=80% hardware target
+                "platform": devices[0].platform,
+                **diag,
+            }), flush=True)
 
 
 if __name__ == "__main__":

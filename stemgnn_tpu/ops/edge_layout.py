@@ -127,7 +127,8 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                      num_nodes_padded: int, hub_size: int, node_block: int,
                      edge_chunk: int, min_coverage: float,
                      tail_e_pad_to: int = 0,
-                     feat_dim_hint: int = 768) -> "HubDense":
+                     feat_dim_hint: int = 768,
+                     to_device: bool = True) -> "HubDense":
     """Hub-dense decomposition for one direction.  ``gather_by`` names which
     endpoint the XLA gather indexes (the scatter key is the other one):
     the forward scatters by receiver and gathers senders; the factored
@@ -163,21 +164,37 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
     tail = edge_mask & ~is_hub
 
     h_pad = round_up(h, 128)
-    cnt = np.zeros((num_nodes_padded, h_pad), np.float32)
-    np.add.at(cnt, (sidx[is_hub], rank[gidx[is_hub]]), 1.0)
-    if cnt.max(initial=0.0) >= 256:
-        # parallel-edge multiplicity beyond exact bf16 integers: skip the
-        # decomposition rather than aggregate inexactly
-        return None
+    hub_rows = sidx[is_hub].astype(np.int64)
+    hub_cols = rank[gidx[is_hub]].astype(np.int64)
+    # exact-bf16 multiplicity guard without materializing cnt on host
+    if hub_rows.size:
+        _, mult = np.unique(hub_rows * h_pad + hub_cols, return_counts=True)
+        if mult.max(initial=0) >= 256:
+            # parallel-edge multiplicity beyond exact bf16 integers: skip
+            # the decomposition rather than aggregate inexactly
+            return None
+    if to_device:
+        # build the dense count block ON DEVICE from the small index
+        # arrays (one scatter-add): at arxiv scale cnt is ~0.7 GB and the
+        # host->device link may be slow (34 MB/s on the tunnel) — shipping
+        # ints instead of the dense block turns ~20 s of H2D into ~0.1 s
+        cnt = jnp.zeros((num_nodes_padded, h_pad), jnp.float32).at[
+            (jnp.asarray(hub_rows, jnp.int32),
+             jnp.asarray(hub_cols, jnp.int32))].add(1.0).astype(jnp.bfloat16)
+    else:
+        cnt_np = np.zeros((num_nodes_padded, h_pad), np.float32)
+        np.add.at(cnt_np, (hub_rows, hub_cols), 1.0)
+        cnt = cnt_np.astype(np.float32)  # numpy leaves (stacked halo build)
     hub_ids_pad = np.zeros(h_pad, np.int32)
     hub_ids_pad[:h] = hub_ids
 
     tail_layout = build_edge_layout(
         senders[tail], receivers[tail], num_nodes_padded,
         node_block=node_block, edge_chunk=edge_chunk,
-        e_pad_to=tail_e_pad_to)
-    return HubDense(hub_ids=jnp.asarray(hub_ids_pad),
-                    cnt=jnp.asarray(cnt, jnp.bfloat16),
+        e_pad_to=tail_e_pad_to, to_device=to_device)
+    if to_device:
+        hub_ids_pad = jnp.asarray(hub_ids_pad)
+    return HubDense(hub_ids=hub_ids_pad, cnt=cnt,
                     tail=tail_layout, hub_size=h, coverage=coverage)
 
 
@@ -298,12 +315,14 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                                  num_nodes_padded, hub_size, node_block,
                                  edge_chunk, hub_min_coverage,
                                  tail_e_pad_to=hub_tail_e_pad_to,
-                                 feat_dim_hint=feat_dim_hint)
+                                 feat_dim_hint=feat_dim_hint,
+                                 to_device=to_device)
         hub_s = _build_hub_dense(senders, receivers, edge_mask, "receiver",
                                  num_nodes_padded, hub_size, node_block,
                                  edge_chunk, hub_min_coverage,
                                  tail_e_pad_to=hub_tail_e_pad_to,
-                                 feat_dim_hint=feat_dim_hint)
+                                 feat_dim_hint=feat_dim_hint,
+                                 to_device=to_device)
 
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
