@@ -85,6 +85,16 @@ def get_args():
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest full_<epoch>.npz bundle "
                         "under the run's checkpoint dir")
+    p.add_argument("--halo_shards", type=int, default=0,
+                   help="> 0 switches to FULL-GRAPH halo pretraining: the "
+                        "merged graph node-sharded over this many devices "
+                        "('edge' mesh axis, fused Pallas kernels), the "
+                        "remaining devices forming a 'data' axis of "
+                        "independent augmentation views + disjoint seed "
+                        "slices (SURVEY.md §7.1 end state)")
+    p.add_argument("--halo_hub", type=int, default=0,
+                   help="hub-dense size for the halo layouts (single-edge-"
+                        "type datasets only)")
     return p
 
 
@@ -154,6 +164,22 @@ def main():
                    "pretrain": {k: v for k, v in dataclasses.asdict(cfg).items()
                                 if k not in ("encoder", "vq")}},
                   f, indent=2, default=str)
+    if args.halo_shards:
+        import jax
+
+        from stemgnn_tpu.parallel.halo_pretrain import run_pretrain_halo
+        from stemgnn_tpu.parallel.mesh import make_mesh
+        devs = jax.devices()
+        ne = args.halo_shards
+        nd = max(len(devs) // ne, 1)
+        mesh = make_mesh(axis_sizes=(nd, ne), axis_names=("data", "edge"),
+                         devices=devs[: nd * ne])
+        print(f"Full-graph halo pretrain on a {nd}x{ne} (data x edge) mesh")
+        run_pretrain_halo(merged, cfg, mesh, weights=weights,
+                          save_root=save_root, hub_size=args.halo_hub,
+                          interpret=jax.default_backend() != "tpu")
+        print(f"Checkpoints saved under {save_root}")
+        return
     mesh = None
     if args.data_parallel:
         from stemgnn_tpu.parallel.mesh import make_mesh

@@ -331,3 +331,79 @@ def make_halo_pretrain_step(cfg: PretrainConfig, tx, mesh, layouts,
         + lay_specs,
         out_specs=(rep, rep, rep, rep, rep), check_vma=False)
     return jax.jit(step)
+
+
+def run_pretrain_halo(merged, cfg: PretrainConfig, mesh, *, weights,
+                      save_root=None, verbose: bool = True,
+                      data_axis="data", node_axis="edge",
+                      interpret: bool = False, hub_size: int = 0,
+                      log_fn=None):
+    """Full-graph halo pretraining driver over the 2-axis mesh.
+
+    The full-graph analog of :func:`train.pretrain_loop.run_pretrain` for
+    the ``all``-mix at arxiv scale (SURVEY.md §7.1 end state): the merged
+    graph is node-sharded over ``node_axis``; the per-epoch WEIGHTED node
+    resample (process_datasets.py:186-198) becomes per-node float seed
+    WEIGHTS — repetition counts — split round-robin across the ``data``
+    replicas; one optimizer step per epoch covers every seed exactly as the
+    reference's epoch covers its resampled seed list.
+
+    ``merged``: the dict from :func:`data.merge.merge_datasets`.  Returns
+    (params, teacher, state, history).
+    """
+    from stemgnn_tpu.data.sampler import get_train_node_idx
+    from stemgnn_tpu.models.pretrain import pretrain_init
+    from stemgnn_tpu.train.optim import make_optimizer
+    from stemgnn_tpu.train.pretrain_loop import (flush_checkpoint_writes,
+                                                 save_checkpoint)
+
+    n_data = int(mesh.shape[data_axis]) if data_axis else 1
+    n_edge = int(mesh.shape[node_axis])
+    rng_np = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params, teacher, state = pretrain_init(k_init, cfg)
+
+    node_feat = np.asarray(merged["node_text_feat"],
+                           np.float32)[np.asarray(merged["x"])]
+    xe = merged.get("xe")
+    sg, nb, layouts, edge_table = prepare_halo_pretrain_graph(
+        node_feat, np.asarray(merged["edge_index"]), n_edge,
+        xe_ids=None if xe is None else np.asarray(xe, np.int32),
+        edge_table=merged.get("edge_text_feat"), hub_size=hub_size)
+    n, n_pad = node_feat.shape[0], n_edge * nb
+
+    tx = make_optimizer(cfg.lr, cfg.weight_decay, grad_clip=cfg.grad_clip,
+                        use_scheduler=cfg.use_scheduler, epochs=cfg.epochs,
+                        steps_per_epoch=1)
+    opt_state = tx.init(params)
+    step = make_halo_pretrain_step(cfg, tx, mesh, layouts, edge_table,
+                                   data_axis=data_axis, node_axis=node_axis,
+                                   interpret=interpret)
+    history = []
+    for epoch in range(cfg.epochs):
+        seeds = get_train_node_idx(np.asarray(merged["ptr"]), weights,
+                                   rng_np)
+        # seed multiset -> per-replica float weight vectors (repetition =
+        # weight; round-robin split keeps replicas balanced)
+        w = np.zeros((n_data, n_pad), np.float32)
+        for i in range(n_data):
+            np.add.at(w[i], seeds[i::n_data], 1.0)
+        seed_w = jnp.asarray(w.reshape(n_data, n_edge, nb))
+        key, k = jax.random.split(key)
+        rngs = jax.random.split(k, n_data)
+        params, teacher, opt_state, state, metrics = step(
+            params, teacher, opt_state, state, rngs, seed_w, sg, *layouts)
+        metrics = {k2: float(v) for k2, v in metrics.items()}
+        history.append(metrics)
+        if verbose:
+            print(f"[halo-pretrain] epoch {epoch + 1}/{cfg.epochs} "
+                  + " ".join(f"{k2}={v:.4f}"
+                             for k2, v in sorted(metrics.items())))
+        if log_fn is not None:
+            log_fn(epoch, metrics)
+        if save_root is not None:
+            save_checkpoint(save_root, epoch + 1, params, teacher, state,
+                            opt_state=None, rng_key=None)
+    flush_checkpoint_writes()
+    return params, teacher, state, history

@@ -646,3 +646,33 @@ def test_halo_pretrain_step_trains(rng):
         hist.append(float(metrics["loss"]))
     assert np.isfinite(hist).all(), hist
     assert hist[-1] < hist[0], hist
+
+
+def test_run_pretrain_halo_end_to_end(rng, tmp_path):
+    """Full-graph halo pretrain driver: weighted seed resample -> 2x4-mesh
+    steps -> per-epoch checkpoints; loss finite and decreasing."""
+    from stemgnn_tpu.data.merge import merge_datasets
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.halo_pretrain import run_pretrain_halo
+
+    ds = synthetic_node_dataset(num_nodes=90, num_classes=4, feat_dim=D,
+                                train_per_split=20, val_per_split=20,
+                                num_splits=1, seed=0)
+    merged = merge_datasets([ds])
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0),
+        epochs=4, lr=3e-3, feat_p=0.1, edge_p=0.1, topo_recon_ratio=0.1,
+        seed=0)
+    mesh = make_mesh(axis_sizes=(2, 4), axis_names=("data", "edge"))
+    params, teacher, state, hist = run_pretrain_halo(
+        merged, cfg, mesh, weights=[1.0], save_root=str(tmp_path),
+        verbose=False, interpret=True)
+    losses = [h["loss"] for h in hist]
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    import os
+    assert os.path.exists(tmp_path / "encoder_4.npz")
+    assert os.path.exists(tmp_path / "vq_4.npz")
