@@ -91,12 +91,21 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        n, e, d, iters = 169_343, 1_166_243, 768, 10
+        n, e0, d, iters = 169_343, 1_166_243, 768, 10
     else:
-        n, e, d, iters = 20_000, 100_000, 256, 3
+        n, e0, d, iters = 20_000, 100_000, 256, 3
 
-    _, s_np, r_np, _ = random_power_law_graph(n, e, d, seed=0,
-                                              with_edge_feat=False)
+    _, s_raw, r_raw, _ = random_power_law_graph(n, e0, d, seed=0,
+                                                with_edge_feat=False)
+    # SYMMETRIZE, matching the reference's arxiv workload: ogbn-arxiv is
+    # loaded with transform=ToUndirected() (reference
+    # dataset/data/single_graph/arxiv/gen_data.py:123-126), and
+    # cora/pubmed Planetoid edge lists are symmetric already — the
+    # aggregation the model actually runs sees both edge directions.
+    pair = np.unique(np.stack([np.concatenate([s_raw, r_raw]),
+                               np.concatenate([r_raw, s_raw])], 1), axis=0)
+    s_np, r_np = pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
+    e = s_np.shape[0]
     n_pad = round_up(n, 128)
     order = np.argsort(r_np, kind="stable")
     s_sorted, r_sorted = jnp.asarray(s_np[order]), jnp.asarray(r_np[order])
@@ -132,11 +141,17 @@ def main():
 
         # + hub-dense decomposition (ops.edge_layout.HubDense): messages from
         # the top-2048 gather-frequency nodes become a dense CNT @ f(x_hub)
-        # MXU matmul instead of row-rate-limited XLA gathers; enabled per
-        # direction when hub coverage is substantial (power-law graphs).
+        # MXU matmul instead of per-row XLA gathers; enabled per direction
+        # when hub coverage is substantial (on the symmetrized graph BOTH
+        # directions are hubby, ~50% each).  CNT builds on device (ints
+        # shipped, one scatter-add).  Round-2 sweep on the v5e measured
+        # h=2048 (33.6M) > h=4096 (30.0M, +1.3% coverage at 2x dense cost)
+        # > none (27.6M); frequency concentration of this graph goes flat
+        # past rank ~2048, so larger hubs lose.
         layout_hub = jax.device_put(build_edge_layout(
             s_np, r_np, n_pad, edge_chunk=512, hub_size=2048))
-        candidates["fused_hub"] = (fused_bf16act_step, x0_bf16, layout_hub)
+        candidates["fused_hub2048"] = (fused_bf16act_step, x0_bf16,
+                                       layout_hub)
 
     results = {}
     for name, (fn, x_init, aux) in candidates.items():
