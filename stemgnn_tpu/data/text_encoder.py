@@ -229,6 +229,149 @@ class JaxSentenceEncoder:
             np.zeros((0, self.cfg.dim), np.float32)
 
 
+class JaxE5Encoder:
+    """Framework-owned 'e5' backend (intfloat/e5-large-v2 semantics,
+    reference data_utils.py:102-124): pure-JAX BERT forward
+    (stemgnn_tpu.nn.bert) + WordPiece tokenizer + attention-masked mean
+    pool WITHOUT l2 normalization (and, faithfully, no query:/passage:
+    prefixes — the reference adds none).  ``model_dir`` needs vocab.txt +
+    model.safetensors / pytorch_model.bin of any HF BertModel."""
+
+    def __init__(self, model_dir: str, batch_size: int = 64,
+                 max_length: int = 512):
+        import os.path as osp
+
+        from stemgnn_tpu.nn.bert import BertConfig, import_hf_bert_state_dict
+        from stemgnn_tpu.nn.distilbert import WordPieceTokenizer
+        self.tokenizer = WordPieceTokenizer.from_vocab_file(
+            osp.join(model_dir, "vocab.txt"))
+        sd = _load_local_state_dict(model_dir)
+        import re as _re
+        n_layers = 1 + max(
+            int(m.group(1)) for k in sd
+            for m in [_re.search(r"encoder\.layer\.(\d+)\.", k)] if m)
+        we = np.asarray(sd[[k for k in sd if k.endswith(
+            "embeddings.word_embeddings.weight")][0]])
+        ffn = np.asarray(sd[[k for k in sd if k.endswith(
+            "intermediate.dense.weight")][0]])
+        self.cfg = BertConfig(vocab_size=int(we.shape[0]),
+                              dim=int(we.shape[1]), n_layers=n_layers,
+                              n_heads=max(int(we.shape[1]) // 64, 1),
+                              hidden_dim=int(ffn.shape[0]))
+        self.params = import_hf_bert_state_dict(sd, self.cfg)
+        self.batch_size = batch_size
+        self.max_length = max_length
+        import jax
+
+        from stemgnn_tpu.nn.bert import bert_apply, e5_average_pool
+
+        @jax.jit
+        def fwd(params, ids, mask):
+            hid = bert_apply(params, self.cfg, ids, mask)
+            return e5_average_pool(hid, mask)
+
+        self._fwd = fwd
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        outs = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i: i + bs])
+            ids, mask = self.tokenizer.batch(chunk,
+                                             max_length=self.max_length)
+            if len(chunk) < bs and len(texts) > bs:
+                pad = bs - len(chunk)
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            emb = np.asarray(self._fwd(self.params, ids, mask))
+            outs.append(emb[: len(chunk)])
+        return np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, self.cfg.dim), np.float32)
+
+
+class JaxLlamaEncoder:
+    """Framework-owned 'llama2_*' backend (reference data_utils.py:80-100):
+    pure-JAX Llama decoder (stemgnn_tpu.nn.llama), last hidden state,
+    UNMASKED sequence mean (right-padded EOS positions included — the
+    reference pools exactly so).  SentencePiece tokenization comes from the
+    HF tokenizer files in the same local snapshot (weights-gated either
+    way)."""
+
+    def __init__(self, model_dir: str, batch_size: int = 8,
+                 max_length: int = 500):
+        from transformers import AutoTokenizer
+
+        from stemgnn_tpu.nn.llama import (LlamaConfig,
+                                          import_hf_llama_state_dict)
+        self.tokenizer = AutoTokenizer.from_pretrained(model_dir,
+                                                       local_files_only=True)
+        self.tokenizer.pad_token = self.tokenizer.eos_token
+        self.tokenizer.padding_side = "right"
+        self.tokenizer.truncation_side = "right"
+        sd = _load_local_state_dict(model_dir)
+        import re as _re
+        n_layers = 1 + max(int(m.group(1)) for k in sd
+                           for m in [_re.search(r"layers\.(\d+)\.", k)] if m)
+        we_key = [k for k in sd if k.endswith("embed_tokens.weight")][0]
+        we_shape = sd[we_key].shape
+        gate = [k for k in sd if k.endswith("mlp.gate_proj.weight")][0]
+        kk = [k for k in sd if k.endswith("self_attn.k_proj.weight")][0]
+        dim = int(we_shape[1])
+        kv_dim = int(sd[kk].shape[0])
+        n_heads = max(dim // 128, 1)
+        self.cfg = LlamaConfig(
+            vocab_size=int(we_shape[0]), dim=dim, n_layers=n_layers,
+            n_heads=n_heads,
+            n_kv_heads=max(kv_dim // (dim // n_heads), 1),
+            hidden_dim=int(sd[gate].shape[0]))
+        self.params = import_hf_llama_state_dict(sd, self.cfg)
+        self.batch_size = batch_size
+        self.max_length = max_length
+        import jax
+
+        from stemgnn_tpu.nn.llama import llama_apply, llama_mean_pool
+
+        @jax.jit
+        def fwd(params, ids):
+            # faithful: the reference feeds input_ids only (no attention
+            # mask), so padded EOS tokens participate in attention + mean
+            return llama_mean_pool(llama_apply(params, self.cfg, ids))
+
+        self._fwd = fwd
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        outs = []
+        bs = self.batch_size
+        for i in range(0, len(texts), bs):
+            chunk = list(texts[i: i + bs])
+            enc = self.tokenizer(chunk, padding="longest", truncation=True,
+                                 max_length=self.max_length)
+            ids = np.asarray(enc["input_ids"], np.int32)
+            lpad = -(-ids.shape[1] // 64) * 64
+            ids = np.pad(ids, ((0, 0), (0, lpad - ids.shape[1])),
+                         constant_values=self.tokenizer.eos_token_id or 0)
+            outs.append(np.asarray(self._fwd(self.params, ids)))
+        return np.concatenate(outs, axis=0) if outs else \
+            np.zeros((0, self.cfg.dim), np.float32)
+
+
+def _load_local_state_dict(model_dir: str):
+    import os.path as osp
+    st_path = osp.join(model_dir, "model.safetensors")
+    pt_path = osp.join(model_dir, "pytorch_model.bin")
+    if osp.exists(st_path):
+        try:
+            from safetensors.numpy import load_file
+            return load_file(st_path)
+        except ImportError:
+            pass
+    if osp.exists(pt_path):
+        import torch
+        return torch.load(pt_path, map_location="cpu", weights_only=True)
+    raise FileNotFoundError(
+        f"no model.safetensors / pytorch_model.bin in {model_dir}")
+
+
 class SentenceTransformerEncoder:
     """ST backend via locally cached transformers weights (mean pooling +
     l2norm, matching multi-qa-distilbert-cos-v1 semantics)."""
@@ -282,4 +425,15 @@ def get_text_encoder(name: str = "hash", dim: int = 768, **kw):
             raise RuntimeError(
                 "ST encoder weights unavailable offline; use the 'hash' "
                 f"backend instead ({exc})") from exc
+    if name == "e5":
+        import os
+        model_dir = kw.pop("model_dir", None) or os.environ.get(
+            "E5_MODEL_DIR", "/root/repo/data_cache/e5_model")
+        return JaxE5Encoder(model_dir=model_dir, **kw)
+    if name in ("llama2_7b", "llama2_13b"):
+        import os
+        env = name.upper() + "_MODEL_DIR"
+        model_dir = kw.pop("model_dir", None) or os.environ.get(
+            env, f"/root/repo/data_cache/{name}")
+        return JaxLlamaEncoder(model_dir=model_dir, **kw)
     raise ValueError(f"unknown text encoder {name}")
