@@ -97,3 +97,35 @@ def test_rcm_handles_isolated_and_components(rng):
     r = np.asarray([1, 2, 6, 7], np.int64)
     perm = rcm_order(s, r, 11)
     assert sorted(perm.tolist()) == list(range(11))
+
+
+def test_layout_fallback_honors_dynamic_edge_mask(rng):
+    """The non-fused layout path (CPU debugging route) must fold a runtime
+    edge mask into messages AND the mean's degree (ADVICE r1 item 1)."""
+    from stemgnn_tpu.ops.edge_layout import build_edge_layout
+    from stemgnn_tpu.ops.spmm import sage_aggregate
+
+    n, e, t, d = 40, 200, 3, 8
+    s = rng.integers(0, n, e).astype(np.int64)
+    r = rng.integers(0, n, e).astype(np.int64)
+    xe = rng.integers(0, t, e).astype(np.int32)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    table = rng.standard_normal((t, d)).astype(np.float32)
+    n_pad = 128
+    x_pad = np.zeros((n_pad, d), np.float32)
+    x_pad[:n] = x
+    keep = rng.random(e) < 0.6
+    lay = build_edge_layout(s, r, n_pad, xe_ids=xe, to_device=False)
+    keep_pad = np.zeros(lay.num_edges_padded, np.float32)
+    keep_pad[:e] = keep
+    # CPU: layout present but backend != tpu -> the fallback branch runs
+    got = np.asarray(sage_aggregate(
+        jnp.asarray(x_pad), None, None, edge_table=jnp.asarray(table),
+        num_nodes=n_pad, reduce="mean", relu=True,
+        layout=jax.tree.map(jnp.asarray, lay),
+        edge_mask=jnp.asarray(keep_pad), dynamic_edge_mask=True))
+    want = np.asarray(gather_scatter_aggregate(
+        jnp.asarray(x_pad), jnp.asarray(s[keep]), jnp.asarray(r[keep]),
+        jnp.asarray(table[xe[keep]]), num_nodes=n_pad, reduce="mean",
+        relu=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
