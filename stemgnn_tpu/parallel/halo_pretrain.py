@@ -380,8 +380,11 @@ def run_pretrain_halo(merged, cfg: PretrainConfig, mesh, *, weights,
     step = make_halo_pretrain_step(cfg, tx, mesh, layouts, edge_table,
                                    data_axis=data_axis, node_axis=node_axis,
                                    interpret=interpret)
+    import time
+
     history = []
     for epoch in range(cfg.epochs):
+        t0 = time.perf_counter()
         seeds = get_train_node_idx(np.asarray(merged["ptr"]), weights,
                                    rng_np)
         # seed multiset -> per-replica float weight vectors (repetition =
@@ -395,11 +398,16 @@ def run_pretrain_halo(merged, cfg: PretrainConfig, mesh, *, weights,
         params, teacher, opt_state, state, metrics = step(
             params, teacher, opt_state, state, rngs, seed_w, sg, *layouts)
         metrics = {k2: float(v) for k2, v in metrics.items()}
+        # the float() readbacks above force completion (scalar D2H), so
+        # this wall time covers the full dispatched step
+        metrics["epoch_s"] = time.perf_counter() - t0
         history.append(metrics)
         if verbose:
             print(f"[halo-pretrain] epoch {epoch + 1}/{cfg.epochs} "
+                  f"({metrics['epoch_s']:.2f}s) "
                   + " ".join(f"{k2}={v:.4f}"
-                             for k2, v in sorted(metrics.items())))
+                             for k2, v in sorted(metrics.items())
+                             if k2 != "epoch_s"))
         if log_fn is not None:
             log_fn(epoch, metrics)
         if save_root is not None:
