@@ -310,9 +310,12 @@ def halo_exchange(x_local, send_idx, axis: str):
     """Ship boundary features: returns the halo buffer [S*R, D] where slot
     ``j*R + k`` holds owner ``j``'s ``send_idx[j, me, k]``-th local feature."""
     blocks = jnp.take(x_local, send_idx, axis=0)          # [S, R, D]
-    recv = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0,
-                              tiled=True)                 # [S, R, D]
-    return recv.reshape(-1, x_local.shape[-1])
+    if jax.lax.axis_size(axis) > 1:
+        # all_to_all over a singleton axis is the identity; skip the
+        # collective there (1-device fallbacks / CPU debugging)
+        blocks = jax.lax.all_to_all(blocks, axis, split_axis=0,
+                                    concat_axis=0, tiled=True)  # [S, R, D]
+    return blocks.reshape(-1, x_local.shape[-1])
 
 
 def halo_sage_aggregate(x_local, part, *, axis: str, reduce: str = "mean",
