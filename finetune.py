@@ -81,6 +81,11 @@ def get_args():
                         "Pallas scatter + hub-dense aggregation")
     p.add_argument("--hub_size", type=int, default=2048,
                    help="dense hub block size (0 disables hub-dense)")
+    p.add_argument("--halo_shards", type=int, default=0,
+                   help="> 0: full-graph NODE finetune with the graph "
+                        "node-sharded over this many devices (halo "
+                        "all_to_all exchange on the fused Pallas kernels, "
+                        "parallel/full_graph.py:run_finetune_halo_parallel)")
     return p
 
 
@@ -185,8 +190,24 @@ def main():
         num_classes=num_classes, eval_chunked=bool(args.eval_chunked),
         use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size)
 
-    logger = run_finetune(payload, cfg, pretrained=pretrained, verbose=True,
-                          donate=args.donate)
+    if args.halo_shards:
+        if task != "node":
+            raise SystemExit("--halo_shards supports the node task")
+        import jax
+
+        from stemgnn_tpu.parallel.full_graph import run_finetune_halo_parallel
+        from stemgnn_tpu.parallel.mesh import make_mesh
+        devs = jax.devices()[: args.halo_shards]
+        mesh = make_mesh(axis_names=("edge",), devices=devs)
+        print(f"Halo full-graph finetune over {len(devs)} devices")
+        logger = run_finetune_halo_parallel(
+            payload, cfg, mesh, pretrained=pretrained, verbose=True,
+            hub_size=args.hub_size,
+            # auto: fused on TPU (cfg.use_fused_layout), XLA path elsewhere
+            fused=None if args.use_fused_layout else False)
+    else:
+        logger = run_finetune(payload, cfg, pretrained=pretrained,
+                              verbose=True, donate=args.donate)
     best = logger.get_best()
     print("final/train: {:.2f} ± {:.2f}".format(best["train"]["mean"],
                                                 best["train"]["std"]))
