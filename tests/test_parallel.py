@@ -676,3 +676,36 @@ def test_run_pretrain_halo_end_to_end(rng, tmp_path):
     import os
     assert os.path.exists(tmp_path / "encoder_4.npz")
     assert os.path.exists(tmp_path / "vq_4.npz")
+
+
+def test_halo_pretrain_to_finetune_handoff(rng, tmp_path):
+    """Checkpoints written by the halo pretrain driver load into the
+    standard finetune path (the reference's encoder_N/vq_N handoff,
+    finetune.py:174-177) and train."""
+    from stemgnn_tpu.core.config import FinetuneConfig
+    from stemgnn_tpu.data.merge import merge_datasets
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.halo_pretrain import run_pretrain_halo
+    from stemgnn_tpu.train.finetune_loop import run_finetune
+    from stemgnn_tpu.train.pretrain_loop import load_pretrained_for_finetune
+
+    ds = synthetic_node_dataset(num_nodes=80, num_classes=3, feat_dim=D,
+                                train_per_split=20, val_per_split=20,
+                                num_splits=1, seed=0)
+    cfg_pt = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0),
+        epochs=2, lr=3e-3, seed=0)
+    mesh = make_mesh(axis_sizes=(2, 4), axis_names=("data", "edge"))
+    run_pretrain_halo(merge_datasets([ds]), cfg_pt, mesh, weights=[1.0],
+                      save_root=str(tmp_path), verbose=False,
+                      interpret=True)
+    pre = load_pretrained_for_finetune(str(tmp_path / "encoder_2.npz"),
+                                       str(tmp_path / "vq_2.npz"))
+    cfg_ft = FinetuneConfig(
+        encoder=cfg_pt.encoder, vq=cfg_pt.vq, task="node", epochs=25,
+        early_stop=20, lr=1e-2, repeat=1, num_classes=3)
+    best = run_finetune(ds, cfg_ft, pretrained=pre).get_best()
+    assert best["test"]["mean"] > 60, best
