@@ -70,8 +70,12 @@ def get_args():
     p.add_argument("--decoder_jac_coeff", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--text_encoder", default="hash",
-                   choices=["hash", "tfidf", "ST"],
-                   help="offline text featurizer for text-attributed datasets")
+                   choices=["hash", "tfidf", "ST", "st", "e5",
+                            "llama2_7b", "llama2_13b"],
+                   help="text featurizer: hash/tfidf run offline; st/e5/"
+                        "llama2_* use the first-party JAX forwards from a "
+                        "local weights snapshot (nn/{distilbert,bert,"
+                        "llama}.py)")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -81,6 +85,10 @@ def get_args():
                         "Pallas scatter + hub-dense aggregation")
     p.add_argument("--hub_size", type=int, default=2048,
                    help="dense hub block size (0 disables hub-dense)")
+    p.add_argument("--halo_balance", action="store_true",
+                   help="degree-balanced node relabeling before the halo "
+                        "partition (equalizes per-shard edge load on "
+                        "power-law graphs)")
     p.add_argument("--halo_shards", type=int, default=0,
                    help="> 0: full-graph NODE finetune with the graph "
                         "node-sharded over this many devices (halo "
@@ -202,7 +210,7 @@ def main():
         print(f"Halo full-graph finetune over {len(devs)} devices")
         logger = run_finetune_halo_parallel(
             payload, cfg, mesh, pretrained=pretrained, verbose=True,
-            hub_size=args.hub_size,
+            hub_size=args.hub_size, balance=args.halo_balance,
             # auto: fused on TPU (cfg.use_fused_layout), XLA path elsewhere
             fused=None if args.use_fused_layout else False)
     else:

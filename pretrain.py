@@ -27,8 +27,12 @@ def get_args():
     p = argparse.ArgumentParser("Pretrain")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--text_encoder", default="hash",
-                   choices=["hash", "tfidf", "ST"],
-                   help="offline text featurizer for text-attributed datasets")
+                   choices=["hash", "tfidf", "ST", "st", "e5",
+                            "llama2_7b", "llama2_13b"],
+                   help="text featurizer: hash/tfidf run offline; st/e5/"
+                        "llama2_* use the first-party JAX forwards from a "
+                        "local weights snapshot (nn/{distilbert,bert,"
+                        "llama}.py)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--use_params", action="store_true",
                    help="load configs/pretrain.yaml defaults")

@@ -24,7 +24,8 @@ def base_parser(name: str) -> argparse.ArgumentParser:
                    default="cora_synthetic")
     p.add_argument("--feat_dim", type=int, default=768)
     p.add_argument("--text_encoder", default="hash",
-                   choices=["hash", "tfidf", "ST"])
+                   choices=["hash", "tfidf", "ST", "st", "e5",
+                            "llama2_7b", "llama2_13b"])
     p.add_argument("--hidden_dim", type=int, default=768)
     p.add_argument("--num_layers", type=int, default=2)
     p.add_argument("--normalize", default="none")

@@ -48,6 +48,9 @@ def main():
                     help="run the fused path in Pallas interpret mode on "
                          "CPU (slow; mechanics/diagnostics only)")
     ap.add_argument("--hub_size", type=int, default=0)
+    ap.add_argument("--balance", action="store_true",
+                    help="degree-balanced node relabeling before the "
+                         "partition (equalizes per-shard edge load)")
     args = ap.parse_args()
 
     import jax
@@ -87,7 +90,13 @@ def main():
     base_rate = {}
     for n_dev in counts:
         mesh = make_mesh(axis_names=("edge",), devices=devices[:n_dev])
-        part, nb, R = build_halo_partition(s_np, r_np, n, n_dev)
+        s_c, r_c, n_c = s_np, r_np, n
+        if args.balance and n_dev > 1:
+            from stemgnn_tpu.parallel.halo import degree_balanced_relabel
+            new_of_old, nb_bal = degree_balanced_relabel(r_np, n, n_dev)
+            s_c, r_c = new_of_old[s_np], new_of_old[r_np]
+            n_c = n_dev * nb_bal
+        part, nb, R = build_halo_partition(s_c, r_c, n_c, n_dev)
         x = rng.standard_normal((n_dev * nb, d)).astype(np.float32)
 
         # static communication diagnostics (hardware-independent): the only
@@ -95,10 +104,15 @@ def main():
         # selected rows — S * S * R * d floats total across the mesh.
         boundary_edges = int(part["m_rem"].sum())
         a2a_bytes_per_layer = n_dev * n_dev * R * d * 4
+        # load balance across shards (SURVEY §7.3 risk: power-law graphs
+        # skew contiguous-range partitions): max/mean edges per shard
+        per_shard = part["m_loc"].sum(1) + part["m_rem"].sum(1)
+        imbalance = float(per_shard.max() / max(per_shard.mean(), 1.0))
         diag = {
             "halo_slots_R": int(R),
             "boundary_edge_frac": round(boundary_edges / max(e, 1), 4),
             "all_to_all_MB_per_layer": round(a2a_bytes_per_layer / 1e6, 2),
+            "shard_edge_imbalance": round(imbalance, 3),
         }
 
         lay_loc = lay_rem = None

@@ -288,7 +288,8 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
                                axis: str = "edge", pad_multiple: int = 128,
                                fused=None, hub_size: int = 2048,
                                interpret: bool = False,
-                               edge_chunk: int = 512):
+                               edge_chunk: int = 512,
+                               balance: bool = False):
     """Full-graph node finetune on the halo layout (communication =
     boundary-feature all_to_all per layer instead of v1's [N, D] psum).
 
@@ -305,6 +306,12 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
         fused = (jax.default_backend() == "tpu"
                  and getattr(cfg, "use_fused_layout", False))
     n_shards = int(mesh.shape[axis])
+    if balance:
+        # degree-balanced relabeling equalizes per-shard edge load
+        # (SURVEY §7.3: power-law graphs skew range partitions)
+        from stemgnn_tpu.parallel.halo import relabel_dataset_balanced
+        ds, _ = relabel_dataset_balanced(ds, n_shards,
+                                         pad_multiple=pad_multiple)
     moe = any(cfg.encoder.moe_layer_flags())
     layouts = edge_table = None
     if fused:

@@ -160,6 +160,71 @@ def _local(part):
     return {k: v[0] for k, v in part.items()}
 
 
+def degree_balanced_relabel(receivers, num_nodes: int, num_shards: int,
+                            pad_multiple: int = 128):
+    """Node relabeling that balances per-shard edge load under the
+    contiguous-range ownership of :func:`build_halo_partition`.
+
+    Power-law graphs skew range partitions badly (SURVEY §7.3 risk: a hub
+    node's whole in-edge mass lands on one shard; measured 3.9x max/mean on
+    a zipf graph at S=4).  Snake-dealing nodes by descending in-degree into
+    the S ownership ranges equalizes each range's total in-degree to first
+    order.  Returns ``(new_of_old [num_nodes] int64, nb)``: node ``v``'s
+    new id is ``new_of_old[v]``, placed inside its range ``[i*nb,
+    (i+1)*nb)`` where ``nb`` matches build_halo_partition's padded
+    per-shard block (call the partitioner with ``num_shards * nb`` nodes
+    and the relabeled edge endpoints; scatter per-node arrays with
+    ``arr_new[new_of_old] = arr_old``).
+    """
+    S = num_shards
+    nb = _round_up(-(-num_nodes // S), pad_multiple)
+    deg = np.bincount(np.asarray(receivers, np.int64), minlength=num_nodes)
+    by_deg = np.argsort(-deg, kind="stable")
+    cap = nb
+    sizes = np.zeros(S, np.int64)
+    new_of_old = np.empty(num_nodes, np.int64)
+    for i, node in enumerate(by_deg):
+        r, c = divmod(i, S)
+        b = c if r % 2 == 0 else S - 1 - c        # snake for 2nd order
+        if sizes[b] >= cap:                        # range full: spill
+            b = int(np.argmin(sizes))
+        new_of_old[node] = b * nb + sizes[b]
+        sizes[b] += 1
+    return new_of_old, nb
+
+
+def relabel_dataset_balanced(ds, num_shards: int, pad_multiple: int = 128):
+    """Return ``(ds_new, new_of_old)``: a copy of the TAGDataset with node
+    ids relabeled by :func:`degree_balanced_relabel` (ghost slots padded
+    in) so a subsequent halo partition is edge-load-balanced.  Per-node
+    arrays (x, labels, split masks) scatter into the new id space; ghosts
+    get x id 0, label 0, all-False masks — they are never valid nodes."""
+    import dataclasses
+
+    ei = np.asarray(ds.edge_index)
+    new_of_old, nb = degree_balanced_relabel(ei[1], ds.num_nodes,
+                                             num_shards, pad_multiple)
+    n_eff = num_shards * nb
+
+    def scatter(arr, fill=0, dtype=None):
+        a = np.asarray(arr)
+        out = np.full((n_eff,) + a.shape[1:], fill,
+                      dtype or a.dtype)
+        out[new_of_old] = a
+        return out
+
+    splits = None
+    if ds.splits is not None:
+        splits = [{k: scatter(v, fill=False) for k, v in s.items()}
+                  for s in ds.splits]
+    return dataclasses.replace(
+        ds,
+        x=scatter(ds.x),
+        edge_index=np.stack([new_of_old[ei[0]], new_of_old[ei[1]]]),
+        labels=None if ds.labels is None else scatter(ds.labels),
+        splits=splits), new_of_old
+
+
 def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                        node_block: int = 128, edge_chunk: int = 512,
                        hub_size: int = 0, hub_min_coverage: float = 0.1):

@@ -709,3 +709,61 @@ def test_halo_pretrain_to_finetune_handoff(rng, tmp_path):
         early_stop=20, lr=1e-2, repeat=1, num_classes=3)
     best = run_finetune(ds, cfg_ft, pretrained=pre).get_best()
     assert best["test"]["mean"] > 60, best
+
+
+def test_degree_balanced_relabel_balances_and_preserves_math(rng):
+    """Balanced relabeling equalizes per-shard edge load on a power-law
+    graph AND preserves the halo aggregation (same multiset of messages)."""
+    from stemgnn_tpu.parallel.halo import (_local, build_halo_partition,
+                                           halo_sage_aggregate,
+                                           relabel_dataset_balanced)
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+
+    # hubby receivers: zipf-ish in-degree
+    n, e, S = 120, 1200, 4
+    hubs = rng.integers(0, 6, size=e)
+    tail = rng.integers(0, n, size=e)
+    r = np.where(rng.random(e) < 0.6, hubs, tail).astype(np.int64)
+    s = rng.integers(0, n, size=e).astype(np.int64)
+    ds = synthetic_node_dataset(num_nodes=n, num_classes=3, feat_dim=D,
+                                train_per_split=20, val_per_split=20,
+                                num_splits=1, seed=0)
+    import dataclasses
+    ds = dataclasses.replace(ds, edge_index=np.stack([s, r]),
+                             xe=np.zeros(e, np.int64))
+
+    def imbalance(dsx):
+        ei = np.asarray(dsx.edge_index)
+        part, nb, _ = build_halo_partition(ei[0], ei[1], dsx.num_nodes, S,
+                                           pad_multiple=8)
+        per = part["m_loc"].sum(1) + part["m_rem"].sum(1)
+        return per.max() / max(per.mean(), 1.0), part, nb
+
+    imb0, _, _ = imbalance(ds)
+    ds_b, new_of_old = relabel_dataset_balanced(ds, S, pad_multiple=8)
+    imb1, part_b, nb = imbalance(ds_b)
+    assert imb1 < imb0 * 0.7, (imb0, imb1)
+    assert imb1 < 1.6, imb1
+
+    # aggregation on the relabeled graph == original, mapped through perm
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    n_pad_b = S * nb
+    x_b = np.zeros((n_pad_b, D), np.float32)
+    x_b[new_of_old] = x
+    want = np.asarray(gather_scatter_aggregate(
+        jnp.asarray(x), jnp.asarray(s), jnp.asarray(r), None,
+        num_nodes=n, reduce="mean"))
+    mesh = make_mesh(axis_sizes=(4,), axis_names=("edge",),
+                     devices=jax.devices()[:4])
+
+    def f(x_loc, part):
+        out = halo_sage_aggregate(x_loc[0], _local(part), axis="edge")
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    spec = {k: P("edge") for k in part_b}
+    out_b = np.asarray(jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("edge"), spec), out_specs=P(),
+        check_vma=False))(jnp.asarray(x_b.reshape(S, nb, D)),
+                          {k: jnp.asarray(v) for k, v in part_b.items()}))
+    np.testing.assert_allclose(out_b[new_of_old], want, rtol=1e-5,
+                               atol=1e-5)
