@@ -26,6 +26,10 @@ ROOT = osp.dirname(osp.abspath(__file__))
 def get_args():
     p = argparse.ArgumentParser("Finetune")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference-CLI compatibility "
+                        "(utils/args.py:10); device selection is jax-native "
+                        "here and the flag is ignored")
     p.add_argument("--use_params", action="store_true")
     p.add_argument("--setting", default="standard", choices=["standard"])
     p.add_argument("--pretrain_dataset", "--pt_data", default="na")
@@ -33,6 +37,10 @@ def get_args():
     p.add_argument("--pretrain_model_epoch", "--pt_epochs", type=int,
                    default=25)
     p.add_argument("--pretrain_run_id", "--pt_run_id", default="")
+    p.add_argument("--pretrain_seed", "--pt_seed", type=int, default=42,
+                   help="reference-CLI compatibility (run-id bookkeeping, "
+                        "utils/args.py:75); checkpoints here resolve by "
+                        "--pretrain_run_id directly")
     p.add_argument("--pretrain_path", default="")
     p.add_argument("--feat_dim", "--input_dim", type=int, default=768)
     p.add_argument("--hidden_dim", type=int, default=768)

@@ -34,6 +34,10 @@ def get_args():
                         "local weights snapshot (nn/{distilbert,bert,"
                         "llama}.py)")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference-CLI compatibility "
+                        "(utils/args.py:10); device selection is jax-native "
+                        "here and the flag is ignored")
     p.add_argument("--use_params", action="store_true",
                    help="load configs/pretrain.yaml defaults")
     p.add_argument("--feat_dim", "--input_dim", type=int, default=768)
