@@ -107,6 +107,8 @@ def get_args():
 
 
 def main():
+    from stemgnn_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = get_args()
     args = parser.parse_args()
     if args.use_params:

@@ -13,6 +13,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from stemgnn_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+enable_persistent_cache()
 
 from stemgnn_tpu.core import config as cfglib
 from stemgnn_tpu.data.registry import dataset2task, load_dataset
