@@ -91,6 +91,19 @@ class EdgeLayout:
     # re-gathering an [E, D] pre-activation.  Per sender-sorted edge chunk:
     win_lo_s: Optional[jax.Array] = None    # [C] int32 window start node id
     win_nsub_s: Optional[jax.Array] = None  # [C] int32 ceil(span / win_w)
+    # GATHER-side window metadata (ops.scatter_pallas.
+    # gathered_scatter_rows_sorted): the *other* endpoint's node-id window
+    # per chunk — senders within receiver-sorted chunks (forward messages),
+    # receivers within sender-sorted chunks (factored-backward grad rows).
+    # On locality-ordered graphs (community structure / RCM reordering,
+    # ops.reorder) these windows are narrow and the kernel replaces the XLA
+    # random row gather + [E, D] message materialization with sequential
+    # window DMAs + one-hot MXU matmuls.  ``use_gwin_*`` is the host-side
+    # break-even decision (see _gwin_decide).
+    gwin_lo_r: Optional[jax.Array] = None    # [C] int32
+    gwin_nsub_r: Optional[jax.Array] = None  # [C] int32
+    gwin_lo_s: Optional[jax.Array] = None    # [C] int32
+    gwin_nsub_s: Optional[jax.Array] = None  # [C] int32
     # hub-dense decompositions per scatter direction (build_edge_layout
     # hub_size > 0; None when the graph lacks hub concentration)
     hub_r: Optional[HubDense] = None
@@ -99,6 +112,9 @@ class EdgeLayout:
     node_block: int = struct.field(pytree_node=False, default=128)
     edge_chunk: int = struct.field(pytree_node=False, default=512)
     win_w: int = struct.field(pytree_node=False, default=0)  # 0 = absent
+    gwin_w: int = struct.field(pytree_node=False, default=0)  # 0 = absent
+    use_gwin_r: bool = struct.field(pytree_node=False, default=False)
+    use_gwin_s: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_edges_padded(self) -> int:
@@ -122,13 +138,55 @@ HUB_GATHER_NS_PER_ROW = 22e-9
 HUB_MXU_FLOPS = 150e12
 HUB_HBM_BPS = 7e11
 
+# Windowed in-kernel gather break-even constants (v5e measurements,
+# BASELINE.md round-2 notes): sequential Pallas DMA streaming rate, MXU
+# rate for the [w, eb] one-hot window matmuls, XLA random row-gather model
+# (fixed per-row latency + bytes), and the XLA elementwise stream rate for
+# the [E, D] message materialization the windowed path eliminates.
+GWIN_SEQ_BPS = 375e9
+GWIN_MXU_FLOPS = 150e12
+GWIN_GATHER_FIXED_S = 4e-9
+GWIN_GATHER_BPS = 180e9
+GWIN_STREAM_BPS = 390e9
+
+
+def _chunk_windows(keys: np.ndarray, mask: np.ndarray, edge_chunk: int,
+                   sentinel: int):
+    """Per-chunk node-id window of ``keys``: (lo [C] 8-aligned, span [C])."""
+    num_chunks = keys.shape[0] // edge_chunk
+    k = keys.reshape(num_chunks, edge_chunk)
+    m = mask.reshape(num_chunks, edge_chunk)
+    valid = m.any(axis=1)
+    lo = np.where(valid, np.where(m, k, np.int64(sentinel)).min(axis=1), 0)
+    lo = lo - lo % 8       # sublane-aligned window starts (Mosaic tiling)
+    hi = np.where(valid, np.where(m, k, -1).max(axis=1), -1)
+    span = np.maximum(hi - lo + 1, 0)
+    return lo.astype(np.int64), span.astype(np.int64)
+
+
+def _gwin_decide(nsub: np.ndarray, gwin_w: int, num_valid_edges: int,
+                 edge_chunk: int, feat_dim: int) -> bool:
+    """Break-even gate for the windowed in-kernel gather of one direction:
+    estimated windowed cost (sequential window DMAs + one-hot MXU matmuls)
+    must beat the current path (XLA random row gather + [E, D] bf16 message
+    write + kernel re-read) with margin.  All in bf16 bytes."""
+    d = feat_dim
+    windowed = float(nsub.sum()) * (gwin_w * d * 2.0 / GWIN_SEQ_BPS
+                                    + 2.0 * edge_chunk * gwin_w * d
+                                    / GWIN_MXU_FLOPS)
+    gather = num_valid_edges * (GWIN_GATHER_FIXED_S
+                                + d * 2.0 / GWIN_GATHER_BPS
+                                + d * 2.0 / GWIN_STREAM_BPS
+                                + d * 2.0 / GWIN_SEQ_BPS)
+    return windowed * 1.2 < gather
+
 
 def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                      num_nodes_padded: int, hub_size: int, node_block: int,
                      edge_chunk: int, min_coverage: float,
                      tail_e_pad_to: int = 0,
                      feat_dim_hint: int = 768,
-                     to_device: bool = True) -> "HubDense":
+                     to_device: bool = True, gwin: str = "auto") -> "HubDense":
     """Hub-dense decomposition for one direction.  ``gather_by`` names which
     endpoint the XLA gather indexes (the scatter key is the other one):
     the forward scatters by receiver and gathers senders; the factored
@@ -191,7 +249,8 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
     tail_layout = build_edge_layout(
         senders[tail], receivers[tail], num_nodes_padded,
         node_block=node_block, edge_chunk=edge_chunk,
-        e_pad_to=tail_e_pad_to, to_device=to_device)
+        e_pad_to=tail_e_pad_to, to_device=to_device,
+        feat_dim_hint=feat_dim_hint, gwin=gwin)
     if to_device:
         hub_ids_pad = jnp.asarray(hub_ids_pad)
     return HubDense(hub_ids=hub_ids_pad, cnt=cnt,
@@ -205,7 +264,8 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       to_device: bool = True, win_floor: int = 0,
                       e_pad_to: int = 0,
                       hub_tail_e_pad_to: int = 0,
-                      feat_dim_hint: int = 768) -> EdgeLayout:
+                      feat_dim_hint: int = 768,
+                      gwin: str = "auto") -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
     (edge_mask False); they are re-pointed at the sentinel and sorted last.
 
@@ -218,7 +278,13 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     ``win_floor``/``e_pad_to`` force minimum values on the derived static
     window width / padded edge count so a *family* of layouts (one per mesh
     shard, stacked into a single pytree for shard_map) shares identical
-    static metadata and array shapes."""
+    static metadata and array shapes.
+
+    ``gwin``: windowed in-kernel gather metadata/decision — "auto" builds
+    the per-chunk gather-side windows and enables the windowed kernels when
+    the break-even model predicts a win (locality-ordered graphs), "on"
+    forces them on (tests), "off" skips entirely (uniform static metadata
+    for stacked shard-layout families)."""
     senders = np.asarray(senders, np.int32)
     receivers = np.asarray(receivers, np.int32)
     e = senders.shape[0]
@@ -295,19 +361,35 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     # window width is shared (static): >= the largest chunk span, so dense
     # graphs (many edges per node) use one narrow window per chunk.
     num_chunks = e_pad // edge_chunk
-    snd = bw["a"].reshape(num_chunks, edge_chunk)
-    msk = bw["m"].reshape(num_chunks, edge_chunk)
-    valid_chunk = msk.any(axis=1)
-    lo = np.where(valid_chunk,
-                  np.where(msk, snd, np.int64(sentinel)).min(axis=1), 0)
-    lo = lo - lo % 8       # sublane-aligned window starts (Mosaic tiling)
-    hi = np.where(valid_chunk, np.where(msk, snd, -1).max(axis=1), -1)
-    span = np.maximum(hi - lo + 1, 0)
+    lo, span = _chunk_windows(bw["a"], bw["m"], edge_chunk, sentinel)
     max_span = int(span.max()) if len(span) else 0
     max_span = max(max_span, win_floor)
     # cap the window at 512 rows (VMEM); wider spans walk nsub subwindows
     win_w = min(max(round_up(max_span, 128), 128), 512, num_nodes_padded)
-    nsub = np.where(valid_chunk, -(-span // win_w), 0).astype(np.int32)
+    nsub = np.where(span > 0, -(-span // win_w), 0).astype(np.int32)
+
+    # gather-side windows: senders within receiver-sorted chunks (forward)
+    # and receivers within sender-sorted chunks (factored backward)
+    gwin_fields = dict(gwin_lo_r=None, gwin_nsub_r=None, gwin_lo_s=None,
+                       gwin_nsub_s=None, gwin_w=0, use_gwin_r=False,
+                       use_gwin_s=False)
+    if gwin != "off":
+        glo_r, gspan_r = _chunk_windows(fw["a"], fw["m"], edge_chunk, sentinel)
+        glo_s, gspan_s = _chunk_windows(bw["b"], bw["m"], edge_chunk, sentinel)
+        gmax = int(max(gspan_r.max(initial=0), gspan_s.max(initial=0)))
+        gwin_w = min(max(round_up(gmax, 128), 128), 512, num_nodes_padded)
+        gns_r = np.where(gspan_r > 0, -(-gspan_r // gwin_w), 0).astype(np.int32)
+        gns_s = np.where(gspan_s > 0, -(-gspan_s // gwin_w), 0).astype(np.int32)
+        n_valid = int(edge_mask.sum())
+        force = gwin == "on"
+        gwin_fields = dict(
+            gwin_lo_r=glo_r.astype(np.int32), gwin_nsub_r=gns_r,
+            gwin_lo_s=glo_s.astype(np.int32), gwin_nsub_s=gns_s,
+            gwin_w=gwin_w,
+            use_gwin_r=force or _gwin_decide(gns_r, gwin_w, n_valid,
+                                             edge_chunk, feat_dim_hint),
+            use_gwin_s=force or _gwin_decide(gns_s, gwin_w, n_valid,
+                                             edge_chunk, feat_dim_hint))
 
     hub_r = hub_s = None
     if hub_size:
@@ -316,13 +398,13 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                                  edge_chunk, hub_min_coverage,
                                  tail_e_pad_to=hub_tail_e_pad_to,
                                  feat_dim_hint=feat_dim_hint,
-                                 to_device=to_device)
+                                 to_device=to_device, gwin=gwin)
         hub_s = _build_hub_dense(senders, receivers, edge_mask, "receiver",
                                  num_nodes_padded, hub_size, node_block,
                                  edge_chunk, hub_min_coverage,
                                  tail_e_pad_to=hub_tail_e_pad_to,
                                  feat_dim_hint=feat_dim_hint,
-                                 to_device=to_device)
+                                 to_device=to_device, gwin=gwin)
 
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
@@ -335,7 +417,14 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         perm_r2o=to_dev(perm_r2o), perm_s2o=to_dev(perm_s2o),
         hub_r=hub_r, hub_s=hub_s,
         win_lo_s=to_dev(lo.astype(np.int32)), win_nsub_s=to_dev(nsub),
-        node_block=node_block, edge_chunk=edge_chunk, win_w=win_w)
+        gwin_lo_r=to_dev(gwin_fields["gwin_lo_r"]),
+        gwin_nsub_r=to_dev(gwin_fields["gwin_nsub_r"]),
+        gwin_lo_s=to_dev(gwin_fields["gwin_lo_s"]),
+        gwin_nsub_s=to_dev(gwin_fields["gwin_nsub_s"]),
+        node_block=node_block, edge_chunk=edge_chunk, win_w=win_w,
+        gwin_w=gwin_fields["gwin_w"],
+        use_gwin_r=gwin_fields["use_gwin_r"],
+        use_gwin_s=gwin_fields["use_gwin_s"])
 
 
 def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,

@@ -117,13 +117,23 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return (1.0 / jnp.maximum(layout.in_degree, 1.0)
                 ).astype(jnp.float32)[:, None]
 
-    def _hub_split(src, hub, lrow, block_ptr, gather, mask, layout,
-                   relu_msgs: bool = False, t0=None):
+    def _sane(a):
+        # windowed-gather inputs: a clamped subwindow DMA may read padded
+        # node rows, and any non-finite garbage there would poison the
+        # one-hot matmul (0 * NaN = NaN) — zero non-finite elements in one
+        # fused XLA pass (the gather paths get the same protection from
+        # their edge-mask zeroing)
+        return jnp.where(jnp.isfinite(a), a, jnp.zeros((), a.dtype))
+
+    def _hub_split(src, hub, order, layout, relu_msgs: bool = False, t0=None):
         """Hub-dense + tail-scatter sum (raw, unscaled): the hub part is a
         dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring), the tail
-        part the normal Pallas scatter over the tail sub-layout.  ``t0`` is
-        the broadcast single-type table row added to every message (the
-        factored T=1 case) or None."""
+        part the Pallas scatter over the tail sub-layout — windowed in-kernel
+        gather when the tail layout's break-even gate enabled it
+        (locality-ordered graphs), else XLA gather + scatter.  ``t0`` is the
+        broadcast single-type table row added to every message (the factored
+        T=1 case) or None."""
+        t = hub.tail
         xh = jnp.take(src, hub.hub_ids, axis=0)
         if t0 is not None:
             xh = xh + t0
@@ -132,6 +142,24 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         hub_out = jax.lax.dot_general(
             hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if order == "r":
+            lrow, block_ptr, gather, mask = (t.lrow_r, t.block_ptr_r,
+                                             t.senders_r, t.mask_r)
+            use_g, wlo, wns = t.use_gwin_r, t.gwin_lo_r, t.gwin_nsub_r
+        else:
+            lrow, block_ptr, gather, mask = (t.lrow_s, t.block_ptr_s,
+                                             t.receivers_s, t.mask_s)
+            use_g, wlo, wns = t.use_gwin_s, t.gwin_lo_s, t.gwin_nsub_s
+        if use_g and t.gwin_w:
+            from stemgnn_tpu.ops.scatter_pallas import \
+                gathered_scatter_rows_sorted
+            tail_out = gathered_scatter_rows_sorted(
+                gather[None, :], lrow, block_ptr, wlo, wns, _sane(src),
+                table=t0,
+                num_nodes_padded=t.num_nodes_padded,
+                win_w=t.gwin_w, node_block=t.node_block,
+                edge_chunk=t.edge_chunk, relu=relu_msgs, interpret=interpret)
+            return hub_out + tail_out
         m = jnp.take(src, gather, axis=0, mode="clip")
         if t0 is not None:
             m = m + t0
@@ -153,13 +181,26 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                       else jnp.float32)
             if (layout.hub_r is not None and mdtype == jnp.bfloat16
                     and keep is None):
-                t = layout.hub_r.tail
-                sums = _hub_split(x.astype(mdtype), layout.hub_r, t.lrow_r,
-                                  t.block_ptr_r, t.senders_r, t.mask_r,
+                sums = _hub_split(x.astype(mdtype), layout.hub_r, "r",
                                   layout, relu_msgs=True, t0=_t0(table))
                 if reduce == "mean":
                     sums = sums * _inv_deg(layout)
                 return sums.astype(out_dt)
+            if (layout.use_gwin_r and layout.gwin_w
+                    and mdtype == jnp.bfloat16 and keep is None):
+                # fully gather-free forward: messages rebuilt in-kernel from
+                # sequential x-window DMAs (locality-gated, edge_layout gwin)
+                from stemgnn_tpu.ops.scatter_pallas import \
+                    gathered_scatter_rows_sorted
+                return gathered_scatter_rows_sorted(
+                    layout.senders_r[None, :], layout.lrow_r,
+                    layout.block_ptr_r, layout.gwin_lo_r, layout.gwin_nsub_r,
+                    _sane(x.astype(mdtype)), table=_t0(table),
+                    num_nodes_padded=n_pad, win_w=layout.gwin_w,
+                    node_block=layout.node_block,
+                    edge_chunk=layout.edge_chunk, relu=True,
+                    scale=_inv_deg(layout) if reduce == "mean" else None,
+                    out_dtype=out_dt, interpret=interpret)
             # gather raw x; relu (and, for the static mean, 1/deg) run
             # inside the kernel; runtime-masked means scale outside
             m = messages(x, table, layout, "r", keep)
@@ -175,6 +216,24 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             if reduce == "mean" and keep is not None:
                 sums = (sums * _dyn_inv_deg(layout, keep)).astype(out_dt)
             return sums
+        if (layout.use_gwin_r and layout.gwin_w and mdtype == jnp.bfloat16
+                and keep is None and not want_mask
+                and (not with_table or table.shape[0] <= 32)):
+            # gather-free general forward: per-edge type row added in-kernel
+            # via a one-hot table matmul (small-T), x rows via window DMAs
+            from stemgnn_tpu.ops.scatter_pallas import \
+                gathered_scatter_rows_sorted
+            sums = gathered_scatter_rows_sorted(
+                layout.senders_r[None, :], layout.lrow_r, layout.block_ptr_r,
+                layout.gwin_lo_r, layout.gwin_nsub_r, _sane(x.astype(mdtype)),
+                table=table.astype(mdtype) if with_table else None,
+                xe=layout.xe_r[None, :] if with_table else None,
+                num_nodes_padded=n_pad, win_w=layout.gwin_w,
+                node_block=layout.node_block, edge_chunk=layout.edge_chunk,
+                relu=relu, interpret=interpret)
+            if reduce == "mean":
+                sums = sums * inv_deg()
+            return sums.astype(x.dtype) if x.dtype == jnp.bfloat16 else sums
         pre = messages(x, table, layout, "r", keep)
         m = jax.nn.relu(pre) if relu else pre
         sums = scatter_rows_sorted(
@@ -219,13 +278,27 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             gate = first if t0 is None else first.astype(mdtype) + t0
             if (layout.hub_s is not None and mdtype == jnp.bfloat16
                     and keep is None):
-                t = layout.hub_s.tail
-                sums = _hub_split(gp, layout.hub_s, t.lrow_s, t.block_ptr_s,
-                                  t.receivers_s, t.mask_s, layout)
+                sums = _hub_split(gp, layout.hub_s, "s", layout)
                 # gate fused with the sum in one XLA pass
                 dx = jnp.where(gate.astype(jnp.float32) > 0, sums, 0.0)
                 return (dx.astype(first.dtype), _zero_cot(table),
                         _zero_cot(layout), _zero_cot(keep))
+            if (layout.use_gwin_s and layout.gwin_w
+                    and mdtype == jnp.bfloat16 and keep is None):
+                # gather-free factored backward: upstream grads rebuilt
+                # in-kernel from sequential gp-window DMAs; relu gate fused
+                # into the output epilogue
+                from stemgnn_tpu.ops.scatter_pallas import \
+                    gathered_scatter_rows_sorted
+                dx = gathered_scatter_rows_sorted(
+                    layout.receivers_s[None, :], layout.lrow_s,
+                    layout.block_ptr_s, layout.gwin_lo_s, layout.gwin_nsub_s,
+                    _sane(gp), num_nodes_padded=n_pad, win_w=layout.gwin_w,
+                    node_block=layout.node_block,
+                    edge_chunk=layout.edge_chunk, gate=gate,
+                    out_dtype=first.dtype, interpret=interpret)
+                return (dx, _zero_cot(table), _zero_cot(layout),
+                        _zero_cot(keep))
             dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
             dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
             if keep is not None:

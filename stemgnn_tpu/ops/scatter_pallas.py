@@ -537,3 +537,236 @@ def masked_scatter_rows_sorted(m, local_row, senders, block_ptr, win_lo,
             dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
         interpret=interpret,
     )(block_ptr, win_lo, win_nsub, *operands)
+
+
+def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
+                           *refs, eb: int, nb: int, w: int, n_pad: int,
+                           with_table: bool, xe_stream: bool, t_rows: int,
+                           relu: bool, has_scale: bool, has_gate: bool):
+    """Per-block walk that GATHERS the message rows inside the kernel: for
+    each (scatter-key-sorted) edge chunk, the gather-side node ids live in a
+    narrow window [win_lo, win_lo + nsub*w) (locality-ordered graphs), so
+    the chunk's messages are rebuilt from sequential x-window DMAs with
+    one-hot MXU matmuls
+
+        m = G^T @ X_window (+ H^T @ T | + t0),   G[rr, e] = (key[e]==lo+rr)
+
+    optionally relu'd, then scatter-accumulated with the usual one-hot P
+    matmul.  This replaces the XLA random row gather AND the [E, D] message
+    materialization of the standard path (reference hot loop semantics
+    STEM-GNN/model/encoder.py:94-102).  Messages are built in bf16 (the
+    bf16-message training configuration)."""
+    k_hbm, l_hbm, x_hbm = refs[0], refs[1], refs[2]
+    k = 3
+    t_ref = refs[k] if with_table else None
+    k += with_table
+    xe_hbm = refs[k] if xe_stream else None
+    k += xe_stream
+    scale_ref = refs[k] if has_scale else None
+    k += has_scale
+    gate_ref = refs[k] if has_gate else None
+    k += has_gate
+    out_ref = refs[k]
+    (k_buf, l_buf, xe_buf, xwin_buf, sem_k, sem_l, sem_xe, sem_x,
+     acc_ref, pre_ref) = refs[k + 1:k + 11]
+    i = pl.program_id(0)
+    start = block_ptr_ref[i]
+    end = block_ptr_ref[i + 1]
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    c0 = start // eb
+    c1 = jnp.where(end > start, (end + eb - 1) // eb, c0)
+    num_chunks = c1 - c0
+
+    def get_dma(slot, c):
+        off = c * eb
+        copies = [
+            pltpu.make_async_copy(k_hbm.at[:, pl.ds(off, eb)],
+                                  k_buf.at[slot], sem_k.at[slot]),
+            pltpu.make_async_copy(l_hbm.at[:, pl.ds(off, eb)],
+                                  l_buf.at[slot], sem_l.at[slot]),
+        ]
+        if xe_stream:
+            copies.append(pltpu.make_async_copy(
+                xe_hbm.at[:, pl.ds(off, eb)], xe_buf.at[slot],
+                sem_xe.at[slot]))
+        return copies
+
+    @pl.when(num_chunks > 0)
+    def _():
+        for cp in get_dma(0, c0):
+            cp.start()
+
+        def body(kk, _):
+            slot = jax.lax.rem(kk, 2)
+            nxt = jax.lax.rem(kk + 1, 2)
+
+            @pl.when(kk + 1 < num_chunks)
+            def _():
+                for cp in get_dma(nxt, c0 + kk + 1):
+                    cp.start()
+
+            for cp in get_dma(slot, c0 + kk):
+                cp.wait()
+
+            c = c0 + kk
+            w0 = win_lo_ref[c]
+            nsub = win_nsub_ref[c]
+            key = k_buf[slot]                    # [1, eb] int32
+            pre_ref[:] = jnp.zeros_like(pre_ref)
+
+            def sub_body(s, _):
+                # window starts 8-aligned on the host; clamped windows at the
+                # array end may overlap — subwindow ownership dedups
+                row_start = pl.multiple_of(
+                    jnp.minimum(w0 + s * w, n_pad - w), 8)
+                cx = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(row_start, w), :],
+                    xwin_buf.at[jax.lax.rem(s, 2)],
+                    sem_x.at[jax.lax.rem(s, 2)])
+                cx.start()
+                cx.wait()
+                rows = jax.lax.broadcasted_iota(jnp.int32, (w, eb), 0)
+                gt = ((key == row_start + rows)
+                      & ((key - w0) // w == s)).astype(jnp.bfloat16)
+                pre_ref[:] += jax.lax.dot_general(
+                    gt, xwin_buf[jax.lax.rem(s, 2)].astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return 0
+
+            jax.lax.fori_loop(0, nsub, sub_body, 0)
+
+            if with_table:
+                if xe_stream:
+                    trows = jax.lax.broadcasted_iota(jnp.int32, (t_rows, eb),
+                                                     0)
+                    ht = (xe_buf[slot] == trows).astype(jnp.bfloat16)
+                    pre_ref[:] += jax.lax.dot_general(
+                        ht, t_ref[...].astype(jnp.bfloat16),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    # single-row table broadcast (factored t0 shift)
+                    pre_ref[:] += t_ref[...].astype(jnp.float32)
+
+            m = pre_ref[...]
+            if relu:
+                m = jnp.maximum(m, 0.0)
+            g = c * eb + jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 1)
+            rows_p = jax.lax.broadcasted_iota(jnp.int32, (nb, eb), 0)
+            lr = l_buf[slot]
+            # the [start, end) range + lrow sentinel also kill padded-edge
+            # columns (whose pre may be nonzero through the t0 broadcast)
+            keep = (lr == rows_p) & (g >= start) & (g < end)
+            p = keep.astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                p, m.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, num_chunks, body, 0)
+    _epilogue(acc_ref, out_ref, scale_ref, gate_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes_padded", "node_block",
+                                             "edge_chunk", "win_w", "relu",
+                                             "out_dtype", "interpret"))
+def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
+                                 x, table=None, xe=None, *,
+                                 num_nodes_padded: int, win_w: int,
+                                 node_block: int = NODE_BLOCK,
+                                 edge_chunk: int = 512, relu: bool = False,
+                                 out_dtype=jnp.float32, scale=None, gate=None,
+                                 interpret: bool = False):
+    """Scatter-sum with IN-KERNEL windowed gather:
+
+        out[n] = sum_e 1[local_row[e]==n] * f(x[keys[e]] (+ T[xe[e]] | + t0))
+
+    with f = relu when ``relu``.  ``keys`` [1, E_pad] int32 gather-side node
+    ids per edge (sorted by the *scatter* key, as usual); ``win_lo``/
+    ``win_nsub`` [C] the per-chunk gather-window metadata
+    (ops.edge_layout gwin_*).  A 1-row ``table`` with ``xe=None`` broadcasts
+    t0 to every message (the factored single-type shift); a multi-row table
+    requires the ``xe`` [1, E_pad] stream.  Messages are built in bf16;
+    ``scale``/``gate`` as in scatter_rows_sorted."""
+    e_pad = keys.shape[1]
+    d = x.shape[1]
+    nb, eb, w = node_block, edge_chunk, win_w
+    assert e_pad % eb == 0 and num_nodes_padded % nb == 0
+    assert keys.shape == (1, e_pad) and local_row.shape == (1, e_pad)
+    assert num_nodes_padded >= w, (num_nodes_padded, w)
+    num_blocks = num_nodes_padded // nb
+    num_chunks = e_pad // eb
+    assert win_lo.shape == (num_chunks,) and win_nsub.shape == (num_chunks,)
+    with_table = table is not None
+    xe_stream = xe is not None
+    t_rows = 0 if table is None else table.shape[0]
+    if with_table and not xe_stream:
+        assert t_rows == 1, "multi-row table requires the xe stream"
+    has_scale, has_gate = scale is not None, gate is not None
+    if has_scale:
+        assert scale.shape == (num_nodes_padded, 1), scale.shape
+    if has_gate:
+        assert gate.shape == (num_nodes_padded, d), gate.shape
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # keys
+        pl.BlockSpec(memory_space=pl.ANY),      # local_row
+        pl.BlockSpec(memory_space=pl.ANY),      # x
+    ]
+    operands = [keys, local_row, x]
+    if with_table:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # table
+        operands.append(table)
+    if xe_stream:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # xe
+        operands.append(xe)
+        assert xe.shape == (1, e_pad)
+    if has_scale:
+        in_specs.append(pl.BlockSpec((nb, 1), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(scale)
+    if has_gate:
+        in_specs.append(pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gate)
+
+    scratch = [
+        pltpu.VMEM((2, 1, eb), jnp.int32),             # k_buf
+        pltpu.VMEM((2, 1, eb), jnp.int32),             # l_buf
+        pltpu.VMEM((2, 1, eb), jnp.int32),             # xe_buf (maybe unused)
+        pltpu.VMEM((2, w, d), x.dtype),                # xwin_buf
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_k
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_l
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_xe
+        pltpu.SemaphoreType.DMA((2,)),                 # sem_x
+        pltpu.VMEM((nb, d), jnp.float32),              # acc
+        pltpu.VMEM((eb, d), jnp.float32),              # pre
+    ]
+    kernel = functools.partial(_gathered_block_kernel, eb=eb, nb=nb, w=w,
+                               n_pad=num_nodes_padded, with_table=with_table,
+                               xe_stream=xe_stream, t_rows=t_rows, relu=relu,
+                               has_scale=has_scale, has_gate=has_gate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes_padded, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * (nb + w + t_rows) * d,
+            bytes_accessed=e_pad * (8 + 4 * xe_stream)
+            + e_pad * w * d * x.dtype.itemsize // eb
+            + num_nodes_padded * d * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
+        interpret=interpret,
+    )(block_ptr, win_lo, win_nsub, *operands)

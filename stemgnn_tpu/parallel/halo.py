@@ -273,7 +273,10 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                 edge_chunk=edge_chunk, hub_size=hub,
                 hub_min_coverage=-1.0, to_device=False,
                 win_floor=win_floor, e_pad_to=e_pad_to,
-                hub_tail_e_pad_to=e_pad_to)
+                hub_tail_e_pad_to=e_pad_to,
+                # windowed-gather decisions are per-shard statics; keep
+                # them off so stacked shard layouts share one treedef
+                gwin="off")
         lays = [one(i) for i in range(S)]
         win = max(lay.win_w for lay in lays)
         lays = [lay if lay.win_w == win else one(i, win_floor=win)

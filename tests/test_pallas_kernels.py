@@ -346,3 +346,123 @@ def test_fused_sage_bf16_table_gradients_use_masked_kernel(rng):
                     np.float32)
     atol = 2e-3 * np.abs(g2).max()
     np.testing.assert_allclose(g1, g2, rtol=5e-2, atol=atol)
+
+
+def _locality_problem(rng, n=600, e=2400, n_pad=640, reach=40):
+    """Edges between nearby node ids -> narrow gather windows (the
+    locality-ordered-graph regime the windowed kernels target)."""
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = np.clip(s + rng.integers(-reach, reach + 1, e), 0, n - 1)
+    return s, r.astype(np.int32)
+
+
+def test_gathered_scatter_kernel_matches_numpy(rng):
+    """In-kernel windowed gather + table one-hot == numpy gather/scatter."""
+    from stemgnn_tpu.ops.scatter_pallas import gathered_scatter_rows_sorted
+    n, d, t_rows, n_pad = 600, 128, 5, 640
+    s, r = _locality_problem(rng)
+    e = len(s)
+    xe = rng.integers(0, t_rows, e).astype(np.int32)
+    lay = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=128,
+                            gwin="on")
+    assert lay.use_gwin_r and lay.gwin_w > 0
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    table = rng.standard_normal((t_rows, d)).astype(np.float32)
+
+    out = gathered_scatter_rows_sorted(
+        lay.senders_r[None, :], lay.lrow_r, lay.block_ptr_r,
+        lay.gwin_lo_r, lay.gwin_nsub_r, jnp.asarray(x),
+        table=jnp.asarray(table), xe=lay.xe_r[None, :],
+        num_nodes_padded=n_pad, win_w=lay.gwin_w, edge_chunk=128,
+        relu=True, interpret=True)
+
+    # bf16 message semantics (the kernel builds messages in bf16)
+    xb = x.astype(jnp.bfloat16).astype(np.float32)
+    tb = table.astype(jnp.bfloat16).astype(np.float32)
+    pre = xb[s] + tb[xe]
+    want = np.zeros((n_pad, d), np.float32)
+    np.add.at(want, r, np.maximum(pre, 0))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
+def test_gathered_scatter_kernel_wide_span(rng):
+    """Gather windows wider than gwin_w -> multi-subwindow walk."""
+    from stemgnn_tpu.ops.scatter_pallas import gathered_scatter_rows_sorted
+    n, d, n_pad = 2000, 64, 2048
+    s, r = _locality_problem(rng, n=n, e=3000, n_pad=n_pad, reach=700)
+    e = len(s)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=512, gwin="on")
+    assert int(np.asarray(lay.gwin_nsub_r).max()) > 1, "test needs nsub > 1"
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+
+    out = gathered_scatter_rows_sorted(
+        lay.senders_r[None, :], lay.lrow_r, lay.block_ptr_r,
+        lay.gwin_lo_r, lay.gwin_nsub_r, jnp.asarray(x),
+        num_nodes_padded=n_pad, win_w=lay.gwin_w, relu=False,
+        interpret=True)
+
+    xb = x.astype(jnp.bfloat16).astype(np.float32)
+    want = np.zeros((n_pad, d), np.float32)
+    np.add.at(want, r, xb[s])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("case", ["factored", "single_type", "table5", "hub"])
+def test_fused_sage_windowed_paths_match_gather_paths(rng, case):
+    """Windowed in-kernel gather (gwin on) must reproduce the standard
+    bf16 gather+scatter paths exactly — forward AND gradients — across the
+    factored, single-type-shift, small-table, and hub-dense configurations.
+    NaN padded node rows must not leak (the window DMA sanitize)."""
+    n, e, d, n_pad = 600, 2400, 64, 640
+    s, r = _locality_problem(rng)
+    x = rng.standard_normal((n_pad, d)).astype(np.float32)
+    x[n:] = np.nan
+    table = xe = None
+    hub = 0
+    if case == "single_type":
+        table = rng.standard_normal((1, d)).astype(np.float32)
+        xe = np.zeros(e, np.int32)
+    elif case == "table5":
+        table = rng.standard_normal((5, d)).astype(np.float32)
+        xe = rng.integers(0, 5, e).astype(np.int32)
+    elif case == "hub":
+        hub = 8
+    kw = dict(xe_ids=xe, edge_chunk=128, hub_size=hub, hub_min_coverage=-1.0)
+    lay_on = build_edge_layout(s, r, n_pad, gwin="on", **kw)
+    lay_off = build_edge_layout(s, r, n_pad, gwin="off", **kw)
+    assert lay_on.use_gwin_r and lay_on.use_gwin_s
+    if hub:
+        assert lay_on.hub_r is not None and lay_on.hub_r.tail.use_gwin_r
+
+    def loss(x, lay):
+        t = None if table is None else jnp.asarray(table)
+        out = fused_sage_aggregate(x, lay, t, reduce="mean", relu=True,
+                                   interpret=True, bf16_messages=True)
+        out = jnp.where(jnp.isfinite(out), out, 0.0).astype(jnp.float32)
+        return jnp.sum(out ** 2), out
+
+    (l1, o1), g1 = jax.value_and_grad(loss, has_aux=True)(jnp.asarray(x),
+                                                          lay_on)
+    (l2, o2), g2 = jax.value_and_grad(loss, has_aux=True)(jnp.asarray(x),
+                                                          lay_off)
+    np.testing.assert_allclose(np.asarray(o1, np.float32)[:n],
+                               np.asarray(o2, np.float32)[:n],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1, np.float32)[:n],
+                               np.asarray(g2, np.float32)[:n],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gwin_decision_gate(rng):
+    """Auto gate: ON for locality-ordered graphs, OFF for random graphs
+    (windows span the whole node range) at realistic feature width."""
+    n, e, n_pad = 20000, 80000, 20096
+    s_loc, r_loc = _locality_problem(rng, n=n, e=e, n_pad=n_pad, reach=60)
+    lay = build_edge_layout(s_loc, r_loc, n_pad, to_device=False,
+                            feat_dim_hint=768)
+    assert lay.use_gwin_r and lay.use_gwin_s
+    s_rnd = rng.integers(0, n, e).astype(np.int32)
+    r_rnd = rng.integers(0, n, e).astype(np.int32)
+    lay = build_edge_layout(s_rnd, r_rnd, n_pad, to_device=False,
+                            feat_dim_hint=768)
+    assert not lay.use_gwin_r and not lay.use_gwin_s
