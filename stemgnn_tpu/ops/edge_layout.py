@@ -427,6 +427,29 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         use_gwin_s=gwin_fields["use_gwin_s"])
 
 
+def force_gwin(lay: EdgeLayout, gwin_w: int, use_r: bool,
+               use_s: bool) -> EdgeLayout:
+    """Recompute the gather-window metadata at a FORCED static width and set
+    the use flags.  Used by the stacked-shard layout builder (parallel/halo)
+    to make every member of a layout family share identical static metadata
+    (one treedef feeds shard_map); layouts must hold host numpy arrays."""
+    sentinel = lay.num_nodes_padded
+    eb = lay.edge_chunk
+    gwin_w = min(gwin_w, lay.num_nodes_padded)
+
+    def windows(keys, mask):
+        lo, span = _chunk_windows(np.asarray(keys), np.asarray(mask), eb,
+                                  sentinel)
+        nsub = np.where(span > 0, -(-span // gwin_w), 0).astype(np.int32)
+        return lo.astype(np.int32), nsub
+
+    glo_r, gns_r = windows(lay.senders_r, lay.mask_r)
+    glo_s, gns_s = windows(lay.receivers_s, lay.mask_s)
+    return lay.replace(gwin_lo_r=glo_r, gwin_nsub_r=gns_r,
+                       gwin_lo_s=glo_s, gwin_nsub_s=gns_s, gwin_w=gwin_w,
+                       use_gwin_r=use_r, use_gwin_s=use_s)
+
+
 def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,
                       xe_ids=None, hub_size: int = 0) -> EdgeLayout:
     feat_dim = int(g.node_feat.shape[-1]) if getattr(g, "node_feat", None) \

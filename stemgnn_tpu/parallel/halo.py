@@ -273,14 +273,26 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                 edge_chunk=edge_chunk, hub_size=hub,
                 hub_min_coverage=-1.0, to_device=False,
                 win_floor=win_floor, e_pad_to=e_pad_to,
-                hub_tail_e_pad_to=e_pad_to,
-                # windowed-gather decisions are per-shard statics; keep
-                # them off so stacked shard layouts share one treedef
-                gwin="off")
+                hub_tail_e_pad_to=e_pad_to)
         lays = [one(i) for i in range(S)]
         win = max(lay.win_w for lay in lays)
         lays = [lay if lay.win_w == win else one(i, win_floor=win)
                 for i, lay in enumerate(lays)]
+
+        def unify_gwin(members):
+            """Force identical windowed-gather statics across a layout
+            family (per-shard width/decision are statics; the stacked
+            pytree needs one treedef).  A direction is enabled only when
+            EVERY shard's break-even gate enabled it."""
+            from stemgnn_tpu.ops.edge_layout import force_gwin
+            w = max(m.gwin_w for m in members)
+            ur = all(m.use_gwin_r for m in members) and w > 0
+            us = all(m.use_gwin_s for m in members) and w > 0
+            return [m if (m.gwin_w == w and m.use_gwin_r == ur
+                          and m.use_gwin_s == us)
+                    else force_gwin(m, w, ur, us) for m in members]
+
+        lays = unify_gwin(lays)
         if hub:
             # keep a direction's hubs only if every shard built one (the
             # exact-bf16-multiplicity guard can refuse) AND the aggregate
@@ -303,6 +315,13 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                     hub_r=fix(lay.hub_r) if keep_r else None,
                     hub_s=fix(lay.hub_s) if keep_s else None)
             lays = [norm(lay) for lay in lays]
+            for side in ("hub_r", "hub_s"):
+                hs = [getattr(lay, side) for lay in lays]
+                if hs[0] is None:
+                    continue
+                tails = unify_gwin([h.tail for h in hs])
+                lays = [lay.replace(**{side: h.replace(tail=t)})
+                        for lay, h, t in zip(lays, hs, tails)]
         return jtu.tree_map(lambda *xs: np.stack(xs), *lays)
 
     xe_loc = part.get("xe_loc")

@@ -767,3 +767,50 @@ def test_degree_balanced_relabel_balances_and_preserves_math(rng):
                           {k: jnp.asarray(v) for k, v in part_b.items()}))
     np.testing.assert_allclose(out_b[new_of_old], want, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_halo_fused_gwin_aggregate_matches_single(rng):
+    """Banded (locality-ordered) graph: the stacked halo layouts must
+    uniformly enable the windowed in-kernel gather (gwin statics ANDed
+    across the shard family) and the fused aggregation must still match the
+    single-device gather/scatter."""
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate_fused)
+    n, e, S = 256, 2048, 8
+    s = rng.integers(0, n, e).astype(np.int32)
+    r = np.clip(s + rng.integers(-12, 13, e), 0, n - 1).astype(np.int32)
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8)
+    lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
+                                          edge_chunk=128)
+    # local edges are within-shard and banded -> every shard's break-even
+    # gate fires; the stacked statics are the ANDed family decision
+    assert lay_loc.use_gwin_r and lay_loc.use_gwin_s
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    want = gather_scatter_aggregate(jnp.asarray(x_pad), jnp.asarray(s),
+                                    jnp.asarray(r), None,
+                                    num_nodes=n_pad, reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(x_loc, part, ll, lr):
+        out = halo_sage_aggregate_fused(
+            x_loc[0], _local(part), _shard_layout(ll), _shard_layout(lr),
+            None, axis="edge", interpret=True, bf16_messages=True)
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    part_dev = {k: jnp.asarray(v) for k, v in part.items()}
+    spec = {k: P("edge") for k in part_dev}
+    lls = jax.tree.map(jnp.asarray, lay_loc)
+    lrs = jax.tree.map(jnp.asarray, lay_rem)
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("edge"), spec, jax.tree.map(lambda _: P("edge"), lls),
+                  jax.tree.map(lambda _: P("edge"), lrs)),
+        out_specs=P(), check_vma=False))(
+            jnp.asarray(x_pad.reshape(S, nb, D)), part_dev, lls, lrs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
