@@ -73,9 +73,12 @@ def _ptr(a, t):
 def sample_subgraph_native(csc, seeds: np.ndarray, fanouts: Sequence[int],
                            rng_seed: int,
                            node_cap: Optional[int] = None,
-                           edge_cap: Optional[int] = None):
+                           edge_cap: Optional[int] = None,
+                           with_clamped: bool = False):
     """Native fanout sampling; same return contract as
-    data.sampler.sample_subgraph: (nodes, e_src, e_dst, e_id)."""
+    data.sampler.sample_subgraph: (nodes, e_src, e_dst, e_id).
+    ``with_clamped`` appends a bool: whether a capacity cap actually
+    clamped the sample (an exact fill is NOT a clamp)."""
     lib = _get_lib()
     assert lib is not None, "native sampler unavailable (build failed?)"
     seeds = np.ascontiguousarray(seeds, np.int64)
@@ -118,8 +121,8 @@ def sample_subgraph_native(csc, seeds: np.ndarray, fanouts: Sequence[int],
         _ptr(out_eid, ctypes.c_int64), _ptr(out_ne, ctypes.c_int64),
         ctypes.c_int64(edge_cap))
     nn, ne = int(out_nn[0]), int(out_ne[0])
-    if rc != 0:
-        # capacity overflow: caller semantics match the numpy sampler's clamp
-        pass
-    return (out_nodes[:nn].copy(), out_esrc[:ne].copy(),
-            out_edst[:ne].copy(), out_eid[:ne].copy())
+    # rc != 0 <=> a capacity cap clamped the sample (the numpy sampler's
+    # clamp semantics); an exact fill returns rc == 0
+    out = (out_nodes[:nn].copy(), out_esrc[:ne].copy(),
+           out_edst[:ne].copy(), out_eid[:ne].copy())
+    return out + (rc != 0,) if with_clamped else out

@@ -152,11 +152,19 @@ class NeighborBatchIterator:
             self._native = native_sampler.native_available()
         closure = batch_size
         width = batch_size
+        edge_closure = 0
         for f in self.fanouts:
             width = width * max(f, 1)
             closure += width
+            edge_closure += width
         worst_n = round_up(min(closure, csc.num_nodes + batch_size), 128)
-        worst_e = round_up(max(worst_n - batch_size, 128), 128)
+        # Edges are NOT bounded by the unique-node closure: every sampled
+        # edge is kept even when its source was already discovered (and a
+        # frontier occurrence samples up to ``fanout`` edges), so on small
+        # or dense graphs edges exceed ``worst_n - batch_size`` and the old
+        # cap silently truncated where NeighborLoader keeps everything.
+        # The correct worst case is the per-hop width sum.
+        worst_e = round_up(max(edge_closure, 128), 128)
         if (node_pad is None and edge_pad is None and pad_mode == "auto"
                 and len(self.seeds)):
             # Empirical padding buckets: the worst-case closure is often
@@ -200,7 +208,7 @@ class NeighborBatchIterator:
                 for chunk in probe_chunks:
                     if len(chunk) == 0:
                         continue
-                    nodes, es, _, _ = self._sample(chunk, probe_rng,
+                    nodes, es, _, _, _ = self._sample(chunk, probe_rng,
                                                    node_cap=worst_n,
                                                    edge_cap=worst_e)
                     szs.append((len(nodes), len(es)))
@@ -242,22 +250,33 @@ class NeighborBatchIterator:
 
     def _sample(self, seed_chunk: np.ndarray, rng, node_cap: int,
                 edge_cap: int):
+        """Returns (nodes, e_src, e_dst, e_ids, clamped) — ``clamped`` only
+        when a cap actually dropped something (an exact fill is a fit)."""
         if self._native:
             from stemgnn_tpu.data import native_sampler
             seed64 = int(rng.integers(0, 2**62))
-            return native_sampler.sample_subgraph_native(
-                self.csc, seed_chunk, self.fanouts, seed64,
-                node_cap=node_cap, edge_cap=edge_cap)
+            nodes, es, ed, eids, clamped = \
+                native_sampler.sample_subgraph_native(
+                    self.csc, seed_chunk, self.fanouts, seed64,
+                    node_cap=node_cap, edge_cap=edge_cap, with_clamped=True)
+            if clamped:
+                # node-cap overflow emits edges whose local ids point past
+                # the kept node prefix — drop them like the numpy path
+                keep = (es < len(nodes)) & (ed < len(nodes))
+                es, ed, eids = es[keep], ed[keep], eids[keep]
+            return nodes, es, ed, eids, clamped
         nodes, es, ed, eids = sample_subgraph(self.csc, seed_chunk,
                                               self.fanouts, rng)
         # mirror the native sampler's capping: nodes are BFS-ordered (seeds
         # first), edges hop-ordered — prefix truncation keeps nearest hops
-        if len(nodes) > node_cap:
+        clamped = len(nodes) > node_cap
+        if clamped:
             nodes = nodes[:node_cap]
         keep = (es < len(nodes)) & (ed < len(nodes))
-        es, ed, eids = es[keep][:edge_cap], ed[keep][:edge_cap], \
-            eids[keep][:edge_cap]
-        return nodes, es, ed, eids
+        es, ed, eids = es[keep], ed[keep], eids[keep]
+        clamped = clamped or len(es) > edge_cap
+        es, ed, eids = es[:edge_cap], ed[:edge_cap], eids[:edge_cap]
+        return nodes, es, ed, eids, clamped
 
     def make_batch(self, seed_chunk: np.ndarray):
         # Sample against the WORST-CASE closure caps, not the padding
@@ -266,10 +285,10 @@ class NeighborBatchIterator:
         # reference utils/loader.py:10-45) instead of truncating.  Genuine
         # truncation only happens at the closure caps themselves (== the
         # reference's per-hop caps, gp/utils/graph.py:32-46).
-        nodes, es, ed, eids = self._sample(seed_chunk, self.rng,
-                                           node_cap=self._worst_n,
-                                           edge_cap=self._worst_e)
-        if len(nodes) >= self._worst_n or len(es) >= self._worst_e:
+        nodes, es, ed, eids, clamped = self._sample(seed_chunk, self.rng,
+                                                    node_cap=self._worst_n,
+                                                    edge_cap=self._worst_e)
+        if clamped:
             self.truncations += 1
             global _TRUNC_WARNED
             if not _TRUNC_WARNED:

@@ -145,8 +145,9 @@ def test_python_fallback_respects_caps(rng):
                                node_pad=128, edge_pad=256, indexed=True,
                                use_native=False)
     # the raw sampler clamps AT the caps (BFS-prefix nodes, hop-prefix edges)
-    nodes, es, ed, eids = it._sample(np.arange(16), rng, node_cap=128,
-                                     edge_cap=256)
+    nodes, es, ed, eids, clamped = it._sample(np.arange(16), rng,
+                                              node_cap=128, edge_cap=256)
+    assert clamped
     assert len(nodes) <= 128 and len(es) <= 256
     assert np.array_equal(nodes[:16], np.arange(16))
     # a full batch ESCALATES an undersized bucket instead of truncating
@@ -225,3 +226,29 @@ def test_pad_cache_keyed_by_probe_identity():
                                  use_native=False, probe_chunks=probe_b)
     # hub receivers have ~150 in-edges each: bucket B must be larger
     assert it_b.edge_pad > it_a.edge_pad
+
+
+def test_edge_cap_not_bounded_by_node_closure():
+    """Dense small graph: sampled edges exceed the unique-node closure
+    (duplicate discoveries keep their edges) — the worst-case edge cap must
+    cover the per-hop width sum so nothing is truncated (NeighborLoader
+    semantics, reference utils/loader.py:10-45)."""
+    import numpy as np
+
+    from stemgnn_tpu.data.sampler import CSCGraph, NeighborBatchIterator
+    rng = np.random.default_rng(0)
+    n, deg = 48, 12                       # dense: closure saturates nodes
+    s = np.repeat(np.arange(n), deg)
+    r = rng.integers(0, n, n * deg)
+    csc = CSCGraph.from_edge_index(np.stack([s % n, r]), n)
+    feats = rng.standard_normal((n, 16)).astype(np.float32)
+    it = NeighborBatchIterator(csc, feats, None, np.arange(n), None,
+                               seeds=np.arange(n), batch_size=32,
+                               fanouts=[8, 8],
+                               rng=np.random.default_rng(1))
+    # width sum = 32*8 + 32*64 = 2304 > node closure (48 + 32)
+    assert it._worst_e >= 32 * 8 + 32 * 8 * 8
+    for _ in range(3):
+        for _batch in it:
+            pass
+    assert it.truncations == 0
