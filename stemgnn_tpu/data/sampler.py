@@ -57,8 +57,21 @@ def sample_subgraph(csc: CSCGraph, seeds: np.ndarray, fanouts: Sequence[int],
     """
     seeds = np.asarray(seeds, dtype=np.int64)
     node_list = [seeds]
-    local_of = {int(v): i for i, v in enumerate(seeds)}
-    frontier = seeds
+    local_of = {}
+    frontier = []
+    for i, v in enumerate(seeds):
+        # duplicate seeds keep their first local id and expand ONCE: each
+        # extra occurrence would otherwise re-sample the node's in-edges
+        # onto the same local row (duplicated edges + inflated closures —
+        # NeighborLoader expands each unique node once per batch,
+        # reference utils/loader.py:10-45)
+        if int(v) not in local_of:
+            local_of[int(v)] = i
+            frontier.append(int(v))
+    frontier = np.asarray(frontier, dtype=np.int64)
+    # discovered nodes are numbered after ALL seed slots (duplicates
+    # included) so local ids always agree with positions in ``nodes``
+    next_local = len(seeds)
     e_src, e_dst, e_ids = [], [], []
 
     for fanout in fanouts:
@@ -78,7 +91,8 @@ def sample_subgraph(csc: CSCGraph, seeds: np.ndarray, fanouts: Sequence[int],
             for s, eid in zip(srcs, eids):
                 s_int = int(s)
                 if s_int not in local_of:
-                    local_of[s_int] = len(local_of)
+                    local_of[s_int] = next_local
+                    next_local += 1
                     next_frontier.append(s_int)
                 e_src.append(local_of[s_int])
                 e_dst.append(dst_local)

@@ -77,13 +77,21 @@ int stemgnn_sample_subgraph(
   for (int64_t i = 0; i < num_seeds; i++) {
     int64_t v = seeds[i];
     // duplicate seeds keep their first local id (python parity) but still
-    // occupy a node slot so out_nodes[:num_seeds] == seeds.
-    if (local.find(v) == local.end())
+    // occupy a node slot so out_nodes[:num_seeds] == seeds.  Only the FIRST
+    // occurrence enters the frontier: expanding each occurrence would
+    // re-sample the node's in-edges onto the same local row (duplicated
+    // edges + inflated closures; NeighborLoader expands each unique node
+    // once per batch, reference utils/loader.py:10-45).
+    if (local.find(v) == local.end()) {
       local.emplace(v, static_cast<int32_t>(i));
+      frontier.push_back(v);
+    }
     if ((int64_t)nodes.size() < node_cap) nodes.push_back(v);
     else overflow = 1;
-    frontier.push_back(v);
   }
+  // discovered nodes are numbered after ALL seed slots (duplicates
+  // included) so local ids always agree with positions in out_nodes
+  int32_t next_local = static_cast<int32_t>(num_seeds);
 
   int64_t n_edges = 0;
   for (int64_t hop = 0; hop < num_hops && !frontier.empty(); hop++) {
@@ -114,7 +122,7 @@ int stemgnn_sample_subgraph(
         auto it = local.find(u);
         int32_t u_local;
         if (it == local.end()) {
-          u_local = static_cast<int32_t>(local.size());
+          u_local = next_local++;
           local.emplace(u, u_local);
           if ((int64_t)nodes.size() < node_cap) nodes.push_back(u);
           else overflow = 1;

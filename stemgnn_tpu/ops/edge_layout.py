@@ -130,24 +130,10 @@ def _block_ptr(sorted_keys: np.ndarray, n_pad: int, nb: int) -> np.ndarray:
     return np.searchsorted(sorted_keys, bounds, side="left").astype(np.int32)
 
 
-# Break-even model constants, measured on the tunneled v5e (BASELINE.md
-# round-1 notes): the XLA row gather is row-rate-limited at ~22 ns/row
-# regardless of width; effective bf16 MXU throughput and HBM bandwidth for
-# the dense CNT block.  Tune per target chip.
-HUB_GATHER_NS_PER_ROW = 22e-9
-HUB_MXU_FLOPS = 150e12
-HUB_HBM_BPS = 7e11
-
-# Windowed in-kernel gather break-even constants (v5e measurements,
-# BASELINE.md round-2 notes): sequential Pallas DMA streaming rate, MXU
-# rate for the [w, eb] one-hot window matmuls, XLA random row-gather model
-# (fixed per-row latency + bytes), and the XLA elementwise stream rate for
-# the [E, D] message materialization the windowed path eliminates.
-GWIN_SEQ_BPS = 375e9
-GWIN_MXU_FLOPS = 150e12
-GWIN_GATHER_FIXED_S = 4e-9
-GWIN_GATHER_BPS = 180e9
-GWIN_STREAM_BPS = 390e9
+# Break-even model constants live in per-chip profiles with calibration
+# provenance (ops.chip_profile); the builders below read the ambient
+# profile at build time so switching device_kind switches models.
+from stemgnn_tpu.ops.chip_profile import current_profile
 
 
 def _chunk_windows(keys: np.ndarray, mask: np.ndarray, edge_chunk: int,
@@ -171,13 +157,14 @@ def _gwin_decide(nsub: np.ndarray, gwin_w: int, num_valid_edges: int,
     must beat the current path (XLA random row gather + [E, D] bf16 message
     write + kernel re-read) with margin.  All in bf16 bytes."""
     d = feat_dim
-    windowed = float(nsub.sum()) * (gwin_w * d * 2.0 / GWIN_SEQ_BPS
+    prof = current_profile()
+    windowed = float(nsub.sum()) * (gwin_w * d * 2.0 / prof.seq_bps
                                     + 2.0 * edge_chunk * gwin_w * d
-                                    / GWIN_MXU_FLOPS)
-    gather = num_valid_edges * (GWIN_GATHER_FIXED_S
-                                + d * 2.0 / GWIN_GATHER_BPS
-                                + d * 2.0 / GWIN_STREAM_BPS
-                                + d * 2.0 / GWIN_SEQ_BPS)
+                                    / prof.mxu_bf16_flops)
+    gather = num_valid_edges * (prof.gather_fixed_s
+                                + d * 2.0 / prof.gather_bps
+                                + d * 2.0 / prof.stream_bps
+                                + d * 2.0 / prof.seq_bps)
     return windowed * 1.2 < gather
 
 
@@ -210,11 +197,14 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
     if min_coverage >= 0:
         if coverage < min_coverage:
             return None
+        prof = current_profile()
         h_pad_est = round_up(h, 128)
         dense_cost = (2.0 * num_nodes_padded * h_pad_est * feat_dim_hint
-                      / HUB_MXU_FLOPS
-                      + num_nodes_padded * h_pad_est * 2.0 / HUB_HBM_BPS)
-        if covered * HUB_GATHER_NS_PER_ROW < 1.2 * dense_cost:
+                      / prof.mxu_bf16_flops
+                      + num_nodes_padded * h_pad_est * 2.0 / prof.hbm_bps)
+        gather_row_s = (prof.gather_fixed_s
+                        + feat_dim_hint * 2.0 / prof.gather_bps)
+        if covered * gather_row_s < 1.2 * dense_cost:
             return None
     rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
     rank[hub_ids] = np.arange(h)

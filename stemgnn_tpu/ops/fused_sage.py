@@ -118,12 +118,15 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 ).astype(jnp.float32)[:, None]
 
     def _sane(a):
-        # windowed-gather inputs: a clamped subwindow DMA may read padded
-        # node rows, and any non-finite garbage there would poison the
-        # one-hot matmul (0 * NaN = NaN) — zero non-finite elements in one
-        # fused XLA pass (the gather paths get the same protection from
-        # their edge-mask zeroing)
-        return jnp.where(jnp.isfinite(a), a, jnp.zeros((), a.dtype))
+        # Windowed-gather inputs are read by whole node-id windows, so every
+        # row the DMA touches is a row of the computed [N_pad, D] array —
+        # padded rows included, which are always finite (they derive from
+        # zero-padded inputs through the same layer arithmetic as valid
+        # rows).  Non-finite values can only appear if the computation
+        # itself diverged, in which case the gather path is equally
+        # poisoned; a defensive isfinite mask here would cost a full [N, D]
+        # pass per call and silently hide such blowups (round-2 ADVICE).
+        return a
 
     def _hub_split(src, hub, order, layout, relu_msgs: bool = False, t0=None):
         """Hub-dense + tail-scatter sum (raw, unscaled): the hub part is a

@@ -79,9 +79,13 @@ def _chunk_matmul(m_buf, l_buf, slot, *, chunk_id, start, end, eb, nb, fast,
     acc_ref[:] += acc
 
 
-def _epilogue(acc_ref, out_ref, scale_ref, gate_ref):
-    """Per-block output epilogue: f32 accumulator -> scaled/gated output."""
+def _epilogue(acc_ref, out_ref, scale_ref, gate_ref, init_ref=None):
+    """Per-block output epilogue: f32 accumulator (+ additive init base) ->
+    scaled/gated output.  ``init`` fuses the hub-dense partial sums into the
+    kernel (one read here instead of a separate [N, D] add pass)."""
     out = acc_ref[...]
+    if init_ref is not None:
+        out = out + init_ref[...].astype(jnp.float32)
     if scale_ref is not None:
         out = out * scale_ref[...]
     if gate_ref is not None:
@@ -761,6 +765,13 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_nodes_padded, d), out_dtype),
         cost_estimate=pl.CostEstimate(
+            # The window-DMA term assumes ONE subwindow per chunk; chunks
+            # spanning wider node ranges DMA win_nsub[c] windows each, so
+            # this understates HBM traffic on wide-span graphs.  win_nsub is
+            # a traced array (its sum is unknowable at trace time without a
+            # host readback), and the estimate is a scheduling hint only —
+            # the break-even gate that decides whether this kernel runs at
+            # all (edge_layout._gwin_decide) does use the true nsub sum.
             flops=2 * e_pad * (nb + w + t_rows) * d,
             bytes_accessed=e_pad * (8 + 4 * xe_stream)
             + e_pad * w * d * x.dtype.itemsize // eb

@@ -149,7 +149,8 @@ def prepare_halo_graph(ds: TAGDataset, num_shards: int,
         num_types = int(ds.edge_text_feat.shape[0])
         lay_loc, lay_rem = build_halo_layouts(
             part, nb, R, S, node_block=node_block, edge_chunk=edge_chunk,
-            hub_size=hub_size if num_types <= 1 else 0)
+            hub_size=hub_size if num_types <= 1 else 0,
+            feat_dim_hint=int(ds.node_text_feat.shape[1]))
         layouts = (jax.device_put(jax.tree.map(jnp.asarray, lay_loc)),
                    jax.device_put(jax.tree.map(jnp.asarray, lay_rem)))
         edge_table = jnp.asarray(ds.edge_text_feat, jnp.float32)

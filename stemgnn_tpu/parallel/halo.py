@@ -227,7 +227,8 @@ def relabel_dataset_balanced(ds, num_shards: int, pad_multiple: int = 128):
 
 def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                        node_block: int = 128, edge_chunk: int = 512,
-                       hub_size: int = 0, hub_min_coverage: float = 0.1):
+                       hub_size: int = 0, hub_min_coverage: float = 0.1,
+                       feat_dim_hint: int = 768):
     """Per-shard :class:`~stemgnn_tpu.ops.edge_layout.EdgeLayout` pairs for
     the fused Pallas aggregation, stacked along a leading shard axis.
 
@@ -273,7 +274,8 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                 edge_chunk=edge_chunk, hub_size=hub,
                 hub_min_coverage=-1.0, to_device=False,
                 win_floor=win_floor, e_pad_to=e_pad_to,
-                hub_tail_e_pad_to=e_pad_to)
+                hub_tail_e_pad_to=e_pad_to,
+                feat_dim_hint=feat_dim_hint)
         lays = [one(i) for i in range(S)]
         win = max(lay.win_w for lay in lays)
         lays = [lay if lay.win_w == win else one(i, win_floor=win)

@@ -252,3 +252,55 @@ def test_edge_cap_not_bounded_by_node_closure():
         for _batch in it:
             pass
     assert it.truncations == 0
+
+
+def test_duplicate_seeds_expand_once():
+    """Duplicate seed slots must NOT re-expand the node (round-2 VERDICT
+    defect: repeated padding seeds re-sampled the node's in-edges once per
+    occurrence — duplicated edges on its local row + inflated closures that
+    hit the truncation caps.  NeighborLoader expands each unique node once,
+    reference utils/loader.py:10-45)."""
+    rng = np.random.default_rng(0)
+    n, deg = 64, 6
+    s = rng.integers(0, n, n * deg)
+    r = np.repeat(np.arange(n), deg)
+    csc = CSCGraph.from_edge_index(np.stack([s, r]), n)
+    uniq = np.arange(8)
+    padded = np.concatenate([uniq, np.full(24, uniq[0])])
+    nodes_u, es_u, ed_u, eid_u = sample_subgraph(
+        csc, uniq, [-1, -1], np.random.default_rng(7))
+    nodes_p, es_p, ed_p, eid_p = sample_subgraph(
+        csc, padded, [-1, -1], np.random.default_rng(7))
+    # seed slots preserved, but edge set identical to the unique-seed case
+    np.testing.assert_array_equal(nodes_p[:32], padded)
+    assert len(es_p) == len(es_u)
+    assert sorted(eid_p.tolist()) == sorted(eid_u.tolist())
+    # no edge may point at a duplicate seed slot (first occurrence owns it)
+    assert not np.isin(ed_p, np.arange(8, 32)).any()
+
+
+def test_duplicate_seeds_expand_once_native():
+    from stemgnn_tpu.data import native_sampler
+    if not native_sampler.native_available():
+        import pytest
+        pytest.skip("native sampler not built")
+    rng = np.random.default_rng(0)
+    n, deg = 64, 6
+    s = rng.integers(0, n, n * deg)
+    r = np.repeat(np.arange(n), deg)
+    csc = CSCGraph.from_edge_index(np.stack([s, r]), n)
+    uniq = np.arange(8)
+    padded = np.concatenate([uniq, np.full(24, uniq[0])])
+    out_u = native_sampler.sample_subgraph_native(
+        csc, uniq, [-1, -1], 1234, node_cap=4096, edge_cap=65536,
+        with_clamped=True)
+    out_p = native_sampler.sample_subgraph_native(
+        csc, padded, [-1, -1], 1234, node_cap=4096, edge_cap=65536,
+        with_clamped=True)
+    nodes_u, es_u, ed_u, eid_u, cl_u = out_u
+    nodes_p, es_p, ed_p, eid_p, cl_p = out_p
+    assert not cl_u and not cl_p
+    np.testing.assert_array_equal(nodes_p[:32], padded)
+    assert len(es_p) == len(es_u)
+    assert sorted(eid_p.tolist()) == sorted(eid_u.tolist())
+    assert not np.isin(ed_p, np.arange(8, 32)).any()
