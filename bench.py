@@ -153,6 +153,20 @@ def main():
         candidates["fused_hub2048"] = (fused_bf16act_step, x0_bf16,
                                        layout_hub)
 
+        # + scatter-side hub blocks (HubDense.sc_*): after removing
+        # gather-hub edges, edges whose SCATTER key is a top-frequency node
+        # (in-edges of hub receivers fwd / out-edges of hub senders bwd)
+        # become one transposed dense sc_cnt[H2, N] @ f(x) MXU matmul —
+        # their gather keys are near-uniform (everything points at a hub),
+        # so they are exactly the edges no locality window can cover.  The
+        # dense partial sums ride the tail kernel's fused init epilogue
+        # (no separate [N, D] combine pass).
+        layout_hub_sc = jax.device_put(build_edge_layout(
+            s_np, r_np, n_pad, edge_chunk=512, hub_size=2048,
+            sc_hub_size=2048))
+        candidates["fused_hub_sc2048"] = (fused_bf16act_step, x0_bf16,
+                                          layout_hub_sc)
+
     results = {}
     for name, (fn, x_init, aux) in candidates.items():
         try:

@@ -97,6 +97,18 @@ def get_args():
                    help="degree-balanced node relabeling before the halo "
                         "partition (equalizes per-shard edge load on "
                         "power-law graphs)")
+    p.add_argument("--halo_order", default="none",
+                   choices=["none", "balance", "rcm", "community"],
+                   help="node ordering before the halo partition: balance "
+                        "(= --halo_balance) equalizes shard load but "
+                        "destroys locality; rcm gives contiguous-community "
+                        "ownership (fewer boundary edges + windowed-kernel "
+                        "locality)")
+    p.add_argument("--reorder", default="auto",
+                   choices=["auto", "off", "rcm", "degree", "community"],
+                   help="single-device full-batch locality relabel "
+                        "(cfg.reorder; auto = RCM when the break-even gate "
+                        "predicts the windowed kernels win)")
     p.add_argument("--halo_shards", type=int, default=0,
                    help="> 0: full-graph NODE finetune with the graph "
                         "node-sharded over this many devices (halo "
@@ -206,7 +218,8 @@ def main():
         separate_decoder_for_each_head=bool(args.separate_decoder_for_each_head),
         decoder_jac_coeff=args.decoder_jac_coeff, lamda_env=args.lamda_env,
         num_classes=num_classes, eval_chunked=bool(args.eval_chunked),
-        use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size)
+        use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size,
+        reorder=args.reorder)
 
     if args.halo_shards:
         if task != "node":
@@ -221,6 +234,7 @@ def main():
         logger = run_finetune_halo_parallel(
             payload, cfg, mesh, pretrained=pretrained, verbose=True,
             hub_size=args.hub_size, balance=args.halo_balance,
+            order=args.halo_order,
             # auto: fused on TPU (cfg.use_fused_layout), XLA path elsewhere
             fused=None if args.use_fused_layout else False)
     else:

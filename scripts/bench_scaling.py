@@ -51,6 +51,16 @@ def main():
     ap.add_argument("--balance", action="store_true",
                     help="degree-balanced node relabeling before the "
                          "partition (equalizes per-shard edge load)")
+    ap.add_argument("--order", default="none",
+                    choices=["none", "balance", "rcm", "community"],
+                    help="node ordering before the partition: balance "
+                         "(= --balance) vs contiguous-RCM ownership "
+                         "(locality + fewer boundary edges)")
+    ap.add_argument("--graph", default="powerlaw",
+                    choices=["powerlaw", "community"],
+                    help="community: shuffled community-structured graph "
+                         "(data.synthetic.community_power_law_graph) — the "
+                         "case where RCM ownership pays")
     args = ap.parse_args()
 
     import jax
@@ -84,14 +94,28 @@ def main():
         while c <= len(devices):
             counts.append(c)
             c *= 2
-    _, s_np, r_np, _ = random_power_law_graph(n, e, d, seed=0,
-                                              with_edge_feat=False)
+    if args.graph == "community":
+        from stemgnn_tpu.data.synthetic import community_power_law_graph
+        _, s_np, r_np, _ = community_power_law_graph(
+            n, e, d, seed=0, with_edge_feat=False)
+    else:
+        _, s_np, r_np, _ = random_power_law_graph(n, e, d, seed=0,
+                                                  with_edge_feat=False)
+    order = "balance" if args.balance else args.order
+    if order in ("rcm", "community"):
+        # contiguous ownership: relabel ONCE (device-count independent)
+        from stemgnn_tpu.ops.reorder import (community_order, rcm_order,
+                                             relabel)
+        perm = (rcm_order if order == "rcm" else community_order)(
+            s_np, r_np, n)
+        s_np, r_np, _ = relabel(perm, s_np, r_np)
+        s_np, r_np = s_np.astype(np.int32), r_np.astype(np.int32)
     rng = np.random.default_rng(0)
     base_rate = {}
     for n_dev in counts:
         mesh = make_mesh(axis_names=("edge",), devices=devices[:n_dev])
         s_c, r_c, n_c = s_np, r_np, n
-        if args.balance and n_dev > 1:
+        if order == "balance" and n_dev > 1:
             from stemgnn_tpu.parallel.halo import degree_balanced_relabel
             new_of_old, nb_bal = degree_balanced_relabel(r_np, n, n_dev)
             s_c, r_c = new_of_old[s_np], new_of_old[r_np]

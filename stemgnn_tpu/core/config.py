@@ -193,6 +193,16 @@ class FinetuneConfig:
     # layout path requires the sage backbone.
     use_fused_layout: bool = True
     hub_size: int = 2048
+    # Scatter-side hub blocks (HubDense.sc_*): in-edges of hub receivers /
+    # out-edges of hub senders as one transposed dense matmul.  Gated by
+    # the same per-chip break-even model; 0 disables.
+    sc_hub_size: int = 2048
+    # Node reordering for gather locality (ops/reorder.py): "auto" applies
+    # RCM when the windowed-gather break-even gate says the reordered graph
+    # wins (full-batch fused path only); "rcm"/"degree" force a method;
+    # "off" keeps dataset order.  Pure relabeling — labels/splits/features
+    # permute with the nodes, metrics are unchanged.
+    reorder: str = "auto"
 
 
 def _update(dc, d: dict):

@@ -159,3 +159,44 @@ def random_power_law_graph(num_nodes: int, num_edges: int, feat_dim: int,
     edge_feat = rng.standard_normal((num_edges, feat_dim)).astype(np.float32) \
         if with_edge_feat else None
     return node_feat, senders, receivers, edge_feat
+
+
+def community_power_law_graph(num_nodes: int, num_edges: int, feat_dim: int,
+                              num_communities: int = 64,
+                              p_intra: float = 0.9, alpha: float = 1.5,
+                              seed: int = 0, shuffle: bool = True,
+                              with_edge_feat: bool = False):
+    """Community-structured benchmark graph (citation-network-like): nodes
+    belong to equal-size communities, ``p_intra`` of edges stay inside the
+    endpoint's community (with power-law in-degree skew inside), the rest
+    connect uniformly at random across the graph.  Node ids are SHUFFLED by
+    default so the raw ordering carries no locality — exactly the situation
+    ops/reorder.py RCM is meant to recover (round-2 VERDICT item 2).
+    Returns host arrays (node_feat, senders, receivers, edge_feat)."""
+    rng = np.random.default_rng(seed)
+    csize = max(num_nodes // num_communities, 1)
+    n_eff = csize * num_communities
+    intra = rng.random(num_edges) < p_intra
+    comm = rng.integers(0, num_communities, num_edges)
+    # power-law local offsets inside the community for receivers
+    ranks = np.arange(1, csize + 1, dtype=np.float64)
+    p = ranks ** (-alpha)
+    cdf = np.cumsum(p)
+    cdf /= cdf[-1]
+    r_local = np.searchsorted(cdf, rng.random(num_edges))
+    s_local = rng.integers(0, csize, num_edges)
+    senders = np.where(intra, comm * csize + s_local,
+                       rng.integers(0, n_eff, num_edges)).astype(np.int64)
+    receivers = np.where(intra, comm * csize + r_local,
+                         rng.integers(0, n_eff, num_edges)).astype(np.int64)
+    if num_nodes > n_eff:
+        pass  # trailing isolated nodes keep the requested count
+    if shuffle:
+        perm = rng.permutation(num_nodes)
+        senders = perm[senders]
+        receivers = perm[receivers]
+    node_feat = rng.standard_normal((num_nodes, feat_dim)).astype(np.float32)
+    edge_feat = (rng.standard_normal((num_edges, feat_dim)).astype(np.float32)
+                 if with_edge_feat else None)
+    return (node_feat, senders.astype(np.int32),
+            receivers.astype(np.int32), edge_feat)

@@ -46,8 +46,50 @@ class HubDense:
     hub_ids: jax.Array     # [H] int32 hub node ids (gather side)
     cnt: jax.Array         # [N_pad, H] bf16 dense count block of A
     tail: "EdgeLayout"     # sub-layout over non-hub edges only
+    # Scatter-side hub block (round-2 VERDICT item 1): among the edges NOT
+    # covered by the gather-side hubs, those whose *scatter* key is a
+    # high-frequency node (a hub receiver in the forward / hub sender in
+    # the factored backward) collapse into a transposed dense matmul
+    #
+    #     out[sc_ids] += sc_cnt @ f(x)        sc_cnt[k, j] = #edges j->sc_k
+    #
+    # over ALL source rows — removing them from the gather-bound tail.
+    # These edges' gather keys are near-uniform (everything points at a
+    # hub), so they are exactly the edges locality windows can never cover.
+    sc_ids: Optional[jax.Array] = None    # [H2_pad] int32 (padded -> row 0,
+                                          #   zero sc_cnt rows)
+    sc_cnt: Optional[jax.Array] = None    # [H2_pad, N_pad] bf16
+    # TYPED hubs (T <= 32 edge-type tables, round-2 VERDICT item 7): hubs
+    # are (gather node, edge type) PAIRS — the dense operand row for
+    # virtual hub k is f(x[hub_ids[k]] + T[hub_xe[k]]), so the matmul
+    # covers typed messages at unchanged [N, H] memory.  Forward direction
+    # only (the typed relu mask is per-edge, so the factored backward does
+    # not apply); None for single-type/untyped graphs.
+    hub_xe: Optional[jax.Array] = None    # [H_pad] int32 type per virtual hub
     hub_size: int = struct.field(pytree_node=False, default=2048)
     coverage: float = struct.field(pytree_node=False, default=0.0)
+    sc_size: int = struct.field(pytree_node=False, default=0)
+    sc_coverage: float = struct.field(pytree_node=False, default=0.0)
+
+
+@struct.dataclass
+class LocSplit:
+    """Per-direction local/stray edge split (mixed-locality graphs).
+
+    The windowed in-kernel gather is gated per DIRECTION, and one far edge
+    per chunk blows that chunk's window — so on community graphs with a few
+    percent of random long-range edges the whole direction falls back to
+    gathers even though ~90% of edges are window-coverable.  The split puts
+    edges whose gather key lies within ``reach`` rows of their scatter
+    block into a ``loc`` sub-layout (windowed kernels, break-even-gated on
+    the subset's own windows) and the rest into a ``stray`` sub-layout
+    (gather + scatter).  The two kernels CHAIN through the scatter
+    epilogue's additive ``init`` (stray partial sums feed the windowed
+    call), so the split costs one extra kernel launch and zero [N, D]
+    passes.  Only the named direction of each sub-layout is used."""
+    loc: "EdgeLayout"
+    stray: "EdgeLayout"
+    loc_frac: float = struct.field(pytree_node=False, default=0.0)
 
 
 @struct.dataclass
@@ -108,6 +150,11 @@ class EdgeLayout:
     # hub_size > 0; None when the graph lacks hub concentration)
     hub_r: Optional[HubDense] = None
     hub_s: Optional[HubDense] = None
+    # local/stray splits per direction (build_edge_layout loc_split; only
+    # built when the whole-direction gwin gate failed but the local subset
+    # clears it — mixed-locality graphs)
+    split_r: Optional[LocSplit] = None
+    split_s: Optional[LocSplit] = None
     # static metadata
     node_block: int = struct.field(pytree_node=False, default=128)
     edge_chunk: int = struct.field(pytree_node=False, default=512)
@@ -126,8 +173,12 @@ class EdgeLayout:
 
 
 def _block_ptr(sorted_keys: np.ndarray, n_pad: int, nb: int) -> np.ndarray:
-    bounds = np.arange(0, n_pad + nb, nb)
-    return np.searchsorted(sorted_keys, bounds, side="left").astype(np.int32)
+    # keys are BLOCK-grouped (within-block order is by the gather key, see
+    # block_sort below), so searchsorted must compare block indices, not
+    # raw node ids
+    blocks = np.asarray(sorted_keys, np.int64) // nb
+    bounds = np.arange(0, n_pad // nb + 1)
+    return np.searchsorted(blocks, bounds, side="left").astype(np.int32)
 
 
 # Break-even model constants live in per-chip profiles with calibration
@@ -168,16 +219,78 @@ def _gwin_decide(nsub: np.ndarray, gwin_w: int, num_valid_edges: int,
     return windowed * 1.2 < gather
 
 
+def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
+                     enabled_already: bool, num_nodes_padded: int,
+                     node_block: int, edge_chunk: int, to_device: bool,
+                     feat_dim_hint: int, loc_split: str, loc_reach: int):
+    """One direction's LocSplit, or None when it would not pay (the
+    whole-direction gate already enabled windows, the local fraction is too
+    small, or the local subset's own break-even gate fails)."""
+    force = loc_split == "on"
+    if enabled_already and not force:
+        return None
+    scatter_key, gather_key = ((receivers, senders) if direction == "r"
+                               else (senders, receivers))
+    # "local" is measured from each scatter BLOCK's median gather key (not
+    # from the block's own id range): on community-ordered graphs the
+    # block's edges cluster around the community's row range, and a
+    # +-loc_reach window about the median covers them with ~one subwindow
+    # per chunk — which is what the windowed kernel's break-even needs.
+    blk = scatter_key.astype(np.int64) // node_block
+    g64 = gather_key.astype(np.int64)
+    valid = np.nonzero(edge_mask)[0]
+    order = valid[np.lexsort((g64[valid], blk[valid]))]
+    sb, sg = blk[order], g64[order]
+    nblocks = num_nodes_padded // node_block + 1
+    lo = np.searchsorted(sb, np.arange(nblocks))
+    hi = np.searchsorted(sb, np.arange(nblocks), side="right")
+    med = np.zeros(nblocks, np.int64)
+    nz = hi > lo
+    if len(sg):
+        mid = np.minimum((lo + hi) // 2, len(sg) - 1)
+        med[nz] = sg[mid[nz]]
+    dist = g64 - med[np.minimum(blk, nblocks - 1)]
+    local = edge_mask & (np.abs(dist) <= loc_reach)
+    frac = float(local.sum()) / max(int(edge_mask.sum()), 1)
+    if not force and frac < 0.5:
+        return None
+    stray_mask = edge_mask & ~local
+    sub_kw = dict(node_block=node_block, edge_chunk=edge_chunk,
+                  to_device=to_device, feat_dim_hint=feat_dim_hint)
+    loc_lay = build_edge_layout(
+        senders[local], receivers[local], num_nodes_padded,
+        xe_ids=None if xe_ids is None else xe_ids[local],
+        gwin="on" if force else "auto", **sub_kw)
+    if not (loc_lay.use_gwin_r if direction == "r" else loc_lay.use_gwin_s):
+        return None
+    stray_lay = build_edge_layout(
+        senders[stray_mask], receivers[stray_mask], num_nodes_padded,
+        xe_ids=None if xe_ids is None else xe_ids[stray_mask],
+        gwin="off", **sub_kw)
+    return LocSplit(loc=loc_lay, stray=stray_lay, loc_frac=frac)
+
+
 def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                      num_nodes_padded: int, hub_size: int, node_block: int,
                      edge_chunk: int, min_coverage: float,
                      tail_e_pad_to: int = 0,
                      feat_dim_hint: int = 768,
-                     to_device: bool = True, gwin: str = "auto") -> "HubDense":
+                     to_device: bool = True, gwin: str = "auto",
+                     sc_hub_size: int = 0,
+                     loc_split: str = "off",
+                     loc_reach: int = 256,
+                     xe_ids=None, num_edge_types: int = 1) -> "HubDense":
     """Hub-dense decomposition for one direction.  ``gather_by`` names which
     endpoint the XLA gather indexes (the scatter key is the other one):
     the forward scatters by receiver and gathers senders; the factored
     backward scatters by sender and gathers receivers.
+
+    TYPED mode (``num_edge_types`` in (1, 32] with ``xe_ids``): hubs are
+    (gather node, edge type) pairs — the dense operand row for virtual hub
+    k is f(x[hub_ids[k]] + T[hub_xe[k]]), covering typed messages at
+    unchanged [N, H] memory (HubDense.hub_xe).  Forward direction only:
+    the typed relu mask is per-edge, so the factored backward's per-source
+    gate does not exist and ``gather_by == 'receiver'`` returns None.
 
     Gating: beyond the raw ``min_coverage`` floor, the decomposition must
     clear an estimated BREAK-EVEN — the dense CNT block costs are
@@ -189,10 +302,25 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
     halo builder gates globally instead)."""
     gidx = senders if gather_by == "sender" else receivers
     sidx = receivers if gather_by == "sender" else senders
-    freq = np.bincount(gidx[edge_mask], minlength=num_nodes_padded)
-    h = min(hub_size, num_nodes_padded)
-    hub_ids = np.argsort(-freq, kind="stable")[:h].astype(np.int32)
-    covered = float(freq[hub_ids].sum())
+    typed = num_edge_types > 1 and xe_ids is not None
+    if typed and (num_edge_types > 32 or gather_by != "sender"):
+        return None
+    if typed:
+        t_n = num_edge_types
+        pair = gidx.astype(np.int64) * t_n + xe_ids.astype(np.int64)
+        freq = np.bincount(pair[edge_mask],
+                           minlength=num_nodes_padded * t_n)
+        h = min(hub_size, num_nodes_padded * t_n)
+        hub_pairs = np.argsort(-freq, kind="stable")[:h]
+        hub_ids = (hub_pairs // t_n).astype(np.int32)
+        hub_xe = (hub_pairs % t_n).astype(np.int32)
+        covered = float(freq[hub_pairs].sum())
+    else:
+        freq = np.bincount(gidx[edge_mask], minlength=num_nodes_padded)
+        h = min(hub_size, num_nodes_padded)
+        hub_ids = np.argsort(-freq, kind="stable")[:h].astype(np.int32)
+        hub_xe = None
+        covered = float(freq[hub_ids].sum())
     coverage = covered / max(edge_mask.sum(), 1)
     if min_coverage >= 0:
         if coverage < min_coverage:
@@ -206,14 +334,81 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                         + feat_dim_hint * 2.0 / prof.gather_bps)
         if covered * gather_row_s < 1.2 * dense_cost:
             return None
-    rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
-    rank[hub_ids] = np.arange(h)
-    is_hub = edge_mask & (rank[gidx] < h)
+    if typed:
+        rank = np.full(num_nodes_padded * num_edge_types, 2 ** 30, np.int64)
+        rank[hub_pairs] = np.arange(h)
+        edge_rank = rank[pair]
+    else:
+        rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
+        rank[hub_ids] = np.arange(h)
+        edge_rank = rank[gidx]
+    is_hub = edge_mask & (edge_rank < h)
     tail = edge_mask & ~is_hub
+
+    # Scatter-side hub block over the remaining edges (see HubDense): dense
+    # sc_cnt[H2, N] @ f(x) replaces their per-edge gathers.  Gated by
+    # coverage + the same break-even style as the gather side, with the
+    # extra f(x) [N, D] materialization pass charged to the dense cost.
+    sc_ids_pad = cnt_sc = None
+    h2 = 0
+    sc_cov = 0.0
+    if sc_hub_size and not typed:   # typed messages are per-(source, type):
+                                    # the transposed block is not factorable
+        freq_sc = np.bincount(sidx[tail], minlength=num_nodes_padded)
+        h2 = min(sc_hub_size, num_nodes_padded)
+        sc_ids = np.argsort(-freq_sc, kind="stable")[:h2].astype(np.int32)
+        covered_sc = float(freq_sc[sc_ids].sum())
+        sc_cov = covered_sc / max(edge_mask.sum(), 1)
+        gated_out = False
+        if min_coverage >= 0:   # negative bypasses gating, as above
+            prof = current_profile()
+            h2_pad_est = round_up(h2, 128)
+            d = feat_dim_hint
+            dense_cost = (2.0 * num_nodes_padded * h2_pad_est * d
+                          / prof.mxu_bf16_flops
+                          + num_nodes_padded * h2_pad_est * 2.0
+                          / prof.hbm_bps
+                          + num_nodes_padded * d * 4.0 / prof.stream_bps)
+            per_edge = (prof.gather_fixed_s + d * 2.0 / prof.gather_bps
+                        + d * 2.0 / prof.stream_bps + d * 2.0 / prof.seq_bps)
+            gated_out = (sc_cov < min_coverage
+                         or covered_sc * per_edge < 1.2 * dense_cost)
+        if gated_out:
+            h2 = 0
+            sc_cov = 0.0
+        else:
+            sc_rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
+            sc_rank[sc_ids] = np.arange(h2)
+            is_sc = tail & (sc_rank[sidx] < h2)
+            sc_rows = sc_rank[sidx[is_sc]].astype(np.int64)
+            sc_cols = gidx[is_sc].astype(np.int64)
+            ok = True
+            if sc_rows.size:
+                _, mult = np.unique(sc_rows * (num_nodes_padded + 1)
+                                    + sc_cols, return_counts=True)
+                ok = mult.max(initial=0) < 256   # exact-bf16 counts
+            if not ok:
+                h2 = 0
+                sc_cov = 0.0
+            else:
+                tail = tail & ~is_sc
+                h2_pad = round_up(h2, 128)
+                if to_device:
+                    cnt_sc = jnp.zeros((h2_pad, num_nodes_padded),
+                                       jnp.float32).at[
+                        (jnp.asarray(sc_rows, jnp.int32),
+                         jnp.asarray(sc_cols, jnp.int32))].add(1.0).astype(
+                        jnp.bfloat16)
+                else:
+                    cnt_np = np.zeros((h2_pad, num_nodes_padded), np.float32)
+                    np.add.at(cnt_np, (sc_rows, sc_cols), 1.0)
+                    cnt_sc = cnt_np
+                sc_ids_pad = np.zeros(h2_pad, np.int32)
+                sc_ids_pad[:h2] = sc_ids
 
     h_pad = round_up(h, 128)
     hub_rows = sidx[is_hub].astype(np.int64)
-    hub_cols = rank[gidx[is_hub]].astype(np.int64)
+    hub_cols = edge_rank[is_hub].astype(np.int64)
     # exact-bf16 multiplicity guard without materializing cnt on host
     if hub_rows.size:
         _, mult = np.unique(hub_rows * h_pad + hub_cols, return_counts=True)
@@ -235,16 +430,28 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
         cnt = cnt_np.astype(np.float32)  # numpy leaves (stacked halo build)
     hub_ids_pad = np.zeros(h_pad, np.int32)
     hub_ids_pad[:h] = hub_ids
+    hub_xe_pad = None
+    if typed:
+        hub_xe_pad = np.zeros(h_pad, np.int32)
+        hub_xe_pad[:h] = hub_xe
 
     tail_layout = build_edge_layout(
         senders[tail], receivers[tail], num_nodes_padded,
+        xe_ids=None if xe_ids is None else xe_ids[tail],
         node_block=node_block, edge_chunk=edge_chunk,
         e_pad_to=tail_e_pad_to, to_device=to_device,
-        feat_dim_hint=feat_dim_hint, gwin=gwin)
+        feat_dim_hint=feat_dim_hint, gwin=gwin,
+        loc_split=loc_split, loc_reach=loc_reach)
     if to_device:
         hub_ids_pad = jnp.asarray(hub_ids_pad)
+        if sc_ids_pad is not None:
+            sc_ids_pad = jnp.asarray(sc_ids_pad)
+        if hub_xe_pad is not None:
+            hub_xe_pad = jnp.asarray(hub_xe_pad)
     return HubDense(hub_ids=hub_ids_pad, cnt=cnt,
-                    tail=tail_layout, hub_size=h, coverage=coverage)
+                    tail=tail_layout, hub_size=h, coverage=coverage,
+                    sc_ids=sc_ids_pad, sc_cnt=cnt_sc, sc_size=h2,
+                    sc_coverage=sc_cov, hub_xe=hub_xe_pad)
 
 
 def build_edge_layout(senders, receivers, num_nodes_padded: int,
@@ -255,7 +462,11 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       e_pad_to: int = 0,
                       hub_tail_e_pad_to: int = 0,
                       feat_dim_hint: int = 768,
-                      gwin: str = "auto") -> EdgeLayout:
+                      gwin: str = "auto",
+                      sc_hub_size: int = 0,
+                      loc_split: str = "off",
+                      loc_reach: int = 256,
+                      num_edge_types: int = 1) -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
     (edge_mask False); they are re-pointed at the sentinel and sorted last.
 
@@ -310,8 +521,18 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
             out["xe"] = None
         return out, order
 
-    fw, order_r = pack(r, s, r, xe_ids, edge_mask)
-    bw, order_s = pack(s, s, r, xe_ids, edge_mask)
+    # Within-block gather-key sorting: the kernels only need edges GROUPED
+    # per scatter node block (block_ptr granularity; the one-hot P matmul
+    # matches lrow within the block range, order-free), so the secondary
+    # sort key is the gather-side node id — consecutive edge chunks then
+    # cover ascending gather windows inside each block, tightening the
+    # windowed in-kernel gather (gwin) without changing kernel semantics
+    # (round-2 VERDICT item 1, "within-receiver-block sender sorting").
+    kb = np.int64(num_nodes_padded + 2)
+    fw, order_r = pack((r.astype(np.int64) // node_block) * kb + s,
+                       s, r, xe_ids, edge_mask)
+    bw, order_s = pack((s.astype(np.int64) // node_block) * kb + r,
+                       s, r, xe_ids, edge_mask)
 
     # position of each original edge in the receiver-sorted order
     inv_r = np.empty(e, np.int32)
@@ -388,13 +609,38 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                                  edge_chunk, hub_min_coverage,
                                  tail_e_pad_to=hub_tail_e_pad_to,
                                  feat_dim_hint=feat_dim_hint,
-                                 to_device=to_device, gwin=gwin)
+                                 to_device=to_device, gwin=gwin,
+                                 sc_hub_size=sc_hub_size,
+                                 loc_split=loc_split, loc_reach=loc_reach,
+                                 xe_ids=xe_ids,
+                                 num_edge_types=num_edge_types)
         hub_s = _build_hub_dense(senders, receivers, edge_mask, "receiver",
                                  num_nodes_padded, hub_size, node_block,
                                  edge_chunk, hub_min_coverage,
                                  tail_e_pad_to=hub_tail_e_pad_to,
                                  feat_dim_hint=feat_dim_hint,
-                                 to_device=to_device, gwin=gwin)
+                                 to_device=to_device, gwin=gwin,
+                                 sc_hub_size=sc_hub_size,
+                                 loc_split=loc_split, loc_reach=loc_reach,
+                                 xe_ids=xe_ids,
+                                 num_edge_types=num_edge_types)
+
+    # Local/stray split per direction (LocSplit): attempted only when the
+    # whole-direction windowed gate failed — mixed-locality graphs where a
+    # minority of long-range edges blows every chunk window.  "on" forces
+    # the split (tests) regardless of gates.  A direction with a hub-dense
+    # decomposition skips the top-level split (its TAIL gets one instead,
+    # via the loc_split threading above).
+    split_r = split_s = None
+    if loc_split != "off" and gwin != "off":
+        split_r = None if hub_r is not None else _build_loc_split(
+            senders, receivers, edge_mask, xe_ids, "r",
+            gwin_fields["use_gwin_r"], num_nodes_padded, node_block,
+            edge_chunk, to_device, feat_dim_hint, loc_split, loc_reach)
+        split_s = None if hub_s is not None else _build_loc_split(
+            senders, receivers, edge_mask, xe_ids, "s",
+            gwin_fields["use_gwin_s"], num_nodes_padded, node_block,
+            edge_chunk, to_device, feat_dim_hint, loc_split, loc_reach)
 
     return EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
@@ -405,7 +651,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         block_ptr_s=to_dev(bp_s), lrow_s=to_dev(lrow(bw["a"], bw["m"])),
         in_degree=to_dev(deg), perm_s2r=to_dev(perm),
         perm_r2o=to_dev(perm_r2o), perm_s2o=to_dev(perm_s2o),
-        hub_r=hub_r, hub_s=hub_s,
+        hub_r=hub_r, hub_s=hub_s, split_r=split_r, split_s=split_s,
         win_lo_s=to_dev(lo.astype(np.int32)), win_nsub_s=to_dev(nsub),
         gwin_lo_r=to_dev(gwin_fields["gwin_lo_r"]),
         gwin_nsub_r=to_dev(gwin_fields["gwin_nsub_r"]),
@@ -441,7 +687,8 @@ def force_gwin(lay: EdgeLayout, gwin_w: int, use_r: bool,
 
 
 def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,
-                      xe_ids=None, hub_size: int = 0) -> EdgeLayout:
+                      xe_ids=None, hub_size: int = 0,
+                      num_edge_types: int = 1) -> EdgeLayout:
     feat_dim = int(g.node_feat.shape[-1]) if getattr(g, "node_feat", None) \
         is not None else 768
     """Build a layout from a padded Graph whose nodes are already a multiple
@@ -454,7 +701,7 @@ def layout_from_graph(g, node_block: int = 128, edge_chunk: int = 512,
         np.asarray(g.senders), np.asarray(g.receivers), n_pad,
         xe_ids=xe_ids, edge_mask=np.asarray(g.edge_mask),
         node_block=node_block, edge_chunk=edge_chunk, hub_size=hub_size,
-        feat_dim_hint=feat_dim)
+        feat_dim_hint=feat_dim, num_edge_types=num_edge_types)
 
 
 def attach_layout(g, xe_ids=None, edge_table=None, node_block: int = 128,
@@ -476,10 +723,12 @@ def attach_layout(g, xe_ids=None, edge_table=None, node_block: int = 128,
         if xe_ids.shape[0] < e_pad:
             xe_ids = np.concatenate(
                 [xe_ids, np.zeros(e_pad - xe_ids.shape[0], np.int32)])
-    if edge_table is not None and np.shape(edge_table)[0] > 1:
-        hub_size = 0   # hubs need factored (per-source) messages: T <= 1
+    t_rows = 1 if edge_table is None else int(np.shape(edge_table)[0])
+    if t_rows > 32:
+        hub_size = 0   # typed virtual hubs cover T <= 32 (HubDense.hub_xe)
     lay = layout_from_graph(g, node_block=node_block, edge_chunk=edge_chunk,
-                            xe_ids=xe_ids, hub_size=hub_size)
+                            xe_ids=xe_ids, hub_size=hub_size,
+                            num_edge_types=t_rows)
     if edge_table is not None:
         edge_table = jnp.asarray(edge_table)
     return g.replace(layout=jax.device_put(lay), edge_table=edge_table)

@@ -93,9 +93,10 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         """1 / (# kept in-edges per node), for runtime-masked means."""
         k_r = jnp.take(keep, layout.perm_r2o, axis=0).astype(jnp.float32)
         k_r = jnp.where(layout.mask_r, k_r, 0.0)
+        # receivers_r is only BLOCK-grouped (within-block sender sorting,
+        # edge_layout block_sort) — not globally sorted
         deg = jax.ops.segment_sum(k_r, layout.receivers_r,
-                                  num_segments=layout.num_nodes_padded,
-                                  indices_are_sorted=True)
+                                  num_segments=layout.num_nodes_padded)
         return (1.0 / jnp.maximum(deg, 1.0))[:, None]
 
     # With no per-edge term the message is relu(x_j): its derivative mask
@@ -128,51 +129,105 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         # pass per call and silently hide such blowups (round-2 ADVICE).
         return a
 
-    def _hub_split(src, hub, order, layout, relu_msgs: bool = False, t0=None):
-        """Hub-dense + tail-scatter sum (raw, unscaled): the hub part is a
-        dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring), the tail
-        part the Pallas scatter over the tail sub-layout — windowed in-kernel
-        gather when the tail layout's break-even gate enabled it
-        (locality-ordered graphs), else XLA gather + scatter.  ``t0`` is the
-        broadcast single-type table row added to every message (the factored
-        T=1 case) or None."""
-        t = hub.tail
-        xh = jnp.take(src, hub.hub_ids, axis=0)
-        if t0 is not None:
-            xh = xh + t0
-        if relu_msgs:
-            xh = jax.nn.relu(xh)
-        hub_out = jax.lax.dot_general(
-            hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    def _dir(lay, order):
+        """One direction's kernel-facing arrays: (lrow, block_ptr,
+        gather_keys, mask, use_gwin, gwin_lo, gwin_nsub)."""
         if order == "r":
-            lrow, block_ptr, gather, mask = (t.lrow_r, t.block_ptr_r,
-                                             t.senders_r, t.mask_r)
-            use_g, wlo, wns = t.use_gwin_r, t.gwin_lo_r, t.gwin_nsub_r
-        else:
-            lrow, block_ptr, gather, mask = (t.lrow_s, t.block_ptr_s,
-                                             t.receivers_s, t.mask_s)
-            use_g, wlo, wns = t.use_gwin_s, t.gwin_lo_s, t.gwin_nsub_s
-        if use_g and t.gwin_w:
-            from stemgnn_tpu.ops.scatter_pallas import \
-                gathered_scatter_rows_sorted
-            tail_out = gathered_scatter_rows_sorted(
-                gather[None, :], lrow, block_ptr, wlo, wns, _sane(src),
-                table=t0,
-                num_nodes_padded=t.num_nodes_padded,
-                win_w=t.gwin_w, node_block=t.node_block,
-                edge_chunk=t.edge_chunk, relu=relu_msgs, interpret=interpret)
-            return hub_out + tail_out
+            return (lay.lrow_r, lay.block_ptr_r, lay.senders_r, lay.mask_r,
+                    lay.use_gwin_r, lay.gwin_lo_r, lay.gwin_nsub_r)
+        return (lay.lrow_s, lay.block_ptr_s, lay.receivers_s, lay.mask_s,
+                lay.use_gwin_s, lay.gwin_lo_s, lay.gwin_nsub_s)
+
+    def _stray_then_windowed(src, sp, order, relu_msgs: bool = False,
+                             t0=None, scale=None, gate=None,
+                             out_dtype=jnp.float32, init0=None):
+        """LocSplit execution: stray edges via gather + scatter (raw f32,
+        chained from ``init0``), local edges via the windowed in-kernel
+        gather with the stray sums as its additive init — scale/gate/cast
+        in the final epilogue, zero separate [N, D] combine passes."""
+        from stemgnn_tpu.ops.scatter_pallas import \
+            gathered_scatter_rows_sorted
+        st, lo = sp.stray, sp.loc
+        lrow, bp, gather, mask, _, _, _ = _dir(st, order)
         m = jnp.take(src, gather, axis=0, mode="clip")
         if t0 is not None:
             m = m + t0
         m = jnp.where(mask[:, None], m, src.dtype.type(0))
-        tail_out = scatter_rows_sorted(
+        stray_out = scatter_rows_sorted(
+            m, lrow, bp, num_nodes_padded=st.num_nodes_padded,
+            node_block=st.node_block, edge_chunk=st.edge_chunk,
+            fast=fast, interpret=interpret, pipeline=pipeline,
+            relu=relu_msgs, slots=slots, init=init0)
+        lrow, bp, keys, _, _, wlo, wns = _dir(lo, order)
+        return gathered_scatter_rows_sorted(
+            keys[None, :], lrow, bp, wlo, wns, _sane(src), table=t0,
+            num_nodes_padded=lo.num_nodes_padded, win_w=lo.gwin_w,
+            node_block=lo.node_block, edge_chunk=lo.edge_chunk,
+            relu=relu_msgs, init=stray_out, scale=scale, gate=gate,
+            out_dtype=out_dtype, interpret=interpret)
+
+    def _hub_split(src, hub, order, layout, relu_msgs: bool = False, t0=None,
+                   scale=None, gate=None, out_dtype=jnp.float32):
+        """Hub-dense decomposition, FINAL output: the gather-side hub part
+        is a dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring),
+        the optional scatter-side hub part a transposed dense
+        sc_cnt @ f(src) matmul scattered onto 2048-odd output rows, and the
+        tail runs the Pallas scatter over the tail sub-layout — windowed
+        in-kernel gather when the tail layout's break-even gate enabled it
+        (locality-ordered graphs), else XLA gather + scatter.  The dense
+        partial sums ride the kernel's additive ``init`` and scale/gate/
+        cast happen in the kernel epilogue, so no separate [N, D] combine
+        pass ever touches HBM.  ``t0`` is the broadcast single-type table
+        row added to every message (the factored T=1 case) or None."""
+        t = hub.tail
+
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if hub.sc_cnt is not None:
+            # one f(x) [N, D] pass feeds BOTH dense blocks
+            f_all = src if t0 is None else src + t0
+            if relu_msgs:
+                f_all = jax.nn.relu(f_all)
+            hub_out = mm(hub.cnt, jnp.take(f_all, hub.hub_ids, axis=0))
+            hub_out = hub_out.at[hub.sc_ids].add(mm(hub.sc_cnt, f_all))
+        else:
+            xh = jnp.take(src, hub.hub_ids, axis=0)
+            if t0 is not None:
+                xh = xh + t0
+            if relu_msgs:
+                xh = jax.nn.relu(xh)
+            hub_out = mm(hub.cnt, xh)
+        sp = t.split_r if order == "r" else t.split_s
+        if sp is not None:
+            # tail's local/stray split chained onto the hub partial sums
+            return _stray_then_windowed(src, sp, order, relu_msgs, t0,
+                                        scale, gate, out_dtype,
+                                        init0=hub_out)
+        lrow, block_ptr, gather, mask, use_g, wlo, wns = _dir(t, order)
+        if use_g and t.gwin_w:
+            from stemgnn_tpu.ops.scatter_pallas import \
+                gathered_scatter_rows_sorted
+            return gathered_scatter_rows_sorted(
+                gather[None, :], lrow, block_ptr, wlo, wns, _sane(src),
+                table=t0,
+                num_nodes_padded=t.num_nodes_padded,
+                win_w=t.gwin_w, node_block=t.node_block,
+                edge_chunk=t.edge_chunk, relu=relu_msgs,
+                init=hub_out, scale=scale, gate=gate, out_dtype=out_dtype,
+                interpret=interpret)
+        m = jnp.take(src, gather, axis=0, mode="clip")
+        if t0 is not None:
+            m = m + t0
+        m = jnp.where(mask[:, None], m, src.dtype.type(0))
+        return scatter_rows_sorted(
             m, lrow, block_ptr, num_nodes_padded=layout.num_nodes_padded,
             node_block=layout.node_block, edge_chunk=layout.edge_chunk,
             fast=fast, interpret=interpret, pipeline=pipeline,
-            relu=relu_msgs, slots=slots)
-        return hub_out + tail_out
+            relu=relu_msgs, slots=slots,
+            init=hub_out, scale=scale, gate=gate, out_dtype=out_dtype)
 
     def fwd_impl(x, table, layout: EdgeLayout, keep=None, *,
                  want_mask: bool = False):
@@ -184,11 +239,18 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                       else jnp.float32)
             if (layout.hub_r is not None and mdtype == jnp.bfloat16
                     and keep is None):
-                sums = _hub_split(x.astype(mdtype), layout.hub_r, "r",
-                                  layout, relu_msgs=True, t0=_t0(table))
-                if reduce == "mean":
-                    sums = sums * _inv_deg(layout)
-                return sums.astype(out_dt)
+                return _hub_split(
+                    x.astype(mdtype), layout.hub_r, "r", layout,
+                    relu_msgs=True, t0=_t0(table),
+                    scale=_inv_deg(layout) if reduce == "mean" else None,
+                    out_dtype=out_dt)
+            if (layout.split_r is not None and mdtype == jnp.bfloat16
+                    and keep is None):
+                return _stray_then_windowed(
+                    x.astype(mdtype), layout.split_r, "r", relu_msgs=True,
+                    t0=_t0(table),
+                    scale=_inv_deg(layout) if reduce == "mean" else None,
+                    out_dtype=out_dt)
             if (layout.use_gwin_r and layout.gwin_w
                     and mdtype == jnp.bfloat16 and keep is None):
                 # fully gather-free forward: messages rebuilt in-kernel from
@@ -219,6 +281,48 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             if reduce == "mean" and keep is not None:
                 sums = (sums * _dyn_inv_deg(layout, keep)).astype(out_dt)
             return sums
+        if (layout.hub_r is not None and layout.hub_r.hub_xe is not None
+                and with_table and mdtype == jnp.bfloat16 and keep is None
+                and not want_mask):
+            # TYPED virtual hubs (edge_layout HubDense.hub_xe): hub
+            # messages relu(x[node] + T[type]) per (node, type) pair as one
+            # dense CNT matmul; the typed tail runs the standard paths with
+            # the hub sums fused as init.  Forward only — the backward's
+            # per-edge relu mask goes through the masked-kernel path.
+            hub = layout.hub_r
+            tb = table.astype(mdtype)
+            xh = (jnp.take(x.astype(mdtype), hub.hub_ids, axis=0)
+                  + jnp.take(tb, hub.hub_xe, axis=0))
+            if relu:
+                xh = jax.nn.relu(xh)
+            hub_out = jax.lax.dot_general(
+                hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = hub.tail
+            scale = inv_deg() if reduce == "mean" else None
+            out_dt2 = (jnp.bfloat16 if x.dtype == jnp.bfloat16
+                       else jnp.float32)
+            if t.use_gwin_r and t.gwin_w:
+                from stemgnn_tpu.ops.scatter_pallas import \
+                    gathered_scatter_rows_sorted
+                return gathered_scatter_rows_sorted(
+                    t.senders_r[None, :], t.lrow_r, t.block_ptr_r,
+                    t.gwin_lo_r, t.gwin_nsub_r, _sane(x.astype(mdtype)),
+                    table=tb, xe=t.xe_r[None, :],
+                    num_nodes_padded=n_pad, win_w=t.gwin_w,
+                    node_block=t.node_block, edge_chunk=t.edge_chunk,
+                    relu=relu, init=hub_out, scale=scale,
+                    out_dtype=out_dt2, interpret=interpret)
+            xs = jnp.take(x.astype(mdtype), t.senders_r, axis=0,
+                          mode="clip")
+            pre = xs + _type_rows(tb, t.xe_r)
+            pre = jnp.where(t.mask_r[:, None], pre, mdtype(0))
+            return scatter_rows_sorted(
+                pre, t.lrow_r, t.block_ptr_r, num_nodes_padded=n_pad,
+                node_block=t.node_block, edge_chunk=t.edge_chunk,
+                fast=fast, interpret=interpret, pipeline=pipeline,
+                relu=relu, slots=slots, init=hub_out, scale=scale,
+                out_dtype=out_dt2)
         if (layout.use_gwin_r and layout.gwin_w and mdtype == jnp.bfloat16
                 and keep is None and not want_mask
                 and (not with_table or table.shape[0] <= 32)):
@@ -281,11 +385,17 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             gate = first if t0 is None else first.astype(mdtype) + t0
             if (layout.hub_s is not None and mdtype == jnp.bfloat16
                     and keep is None):
-                sums = _hub_split(gp, layout.hub_s, "s", layout)
-                # gate fused with the sum in one XLA pass
-                dx = jnp.where(gate.astype(jnp.float32) > 0, sums, 0.0)
-                return (dx.astype(first.dtype), _zero_cot(table),
-                        _zero_cot(layout), _zero_cot(keep))
+                # relu gate fused into the tail kernel's epilogue
+                dx = _hub_split(gp, layout.hub_s, "s", layout, gate=gate,
+                                out_dtype=first.dtype)
+                return (dx, _zero_cot(table), _zero_cot(layout),
+                        _zero_cot(keep))
+            if (layout.split_s is not None and mdtype == jnp.bfloat16
+                    and keep is None):
+                dx = _stray_then_windowed(gp, layout.split_s, "s",
+                                          gate=gate, out_dtype=first.dtype)
+                return (dx, _zero_cot(table), _zero_cot(layout),
+                        _zero_cot(keep))
             if (layout.use_gwin_s and layout.gwin_w
                     and mdtype == jnp.bfloat16 and keep is None):
                 # gather-free factored backward: upstream grads rebuilt

@@ -82,3 +82,75 @@ def relabel(perm: np.ndarray, senders, receivers, node_arrays=()):
     s2 = inv[np.asarray(senders, np.int64)]
     r2 = inv[np.asarray(receivers, np.int64)]
     return s2, r2, [np.asarray(a)[perm] for a in node_arrays]
+
+
+def community_order(senders, receivers, num_nodes: int, iters: int = 15,
+                    refine_rcm: bool = True) -> np.ndarray:
+    """Community ordering via synchronous majority label propagation, then
+    nodes sorted by (community label, node id).  Recovers block/community
+    structure that RCM cannot (a few percent of random long-range edges
+    pull RCM's BFS across communities, BASELINE.md round-3 measurements);
+    intra-community edges then fall inside the windowed kernels' reach.
+    ``refine_rcm`` additionally RCM-orders the community-graph itself so
+    adjacent communities sit near each other (helps when communities are
+    smaller than the window).  Returns ``perm[new_id] = old_id``."""
+    s = np.asarray(senders, np.int64)
+    r = np.asarray(receivers, np.int64)
+    u = np.concatenate([s, r])
+    v = np.concatenate([r, s])
+    lab = np.arange(num_nodes, dtype=np.int64)
+    for _ in range(iters):
+        key = u * np.int64(num_nodes + 1) + lab[v]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        boundary = np.ones(len(ks), bool)
+        boundary[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(boundary)[0]
+        counts = np.diff(np.append(starts, len(ks)))
+        run_node = u[order][starts]
+        run_label = lab[v][order][starts]
+        # per node: the label with max count (ties -> smallest label)
+        o2 = np.lexsort((run_label, -counts, run_node))
+        rn = run_node[o2]
+        first = np.ones(len(o2), bool)
+        first[1:] = rn[1:] != rn[:-1]
+        new_lab = lab.copy()
+        new_lab[rn[first]] = run_label[o2][first]
+        if np.array_equal(new_lab, lab):
+            break
+        lab = new_lab
+    if refine_rcm:
+        # Place communities by a greedy max-affinity chain over the
+        # WEIGHTED quotient graph: LPA fragments one true community into a
+        # few labels whose mutual edge weight dwarfs the random
+        # inter-community noise, so chaining by heaviest connection to the
+        # last-placed community reassembles fragments adjacently.  (RCM on
+        # the quotient fails here: the noise edges make it near-complete
+        # unweighted.)  Dense [C, C] counts; skipped for huge C.
+        uniq, lab_c = np.unique(lab, return_inverse=True)
+        C = len(uniq)
+        cs, cr = lab_c[s], lab_c[r]
+        inter = cs != cr
+        if inter.any() and 1 < C <= 8192:
+            w = np.zeros((C, C), np.int64)
+            np.add.at(w, (cs[inter], cr[inter]), 1)
+            w += w.T
+            placed = np.zeros(C, bool)
+            chain = np.empty(C, np.int64)
+            cur = int(np.argmax(w.sum(1)))
+            for i in range(C):
+                placed[cur] = True
+                chain[i] = cur
+                nxt = np.where(placed, -1, w[cur])
+                cur = int(np.argmax(nxt))
+                if nxt[cur] <= 0:
+                    rem = np.nonzero(~placed)[0]
+                    if len(rem) == 0:
+                        break
+                    cur = int(rem[np.argmax(w[np.ix_(chain[:i + 1],
+                                                     rem)].sum(0))]) \
+                        if i + 1 < C else int(rem[0])
+            crank = np.empty(C, np.int64)
+            crank[chain] = np.arange(C)
+            lab = crank[lab_c]
+    return np.lexsort((np.arange(num_nodes), lab)).astype(np.int64)

@@ -96,13 +96,15 @@ def _epilogue(acc_ref, out_ref, scale_ref, gate_ref, init_ref=None):
 
 
 def _block_kernel(block_ptr_ref,              # scalar prefetch [num_blocks+1]
-                  *refs,                      # m, lrow [, scale][, gate], out,
-                                              # scratch
+                  *refs,                      # m, lrow [, init][, scale]
+                                              # [, gate], out, scratch
                   eb: int, nb: int, fast: bool, relu: bool,
-                  has_scale: bool, has_gate: bool):
+                  has_scale: bool, has_gate: bool, has_init: bool):
     """Stateless per-block walk (re-fetches shared boundary chunks)."""
     m_hbm, l_hbm = refs[0], refs[1]           # [E_pad, D] / [1, E_pad] ANY
     k = 2
+    init_ref = refs[k] if has_init else None
+    k += has_init
     scale_ref = refs[k] if has_scale else None
     k += has_scale
     gate_ref = refs[k] if has_gate else None
@@ -150,15 +152,15 @@ def _block_kernel(block_ptr_ref,              # scalar prefetch [num_blocks+1]
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0)
-    _epilogue(acc_ref, out_ref, scale_ref, gate_ref)
+    _epilogue(acc_ref, out_ref, scale_ref, gate_ref, init_ref)
 
 
 def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
-                    *refs,                    # m, lrow [, scale][, gate], out,
-                                              # scratch
+                    *refs,                    # m, lrow [, init][, scale]
+                                              # [, gate], out, scratch
                     eb: int, nb: int, fast: bool, relu: bool,
-                    has_scale: bool, has_gate: bool, num_blocks: int,
-                    slots: int):
+                    has_scale: bool, has_gate: bool, has_init: bool,
+                    num_blocks: int, slots: int):
     """Fetch-once walk: st = SMEM [F, W] persists across the sequential grid.
 
     F = next global chunk to fetch, W = last chunk waited on.  Invariants
@@ -173,6 +175,8 @@ def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
     """
     m_hbm, l_hbm = refs[0], refs[1]           # [E_pad, D] / [1, E_pad] ANY
     k_ref = 2
+    init_ref = refs[k_ref] if has_init else None
+    k_ref += has_init
     scale_ref = refs[k_ref] if has_scale else None
     k_ref += has_scale
     gate_ref = refs[k_ref] if has_gate else None
@@ -238,7 +242,7 @@ def _rolling_kernel(block_ptr_ref,            # scalar prefetch [num_blocks+1]
     f, w = jax.lax.fori_loop(c0, c1, body, (st[0], st[1]))
     st[0] = f
     st[1] = w
-    _epilogue(acc_ref, out_ref, scale_ref, gate_ref)
+    _epilogue(acc_ref, out_ref, scale_ref, gate_ref, init_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes_padded", "node_block",
@@ -250,7 +254,7 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
                         out_dtype=jnp.float32, interpret: bool = False,
                         fast: bool = False, pipeline: str = "rolling",
                         slots: int = 2, relu: bool = False, scale=None,
-                        gate=None):
+                        gate=None, init=None):
     """sum-scatter M [E_pad, D] into out [N_pad, D].
 
     ``local_row`` [1, E_pad] int32: ``receiver mod node_block`` for valid
@@ -266,7 +270,11 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
       * ``gate``  — [N_pad, D]; zero output elements where ``gate <= 0``
         (the factored relu-mask of the backward when messages carry no
         per-edge term: d relu(x_j)/dx = 1[x_j > 0] depends on the sender
-        row only, so it gates the scatter *output*).
+        row only, so it gates the scatter *output*),
+      * ``init``  — [N_pad, D] additive base added to the accumulator
+        before scale/gate (the hub-dense partial sums — fusing the
+        hub + tail combine into this epilogue saves a separate [N, D]
+        read-add-write pass per call).
     """
     e_pad, d = m.shape
     nb, eb = node_block, edge_chunk
@@ -276,10 +284,13 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
     assert pipeline in ("rolling", "block"), pipeline
     num_blocks = num_nodes_padded // nb
     has_scale, has_gate = scale is not None, gate is not None
+    has_init = init is not None
     if has_scale:
         assert scale.shape == (num_nodes_padded, 1), scale.shape
     if has_gate:
         assert gate.shape == (num_nodes_padded, d), gate.shape
+    if has_init:
+        assert init.shape == (num_nodes_padded, d), init.shape
 
     scratch = [
         pltpu.VMEM((slots, eb, d), m.dtype),
@@ -288,7 +299,7 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
         pltpu.SemaphoreType.DMA((slots,)),
     ]
     flags = dict(eb=eb, nb=nb, fast=fast, relu=relu, has_scale=has_scale,
-                 has_gate=has_gate)
+                 has_gate=has_gate, has_init=has_init)
     if pipeline == "rolling":
         scratch.append(pltpu.SMEM((2,), jnp.int32))
         kernel = functools.partial(_rolling_kernel, num_blocks=num_blocks,
@@ -303,6 +314,10 @@ def scatter_rows_sorted(m, local_row, block_ptr, *, num_nodes_padded: int,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     operands = [m, local_row]
+    if has_init:
+        in_specs.append(pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(init)
     if has_scale:
         in_specs.append(pl.BlockSpec((nb, 1), lambda i, *_: (i, 0),
                                      memory_space=pltpu.VMEM))
@@ -546,7 +561,8 @@ def masked_scatter_rows_sorted(m, local_row, senders, block_ptr, win_lo,
 def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
                            *refs, eb: int, nb: int, w: int, n_pad: int,
                            with_table: bool, xe_stream: bool, t_rows: int,
-                           relu: bool, has_scale: bool, has_gate: bool):
+                           relu: bool, has_scale: bool, has_gate: bool,
+                           has_init: bool):
     """Per-block walk that GATHERS the message rows inside the kernel: for
     each (scatter-key-sorted) edge chunk, the gather-side node ids live in a
     narrow window [win_lo, win_lo + nsub*w) (locality-ordered graphs), so
@@ -566,6 +582,8 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
     k += with_table
     xe_hbm = refs[k] if xe_stream else None
     k += xe_stream
+    init_ref = refs[k] if has_init else None
+    k += has_init
     scale_ref = refs[k] if has_scale else None
     k += has_scale
     gate_ref = refs[k] if has_gate else None
@@ -670,7 +688,7 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
             return 0
 
         jax.lax.fori_loop(0, num_chunks, body, 0)
-    _epilogue(acc_ref, out_ref, scale_ref, gate_ref)
+    _epilogue(acc_ref, out_ref, scale_ref, gate_ref, init_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes_padded", "node_block",
@@ -682,7 +700,7 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
                                  node_block: int = NODE_BLOCK,
                                  edge_chunk: int = 512, relu: bool = False,
                                  out_dtype=jnp.float32, scale=None, gate=None,
-                                 interpret: bool = False):
+                                 init=None, interpret: bool = False):
     """Scatter-sum with IN-KERNEL windowed gather:
 
         out[n] = sum_e 1[local_row[e]==n] * f(x[keys[e]] (+ T[xe[e]] | + t0))
@@ -693,7 +711,7 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
     (ops.edge_layout gwin_*).  A 1-row ``table`` with ``xe=None`` broadcasts
     t0 to every message (the factored single-type shift); a multi-row table
     requires the ``xe`` [1, E_pad] stream.  Messages are built in bf16;
-    ``scale``/``gate`` as in scatter_rows_sorted."""
+    ``scale``/``gate``/``init`` as in scatter_rows_sorted."""
     e_pad = keys.shape[1]
     d = x.shape[1]
     nb, eb, w = node_block, edge_chunk, win_w
@@ -709,10 +727,13 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
     if with_table and not xe_stream:
         assert t_rows == 1, "multi-row table requires the xe stream"
     has_scale, has_gate = scale is not None, gate is not None
+    has_init = init is not None
     if has_scale:
         assert scale.shape == (num_nodes_padded, 1), scale.shape
     if has_gate:
         assert gate.shape == (num_nodes_padded, d), gate.shape
+    if has_init:
+        assert init.shape == (num_nodes_padded, d), init.shape
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # keys
@@ -727,6 +748,10 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # xe
         operands.append(xe)
         assert xe.shape == (1, e_pad)
+    if has_init:
+        in_specs.append(pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(init)
     if has_scale:
         in_specs.append(pl.BlockSpec((nb, 1), lambda i, *_: (i, 0),
                                      memory_space=pltpu.VMEM))
@@ -751,7 +776,8 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
     kernel = functools.partial(_gathered_block_kernel, eb=eb, nb=nb, w=w,
                                n_pad=num_nodes_padded, with_table=with_table,
                                xe_stream=xe_stream, t_rows=t_rows, relu=relu,
-                               has_scale=has_scale, has_gate=has_gate)
+                               has_scale=has_scale, has_gate=has_gate,
+                               has_init=has_init)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_blocks,),

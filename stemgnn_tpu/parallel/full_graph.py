@@ -149,7 +149,8 @@ def prepare_halo_graph(ds: TAGDataset, num_shards: int,
         num_types = int(ds.edge_text_feat.shape[0])
         lay_loc, lay_rem = build_halo_layouts(
             part, nb, R, S, node_block=node_block, edge_chunk=edge_chunk,
-            hub_size=hub_size if num_types <= 1 else 0,
+            hub_size=hub_size if num_types <= 32 else 0,
+            num_edge_types=num_types,
             feat_dim_hint=int(ds.node_text_feat.shape[1]))
         layouts = (jax.device_put(jax.tree.map(jnp.asarray, lay_loc)),
                    jax.device_put(jax.tree.map(jnp.asarray, lay_rem)))
@@ -290,7 +291,8 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
                                fused=None, hub_size: int = 2048,
                                interpret: bool = False,
                                edge_chunk: int = 512,
-                               balance: bool = False):
+                               balance: bool = False,
+                               order: str = "none"):
     """Full-graph node finetune on the halo layout (communication =
     boundary-feature all_to_all per layer instead of v1's [N, D] psum).
 
@@ -307,12 +309,22 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
         fused = (jax.default_backend() == "tpu"
                  and getattr(cfg, "use_fused_layout", False))
     n_shards = int(mesh.shape[axis])
-    if balance:
+    if balance or order == "balance":
         # degree-balanced relabeling equalizes per-shard edge load
-        # (SURVEY §7.3: power-law graphs skew range partitions)
+        # (SURVEY §7.3: power-law graphs skew range partitions) — but its
+        # snake-deal by degree DESTROYS locality (BASELINE.md quantifies
+        # the tradeoff vs RCM ownership)
         from stemgnn_tpu.parallel.halo import relabel_dataset_balanced
         ds, _ = relabel_dataset_balanced(ds, n_shards,
                                          pad_multiple=pad_multiple)
+    elif order in ("rcm", "community"):
+        # contiguous-community ownership: 1-D range partitions then own
+        # contiguous communities (rcm for meshes/banded structure,
+        # community = label-prop for modular graphs) — fewer boundary
+        # edges AND in-shard locality for the windowed kernels; load
+        # balance is whatever the community structure gives
+        from stemgnn_tpu.train.graph_setup import reorder_dataset
+        ds = reorder_dataset(ds, order, task=cfg.task)
     moe = any(cfg.encoder.moe_layer_flags())
     layouts = edge_table = None
     if fused:

@@ -228,7 +228,7 @@ def relabel_dataset_balanced(ds, num_shards: int, pad_multiple: int = 128):
 def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                        node_block: int = 128, edge_chunk: int = 512,
                        hub_size: int = 0, hub_min_coverage: float = 0.1,
-                       feat_dim_hint: int = 768):
+                       feat_dim_hint: int = 768, num_edge_types: int = 1):
     """Per-shard :class:`~stemgnn_tpu.ops.edge_layout.EdgeLayout` pairs for
     the fused Pallas aggregation, stacked along a leading shard axis.
 
@@ -275,7 +275,8 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                 hub_min_coverage=-1.0, to_device=False,
                 win_floor=win_floor, e_pad_to=e_pad_to,
                 hub_tail_e_pad_to=e_pad_to,
-                feat_dim_hint=feat_dim_hint)
+                feat_dim_hint=feat_dim_hint,
+                num_edge_types=num_edge_types)
         lays = [one(i) for i in range(S)]
         win = max(lay.win_w for lay in lays)
         lays = [lay if lay.win_w == win else one(i, win_floor=win)
@@ -385,9 +386,10 @@ def halo_sage_aggregate_fused(x_local, part, lay_loc, lay_rem,
         def kept_deg(lay, keep, n_out):
             k = jnp.take(keep, lay.perm_r2o, axis=0).astype(jnp.float32)
             k = jnp.where(lay.mask_r, k, 0.0)
+            # receivers_r is only BLOCK-grouped (edge_layout block_sort)
             return jax.ops.segment_sum(k, lay.receivers_r,
-                                       num_segments=lay.num_nodes_padded,
-                                       indices_are_sorted=True)[:n_out]
+                                       num_segments=lay.num_nodes_padded
+                                       )[:n_out]
         deg = kept_deg(lay_loc, keep_loc, nb) + \
             kept_deg(lay_rem, keep_rem, nb)
     else:

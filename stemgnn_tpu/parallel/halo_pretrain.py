@@ -77,7 +77,8 @@ def prepare_halo_pretrain_graph(node_feat: np.ndarray, edge_index: np.ndarray,
     num_types = 1 if edge_table is None else int(np.shape(edge_table)[0])
     lay_loc, lay_rem = build_halo_layouts(
         part, nb, R, S, node_block=node_block, edge_chunk=edge_chunk,
-        hub_size=hub_size if num_types <= 1 else 0,
+        hub_size=hub_size if num_types <= 32 else 0,
+        num_edge_types=num_types,
         feat_dim_hint=int(node_feat.shape[1]))
 
     # Combined edge view (local first, remote offset into the halo slice).

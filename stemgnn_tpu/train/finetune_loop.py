@@ -335,6 +335,11 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     minibatch = cfg.batch_size != 0
     donate = donate and _donation_safe(cfg)
     chunked_eval = cfg.eval_chunked and cfg.encoder.backbone == "sage"
+    if not minibatch:
+        # locality relabel for the fused full-batch path (pure node
+        # permutation; labels/splits/features move together — graph_setup)
+        from stemgnn_tpu.train.graph_setup import maybe_reorder_dataset
+        ds = maybe_reorder_dataset(ds, cfg, task_kind)
     n_items = ds.num_nodes if task_kind == "node" else ds.num_edges
     if chunked_eval and minibatch:
         # Never materialize the full padded graph (the point of streaming

@@ -236,3 +236,204 @@ def test_edge_keep_hub_layout_falls_back(rng):
                                    reduce="mean", relu=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+def _two_sided_skew(rng, n=600, e=4000):
+    def skew():
+        hot = rng.integers(0, 8, e // 2).astype(np.int32)
+        cold = rng.integers(0, n, e - e // 2).astype(np.int32)
+        return rng.permutation(np.concatenate([hot, cold])).astype(np.int32)
+    return skew(), skew()
+
+
+@pytest.mark.parametrize("with_table", [False, True])
+def test_scatter_side_hub_matches_plain(rng, with_table):
+    """Scatter-side hub block (HubDense.sc_*): edges into hub receivers
+    (fwd) / out of hub senders (bwd) collapse into a transposed dense
+    sc_cnt @ f(x) matmul — values AND gradients must match both the
+    gather-hub-only and the plain paths (round-2 VERDICT item 1)."""
+    n, e, d, n_pad = 600, 4000, 64, 640
+    s, r = _two_sided_skew(rng, n, e)
+    xe = np.zeros(e, np.int32) if with_table else None
+    table = (jnp.asarray(rng.standard_normal((1, d)).astype(np.float32))
+             if with_table else None)
+    kw = dict(edge_chunk=128, xe_ids=xe, feat_dim_hint=d)
+    lay_plain = build_edge_layout(s, r, n_pad, hub_size=0, **kw)
+    lay_hub = build_edge_layout(s, r, n_pad, hub_size=8,
+                                hub_min_coverage=-1.0, **kw)
+    lay_sc = build_edge_layout(s, r, n_pad, hub_size=8,
+                               hub_min_coverage=-1.0, sc_hub_size=8, **kw)
+    assert lay_sc.hub_r.sc_size > 0 and lay_sc.hub_s.sc_size > 0
+    assert lay_sc.hub_r.sc_coverage > 0.15
+    # partition invariant: gather-hub + scatter-hub + tail == all edges
+    tmask = np.asarray(lay_sc.hub_r.tail.mask_r)
+    cnt_sum = float(np.asarray(lay_sc.hub_r.cnt, np.float32).sum())
+    sc_sum = float(np.asarray(lay_sc.hub_r.sc_cnt, np.float32).sum())
+    assert cnt_sum + sc_sum + tmask.sum() == e
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    def loss(x, lay):
+        out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(x, lay_plain)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x, lay_hub)
+    (_, o2), g2 = jax.value_and_grad(loss, has_aux=True)(x, lay_sc)
+    for a, b, name in [(o1, o2, "out"), (o0, o2, "out_plain"),
+                       (g1, g2, "grad"), (g0, g2, "grad_plain")]:
+        np.testing.assert_allclose(np.asarray(a, np.float32)[:n],
+                                   np.asarray(b, np.float32)[:n],
+                                   rtol=2e-2, atol=2e-2, err_msg=name)
+
+
+def test_scatter_side_hub_with_windowed_tail(rng):
+    """sc-hub + windowed in-kernel gather on the (shrunken) tail: the
+    init-fused epilogue of gathered_scatter_rows_sorted must reproduce the
+    plain path."""
+    n, e, d, n_pad = 600, 4000, 64, 640
+    s, r = _two_sided_skew(rng, n, e)
+    lay_plain = build_edge_layout(s, r, n_pad, edge_chunk=128,
+                                  feat_dim_hint=d)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128, hub_size=8,
+                            hub_min_coverage=-1.0, sc_hub_size=8,
+                            feat_dim_hint=d, gwin="on")
+    assert lay.hub_r.sc_size > 0
+    assert lay.hub_r.tail.use_gwin_r and lay.hub_s.tail.use_gwin_s
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    def loss(x, lay):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(x, lay_plain)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x, lay)
+    np.testing.assert_allclose(np.asarray(o1, np.float32)[:n],
+                               np.asarray(o0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g1, np.float32)[:n],
+                               np.asarray(g0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+
+
+def _community_graph(rng, n=3000, e=18000, d=64):
+    from stemgnn_tpu.data.synthetic import community_power_law_graph
+    from stemgnn_tpu.ops.reorder import community_order, relabel
+    _, s, r, _ = community_power_law_graph(n, e, d, seed=1,
+                                           num_communities=30, p_intra=0.9)
+    perm = community_order(s, r, n)
+    s, r, _ = relabel(perm, s, r)
+    return s.astype(np.int32), r.astype(np.int32)
+
+
+def test_loc_split_matches_plain(rng):
+    """LocSplit (local/stray edge split, stray sums chained as the windowed
+    kernel's init): values and gradients must match the plain path on a
+    community-ordered graph."""
+    n, e, d = 3000, 18000, 64
+    n_pad = ((n + 127) // 128) * 128
+    s, r = _community_graph(rng, n, e, d)
+    lay_plain = build_edge_layout(s, r, n_pad, feat_dim_hint=d)
+    lay_split = build_edge_layout(s, r, n_pad, feat_dim_hint=d,
+                                  loc_split="on")
+    assert lay_split.split_r is not None and lay_split.split_s is not None
+    assert lay_split.split_r.loc_frac > 0.5
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    def loss(x, lay):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   interpret=True, bf16_messages=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(x, lay_plain)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x, lay_split)
+    np.testing.assert_allclose(np.asarray(o1, np.float32)[:n],
+                               np.asarray(o0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g1, np.float32)[:n],
+                               np.asarray(g0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_loc_split_composes_with_hub(rng):
+    """hub-dense + tail LocSplit chain (hub init -> stray kernel -> windowed
+    kernel) must match the plain path."""
+    n, e, d = 3000, 18000, 64
+    n_pad = ((n + 127) // 128) * 128
+    s, r = _community_graph(rng, n, e, d)
+    lay_plain = build_edge_layout(s, r, n_pad, feat_dim_hint=d)
+    lay = build_edge_layout(s, r, n_pad, feat_dim_hint=d, hub_size=8,
+                            hub_min_coverage=-1.0, loc_split="on")
+    assert lay.hub_r is not None and lay.hub_r.tail.split_r is not None
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    def loss(x, lay):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   interpret=True, bf16_messages=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(x, lay_plain)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x, lay)
+    np.testing.assert_allclose(np.asarray(o1, np.float32)[:n],
+                               np.asarray(o0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g1, np.float32)[:n],
+                               np.asarray(g0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_loc_split_auto_gating(rng):
+    """auto: the split triggers on community-ordered graphs at realistic
+    width and stays off on shuffled ones."""
+    from stemgnn_tpu.data.synthetic import community_power_law_graph
+    from stemgnn_tpu.ops.reorder import community_order, relabel
+    n, e, d = 20000, 140000, 768
+    n_pad = ((n + 127) // 128) * 128
+    _, s, r, _ = community_power_law_graph(n, e, 8, seed=0,
+                                           num_communities=64)
+    lay0 = build_edge_layout(np.asarray(s, np.int32), np.asarray(r, np.int32),
+                             n_pad, feat_dim_hint=d, loc_split="auto")
+    assert lay0.split_r is None and lay0.split_s is None
+    perm = community_order(s, r, n)
+    s2, r2, _ = relabel(perm, s, r)
+    lay1 = build_edge_layout(np.asarray(s2, np.int32),
+                             np.asarray(r2, np.int32), n_pad,
+                             feat_dim_hint=d, loc_split="auto")
+    assert lay1.split_r is not None and lay1.split_s is not None
+    assert lay1.split_r.loc_frac > 0.7
+
+
+def test_typed_virtual_hubs_match_plain(rng):
+    """T<=32 typed hubs (HubDense.hub_xe: (node, type) pair hubs, forward-
+    only dense block) must match the plain multi-type path — values AND
+    gradients (round-2 VERDICT item 7)."""
+    n, e, d, n_pad, T = 600, 4000, 64, 640, 5
+    s, r = _two_sided_skew(rng, n, e)
+    xe = rng.integers(0, T, e).astype(np.int32)
+    table = jnp.asarray(rng.standard_normal((T, d)).astype(np.float32))
+    lay_plain = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=128)
+    lay_hub = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=128,
+                                hub_size=40, hub_min_coverage=-1.0,
+                                num_edge_types=T, feat_dim_hint=d)
+    assert lay_hub.hub_r is not None and lay_hub.hub_r.hub_xe is not None
+    assert lay_hub.hub_s is None       # typed relu mask is per-edge
+    # partition invariant: cnt covers exactly the hub-pair edges
+    cnt_sum = float(np.asarray(lay_hub.hub_r.cnt, np.float32).sum())
+    tmask = np.asarray(lay_hub.hub_r.tail.mask_r)
+    assert cnt_sum + tmask.sum() == e
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    def loss(x, lay):
+        out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(x, lay_plain)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x, lay_hub)
+    np.testing.assert_allclose(np.asarray(o1, np.float32)[:n],
+                               np.asarray(o0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g1, np.float32)[:n],
+                               np.asarray(g0, np.float32)[:n],
+                               rtol=2e-2, atol=2e-2)

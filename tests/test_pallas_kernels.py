@@ -24,11 +24,11 @@ def _problem(rng, n=200, e=700, d=128, n_pad=256):
 def test_scatter_kernel_matches_numpy(rng, pipeline):
     s, r, lay = _problem(rng)
     e, d = len(s), 128
-    e_pad = lay.num_edges_padded
-    order = np.argsort(r, kind="stable")
+    # messages in LAYOUT order (block-grouped; within-block sender-sorted) —
+    # perm_r2o maps layout slots to original edge ids, padded slots masked
     m_real = rng.standard_normal((e, d)).astype(np.float32)
-    m = np.zeros((e_pad, d), np.float32)
-    m[:e] = m_real[order]
+    m = m_real[np.minimum(np.asarray(lay.perm_r2o), e - 1)]
+    m[~np.asarray(lay.mask_r)] = 0
     out = scatter_rows_sorted(jnp.asarray(m), lay.lrow_r, lay.block_ptr_r,
                               num_nodes_padded=256, interpret=True,
                               pipeline=pipeline)
@@ -66,11 +66,9 @@ def test_scatter_kernel_stress_layouts(rng, pipeline, node_block, edge_chunk,
     e = len(r)
     lay = build_edge_layout(s, r, n_pad, node_block=node_block,
                             edge_chunk=edge_chunk)
-    e_pad = lay.num_edges_padded
-    order = np.argsort(r, kind="stable")
     m_real = rng.standard_normal((e, d)).astype(np.float32)
-    m = np.zeros((e_pad, d), np.float32)
-    m[:e] = m_real[order]
+    m = m_real[np.minimum(np.asarray(lay.perm_r2o), e - 1)]
+    m[~np.asarray(lay.mask_r)] = 0
     out = scatter_rows_sorted(jnp.asarray(m), lay.lrow_r, lay.block_ptr_r,
                               num_nodes_padded=n_pad, node_block=node_block,
                               edge_chunk=edge_chunk, interpret=True,
@@ -190,11 +188,9 @@ def test_scatter_kernel_relu_scale_gate(rng, pipeline):
     """Fused kernel epilogue: relu(m) messages, per-row scale, gate>0 mask."""
     s, r, lay = _problem(rng)
     e, d, n_pad = len(s), 128, 256
-    e_pad = lay.num_edges_padded
-    order = np.argsort(r, kind="stable")
     m_real = rng.standard_normal((e, d)).astype(np.float32)
-    m = np.zeros((e_pad, d), np.float32)
-    m[:e] = m_real[order]
+    m = m_real[np.minimum(np.asarray(lay.perm_r2o), e - 1)]
+    m[~np.asarray(lay.mask_r)] = 0
     scale = rng.random((n_pad, 1)).astype(np.float32) + 0.5
     gate = rng.standard_normal((n_pad, d)).astype(np.float32)
     out = scatter_rows_sorted(jnp.asarray(m), lay.lrow_r, lay.block_ptr_r,
@@ -270,11 +266,9 @@ def test_masked_scatter_kernel_matches_numpy(rng):
     lay = build_edge_layout(s, r, n_pad, xe_ids=xe, edge_chunk=128)
     x = rng.standard_normal((n_pad, d)).astype(np.float32)
     table = rng.standard_normal((t_rows, d)).astype(np.float32)
-    e_pad = lay.num_edges_padded
-    order = np.argsort(s, kind="stable")
     dm_real = rng.standard_normal((e, d)).astype(np.float32)
-    dm = np.zeros((e_pad, d), np.float32)
-    dm[:e] = dm_real[order]
+    dm = dm_real[np.minimum(np.asarray(lay.perm_s2o), e - 1)]
+    dm[~np.asarray(lay.mask_s)] = 0
 
     out = masked_scatter_rows_sorted(
         jnp.asarray(dm), lay.lrow_s, lay.senders_s[None, :], lay.block_ptr_s,
@@ -286,9 +280,9 @@ def test_masked_scatter_kernel_matches_numpy(rng):
     # bf16 mask semantics (the kernel computes pre in bf16)
     xb = x.astype(jnp.bfloat16).astype(np.float32)
     tb = table.astype(jnp.bfloat16).astype(np.float32)
-    pre = xb[s[order]] + tb[xe[order]]
+    pre = xb[s] + tb[xe]
     want = np.zeros((n_pad, d), np.float32)
-    np.add.at(want, s[order], np.where(pre > 0, dm[:e], 0.0))
+    np.add.at(want, s, np.where(pre > 0, dm_real, 0.0))
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
 
 
@@ -302,10 +296,9 @@ def test_masked_scatter_kernel_wide_span(rng):
     lay = build_edge_layout(s, r, n_pad, edge_chunk=512)
     assert int(np.asarray(lay.win_nsub_s).max()) > 1, "test needs nsub > 1"
     x = rng.standard_normal((n_pad, d)).astype(np.float32)
-    e_pad = lay.num_edges_padded
-    order = np.argsort(s, kind="stable")
-    dm = np.zeros((e_pad, d), np.float32)
-    dm[:e] = rng.standard_normal((e, d)).astype(np.float32)
+    dm_real = rng.standard_normal((e, d)).astype(np.float32)
+    dm = dm_real[np.minimum(np.asarray(lay.perm_s2o), e - 1)]
+    dm[~np.asarray(lay.mask_s)] = 0
 
     out = masked_scatter_rows_sorted(
         jnp.asarray(dm), lay.lrow_s, lay.senders_s[None, :], lay.block_ptr_s,
@@ -314,7 +307,7 @@ def test_masked_scatter_kernel_wide_span(rng):
 
     xb = x.astype(jnp.bfloat16).astype(np.float32)
     want = np.zeros((n_pad, d), np.float32)
-    np.add.at(want, s[order], np.where(xb[s[order]] > 0, dm[:e], 0.0))
+    np.add.at(want, s, np.where(xb[s] > 0, dm_real, 0.0))
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-2, atol=2e-2)
 
 

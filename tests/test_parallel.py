@@ -814,3 +814,58 @@ def test_halo_fused_gwin_aggregate_matches_single(rng):
             jnp.asarray(x_pad.reshape(S, nb, D)), part_dev, lls, lrs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_halo_fused_typed_hub_aggregate_matches_single(rng):
+    """Halo aggregation with TYPED virtual hubs (T<=32, HubDense.hub_xe) on
+    the stacked per-shard layout family == plain gather/scatter with
+    materialized edge features (round-2 VERDICT item 7: the halo builder no
+    longer zeroes hub_size for multi-type tables)."""
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate_fused)
+    n, e, S, T = 96, 1024, 8, 4
+    hubs = rng.integers(0, 8, size=e)
+    tail = rng.integers(0, n, size=e)
+    s = np.where(rng.random(e) < 0.7, hubs, tail).astype(np.int32)
+    r = rng.integers(0, n, size=e).astype(np.int32)
+    xe = rng.integers(0, T, size=e).astype(np.int32)
+    table = rng.standard_normal((T, D)).astype(np.float32)
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8, xe_ids=xe)
+    lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
+                                          edge_chunk=128, hub_size=8,
+                                          hub_min_coverage=0.05,
+                                          num_edge_types=T, feat_dim_hint=D)
+    stacked_hub = jax.tree_util.tree_map(lambda a: a, lay_loc).hub_r
+    assert stacked_hub is not None and stacked_hub.hub_xe is not None
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+    xb = np.asarray(jnp.asarray(x_pad, jnp.bfloat16), np.float32)
+    tb = np.asarray(jnp.asarray(table, jnp.bfloat16), np.float32)
+    want = gather_scatter_aggregate(jnp.asarray(xb), jnp.asarray(s),
+                                    jnp.asarray(r), jnp.asarray(tb[xe]),
+                                    num_nodes=n_pad, reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(x_loc, part, ll, lr, tab):
+        out = halo_sage_aggregate_fused(
+            x_loc[0], _local(part), _shard_layout(ll), _shard_layout(lr),
+            tab, axis="edge", interpret=True, bf16_messages=True)
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    part_dev = {k: jnp.asarray(v) for k, v in part.items()}
+    spec = {k: P("edge") for k in part_dev}
+    lls = jax.tree.map(jnp.asarray, lay_loc)
+    lrs = jax.tree.map(jnp.asarray, lay_rem)
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("edge"), spec, jax.tree.map(lambda _: P("edge"), lls),
+                  jax.tree.map(lambda _: P("edge"), lrs), P()),
+        out_specs=P(), check_vma=False))(
+            jnp.asarray(x_pad.reshape(S, nb, D)), part_dev, lls, lrs,
+            jnp.asarray(table))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)

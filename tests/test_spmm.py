@@ -129,3 +129,47 @@ def test_layout_fallback_honors_dynamic_edge_mask(rng):
         jnp.asarray(table[xe[keep]]), num_nodes=n_pad, reduce="mean",
         relu=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_community_order_recovers_blocks(rng):
+    """Label-prop community ordering recovers shuffled community structure
+    that RCM cannot (10% random shortcut edges defeat its BFS) — measured
+    as the fraction of edges within +-512 rows after relabeling."""
+    from stemgnn_tpu.data.synthetic import community_power_law_graph
+    from stemgnn_tpu.ops.reorder import community_order, relabel
+    n, e = 20000, 140000
+    _, s, r, _ = community_power_law_graph(n, e, 8, seed=0,
+                                           num_communities=64, p_intra=0.9)
+    perm = community_order(s, r, n)
+    assert sorted(perm.tolist()) == list(range(n))   # a true permutation
+    s2, r2, _ = relabel(perm, s, r)
+    frac = float(np.mean(np.abs(s2.astype(np.int64) - r2) < 512))
+    assert frac > 0.8, frac
+
+
+def test_reorder_dataset_permutes_consistently(rng):
+    """reorder_dataset: node labels/splits/x permute with the edges, so a
+    forward pass over the relabeled graph equals the permuted forward of
+    the original (eval mode, CPU gather path)."""
+    import jax.numpy as jnp
+
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+    from stemgnn_tpu.train.graph_setup import reorder_dataset
+    ds = synthetic_node_dataset(num_nodes=400, feat_dim=16, seed=3)
+    ds2 = reorder_dataset(ds, "community", task="node")
+    perm = ds2.extras["node_perm"]
+    np.testing.assert_array_equal(np.asarray(ds2.labels),
+                                  np.asarray(ds.labels)[perm])
+    np.testing.assert_array_equal(ds2.splits[0]["train"],
+                                  np.asarray(ds.splits[0]["train"])[perm])
+    out1 = gather_scatter_aggregate(
+        jnp.asarray(ds.node_features()), jnp.asarray(ds.edge_index[0]),
+        jnp.asarray(ds.edge_index[1]), num_nodes=ds.num_nodes,
+        reduce="mean", relu=True)
+    out2 = gather_scatter_aggregate(
+        jnp.asarray(ds2.node_features()), jnp.asarray(ds2.edge_index[0]),
+        jnp.asarray(ds2.edge_index[1]), num_nodes=ds.num_nodes,
+        reduce="mean", relu=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1)[perm],
+                               rtol=1e-5, atol=1e-5)
