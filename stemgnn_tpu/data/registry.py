@@ -68,12 +68,45 @@ def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
         # downloads.
         return load_smiles_csv(name[len("smiles:"):], feat_dim=feat_dim,
                                text_encoder=text_encoder, **kw)
-    if name in ("cora", "pubmed", "arxiv", "wikics", "chemhiv", "chempcba",
-                "chemblpre"):
+    if name in ("cora", "pubmed", "arxiv", "wikics"):
+        # priority: processed npz cache -> RAW file tree (no PyG/OGB
+        # needed, data/raw_parsers.py) -> error with guidance
+        from stemgnn_tpu.data.importers import (load_dataset_cache,
+                                                save_dataset_cache)
+        cached = load_dataset_cache(name, text_encoder, feat_dim)
+        if cached is not None:
+            return cached
+        from stemgnn_tpu.data import raw_parsers as rp
+        root = kw.pop("root", None)
+        try:
+            if name in ("cora", "pubmed"):
+                ds = rp.load_citation_raw(name, root=root,
+                                          text_encoder=text_encoder,
+                                          feat_dim=feat_dim, **kw)
+            elif name == "arxiv":
+                ds = rp.load_arxiv_raw(root=root, text_encoder=text_encoder,
+                                       feat_dim=feat_dim, **kw)
+            else:
+                ds = rp.load_wikics_raw(root=root,
+                                        text_encoder=text_encoder,
+                                        feat_dim=feat_dim, **kw)
+            save_dataset_cache(ds, text_encoder)
+            return ds
+        except FileNotFoundError as ex:
+            raise FileNotFoundError(
+                f"Dataset '{name}': no processed cache and the raw file "
+                f"tree is incomplete ({ex}).  Supply the raw files "
+                f"(data/raw_parsers.py documents the formats: cora.pt/"
+                f"pubmed.pt + categories.csv, the OGB csv.gz tree + "
+                f"titleabs.tsv, or wikics data.json + metadata.json), "
+                f"import a reference PyG cache "
+                f"(stemgnn_tpu/data/importers.py), or use "
+                f"'{name}_synthetic'") from ex
+    if name in ("chemhiv", "chempcba", "chemblpre"):
         raise FileNotFoundError(
             f"Dataset '{name}' requires downloaded raw data which is not "
-            f"available offline; use '{name}_synthetic', a processed cache "
-            f"(stemgnn_tpu/data/importers.py), or — for chem — a local "
+            f"available offline; use 'mol_synthetic', a processed cache "
+            f"(stemgnn_tpu/data/importers.py), or a local "
             f"'smiles:<csv>' file (data/chem.py featurizes without RDKit)")
     raise KeyError(f"Unknown dataset {name}")
 
