@@ -171,6 +171,8 @@ def main():
     for name, (fn, x_init, aux) in candidates.items():
         try:
             results[name] = _bench(fn, x_init, aux, iters)
+            print(f"# {name}: {e / results[name] / 1e6:.2f}M edges/s",
+                  flush=True)
         except Exception as exc:  # keep the bench robust to one path failing
             print(f"# {name} failed: {type(exc).__name__}", flush=True)
     best_name = min(results, key=results.get)

@@ -256,7 +256,7 @@ def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
         return None
     stray_mask = edge_mask & ~local
     sub_kw = dict(node_block=node_block, edge_chunk=edge_chunk,
-                  to_device=to_device, feat_dim_hint=feat_dim_hint)
+                  to_device=False, feat_dim_hint=feat_dim_hint)
     loc_lay = build_edge_layout(
         senders[local], receivers[local], num_nodes_padded,
         xe_ids=None if xe_ids is None else xe_ids[local],
@@ -439,15 +439,9 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
         senders[tail], receivers[tail], num_nodes_padded,
         xe_ids=None if xe_ids is None else xe_ids[tail],
         node_block=node_block, edge_chunk=edge_chunk,
-        e_pad_to=tail_e_pad_to, to_device=to_device,
+        e_pad_to=tail_e_pad_to, to_device=False,
         feat_dim_hint=feat_dim_hint, gwin=gwin,
         loc_split=loc_split, loc_reach=loc_reach)
-    if to_device:
-        hub_ids_pad = jnp.asarray(hub_ids_pad)
-        if sc_ids_pad is not None:
-            sc_ids_pad = jnp.asarray(sc_ids_pad)
-        if hub_xe_pad is not None:
-            hub_xe_pad = jnp.asarray(hub_xe_pad)
     return HubDense(hub_ids=hub_ids_pad, cnt=cnt,
                     tail=tail_layout, hub_size=h, coverage=coverage,
                     sc_ids=sc_ids_pad, sc_cnt=cnt_sc, sc_size=h2,
@@ -555,11 +549,13 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
     deg = np.zeros(num_nodes_padded, np.float32)
     np.add.at(deg, receivers[edge_mask], 1.0)
 
-    # to_device=False keeps numpy leaves: per-batch layouts transfer once
-    # at the jitted step's dispatch — an eager jnp.asarray per array costs a
-    # blocking round trip each on tunneled transports (~1 s per layout)
-    to_dev = ((lambda x: None if x is None else jnp.asarray(x))
-              if to_device else (lambda x: x))
+    # Arrays are ALWAYS assembled as host numpy; with to_device=True the
+    # finished pytree ships in ONE jax.device_put at the end (per-array
+    # eager jnp.asarray costs a blocking round trip each on tunneled
+    # transports — ~1 s/array, and a hub+split layout has ~100 arrays).
+    # Only the dense CNT blocks build ON device (from small index arrays,
+    # _build_hub_dense) — shipping them dense would be ~20 s each.
+    to_dev = (lambda x: x)
 
     def lrow(keys, mask):
         # per-edge local row within the owning node block; the sentinel
@@ -642,7 +638,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
             gwin_fields["use_gwin_s"], num_nodes_padded, node_block,
             edge_chunk, to_device, feat_dim_hint, loc_split, loc_reach)
 
-    return EdgeLayout(
+    lay = EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),
         xe_r=to_dev(fw["xe"]), mask_r=to_dev(fw["m"]),
         block_ptr_r=to_dev(bp_r), lrow_r=to_dev(lrow(fw["b"], fw["m"])),
@@ -661,6 +657,9 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         gwin_w=gwin_fields["gwin_w"],
         use_gwin_r=gwin_fields["use_gwin_r"],
         use_gwin_s=gwin_fields["use_gwin_s"])
+    # one transfer for the whole pytree (device-built CNT leaves are
+    # already resident and pass through device_put untouched)
+    return jax.device_put(lay) if to_device else lay
 
 
 def force_gwin(lay: EdgeLayout, gwin_w: int, use_r: bool,
