@@ -86,13 +86,10 @@ class VQConfig:
     stochastic_sample_codes: bool = False
     sample_codebook_temp: float = 1.0
     straight_through_gumbel: bool = False
-    # Opt-in Pallas fused nearest-code kernel (ops/vq_pallas.py).  Measured
-    # on the round-1 v5e: the VQ hot loop is MXU-bound (f32 score + one-hot
-    # matmuls), so the fusion is on par with XLA's own fusion in the forward
-    # (32 vs 34 ms at arxiv scale) and the custom backward is slower than
-    # XLA autodiff (105 vs 65 ms) — default off; revisit on hardware where
-    # the [H, N, C] materializations are bandwidth-bound.
-    fused_kernel: bool = False
+    # (The r1-r2 opt-in fused nearest-code Pallas kernel was removed in r3:
+    # measured MXU-bound parity with XLA on the v5e, and the r3 Mosaic
+    # toolchain stopped compiling it.  The VQ hot loop is the cosine score
+    # einsum — already MXU-shaped in plain XLA.)
     sync_codebook: bool = False        # psum codebook stats over mesh axis
     # Affine re-parameterization of the euclidean codebook (vq.py:361-411):
     # EMA-track batch and codebook mean/variance; distances run against the

@@ -185,67 +185,11 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
     if not (cfg.effective_learnable and not freeze_codebook):
         embed = jax.lax.stop_gradient(embed)
 
-    # Fused nearest-code TPU kernel (ops/vq_pallas.py): the flagship cosine
-    # path (deterministic argmax — pretrain.py:113's configuration) skips
-    # the separate l2norm / [H, N, C] score / one-hot materializations.
-    use_fused = (cfg.fused_kernel
-                 and cfg.use_cosine_sim and cfg.separate_codebook_per_head
-                 and not cfg.affine_param
-                 and not cfg.straight_through_gumbel
-                 and not (training and cfg.stochastic_sample_codes
-                          and cfg.sample_codebook_temp > 0)
-                 and jax.default_backend() == "tpu")
-    if use_fused:
-        from stemgnn_tpu.ops.vq_pallas import fused_nearest_code
-        q_flat, xn_flat, ind = fused_nearest_code(xp, embed)
-        new_state = state
-        if training and cfg.ema_update and not freeze_codebook:
-            # EMA statistics need the head-major views; rebuild them (EMA
-            # mode is off in the reference's operative pretrain config,
-            # pretrain.py:117-118, so this costs nothing on the hot path).
-            n = xp.shape[0]
-            one_hot = jax.nn.one_hot(ind, cfg.codebook_size,
-                                     dtype=jnp.float32)
-            xh_stats = xn_flat.reshape(n, cfg.heads,
-                                       cfg.codebook_dim).transpose(1, 0, 2)
-            stats_mask = None if mask is None else mask
-            new_state, new_embed = cb.ema_codebook_update(
-                new_state, xh_stats, one_hot, decay=cfg.decay, eps=cfg.eps,
-                use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask,
-                axis_name=axis_name)
-            new_state, new_embed = cb.expire_dead_codes(
-                k_expire, new_state, new_embed, xh_stats,
-                threshold=cfg.threshold_ema_dead_code,
-                reset_cluster_size=cfg.threshold_ema_dead_code,
-                use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask)
-            new_state = dict(new_state, embed_target=new_embed)
-
-        loss = jnp.zeros(())
-        codes = q_flat
-        if training:
-            commit_q = q_flat if (cfg.effective_learnable
-                                  and not freeze_codebook) \
-                else jax.lax.stop_gradient(q_flat)
-            # straight-through in the (flat) per-head space (vq.py:937)
-            codes = xn_flat + jax.lax.stop_gradient(q_flat - xn_flat)
-            if cfg.commitment_weight > 0:
-                se = (commit_q - xn_flat) ** 2
-                if mask is not None:
-                    m = mask.astype(jnp.float32)[:, None]
-                    commit = jnp.sum(se * m) / jnp.maximum(
-                        jnp.sum(m) * se.shape[-1], 1.0)
-                else:
-                    commit = jnp.mean(se)
-                loss = loss + commit * cfg.commitment_weight
-            if cfg.orthogonal_reg_weight > 0 and not freeze_codebook:
-                loss = loss + _orthogonal_loss(k_ortho, params["embed"], cfg) \
-                    * cfg.orthogonal_reg_weight
-        out = linear_apply(params["project_out"],
-                           codes.astype(xp.dtype)).astype(jnp.float32) \
-            if cfg.requires_projection else codes
-        return {"quantize": out, "indices": ind.transpose(1, 0),
-                "loss": loss, "codes": codes, "distances": None,
-                "state": new_state}
+    # NOTE r3: the opt-in fused nearest-code Pallas kernel (ops/vq_pallas.py,
+    # rounds 1-2) was REMOVED: it measured MXU-bound parity with this XLA
+    # path on the v5e and stopped compiling on the round-3 Mosaic toolchain
+    # (vector f32->i32 legalization bug).  The cosine distance einsum below
+    # is already MXU-shaped; XLA fuses the l2norm and one-hot lookups.
 
     xh = _to_heads(cfg, xp).astype(jnp.float32)
     if cfg.use_cosine_sim:
