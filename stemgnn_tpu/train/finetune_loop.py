@@ -150,6 +150,127 @@ def _make_epoch_chunk_step(cfg: FinetuneConfig, task_kind: str, tx,
     return jax.jit(run_chunk, donate_argnums=(0, 2, 3, 4) if donate else ())
 
 
+def _repad_indexed(ig, n_pad: int, e_pad: int):
+    """Re-pad a numpy-leaf IndexedGraph to larger buckets (bucket
+    escalation mid-chunk: every batch in a stacked scan must share one
+    shape)."""
+    def pad1(a, w, fill=0):
+        out = np.full(w, fill, np.asarray(a).dtype)
+        out[: len(a)] = a
+        return out
+    return ig.replace(
+        node_ids=pad1(ig.node_ids, n_pad),
+        senders=pad1(ig.senders, e_pad),
+        receivers=pad1(ig.receivers, e_pad),
+        node_mask=pad1(ig.node_mask, n_pad, False),
+        edge_mask=pad1(ig.edge_mask, e_pad, False),
+        xe_ids=None if ig.xe_ids is None else pad1(ig.xe_ids, e_pad))
+
+
+def _make_link_mb_chunk_step(cfg: FinetuneConfig, tx, chunk: int):
+    """K minibatch-link training EPOCHS + one full-batch eval per epoch in
+    ONE dispatch (round-2 VERDICT item 4: the reference FB15K237 preset is
+    3000 epochs of LinkNeighborLoader minibatches — per-epoch host
+    dispatch/readback over the tunnel dominates otherwise).
+
+    Batches are pre-sampled on host into a stacked pytree with leading
+    [K, B] axes (numpy leaves — one transfer at dispatch); a nested
+    lax.scan trains over them, and each epoch ends with the full-graph
+    link eval and masked accuracies (predictions never leave the device).
+    Reference semantics per batch: task/link.py:55-81."""
+    from stemgnn_tpu.core.graph import materialize_graph
+    _, eval_step_fn = _make_node_steps(cfg, "link")
+
+    @jax.jit
+    def run_chunk(trainable, frozen, opt_state, state, key, batches,
+                  node_table, edge_table, graph, y_full, eval_masks):
+        def batch_body(carry, b):
+            trainable, opt_state, state, key = carry
+            ig, li, ri, yb, lmask = b
+            key, k = jax.random.split(key)
+            g = materialize_graph(ig, node_table, edge_table)
+
+            def loss_fn(trainable):
+                params = _merge(trainable, frozen)
+                z, state2, aux = task_model.encode(params, state, cfg, g,
+                                                   training=True, rng=k)
+                edge_z = (z[li] + z[ri]) / 2.0
+                logits, _, state3 = task_model.task_logits(
+                    params, state2, cfg, edge_z, training=True, rng=k,
+                    mask=lmask)
+                act = task_model.activation_loss(
+                    logits, yb, task="single",
+                    mask=lmask.astype(jnp.float32))
+                jac = task_model.decoder_jacobian_penalty(params, cfg)
+                env = cfg.lamda_env * aux["env_reg"]
+                return act + jac + env, (state3, act, jac, env)
+            (loss, (new_state, act, jac, env)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+            lvec = jnp.stack([loss, act, jac, env])
+            return (trainable, opt_state, new_state, key), lvec
+
+        def epoch_body(carry, eb):
+            carry, lvecs = jax.lax.scan(batch_body, carry, eb)
+            trainable, opt_state, state, key = carry
+            probs = eval_step_fn(trainable, frozen, state, graph)
+            correct = (jnp.argmax(probs, axis=-1) == y_full).astype(
+                jnp.float32)
+            accs = jnp.stack([
+                100.0 * jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
+                for m in eval_masks])
+            return carry, (jnp.mean(lvecs, axis=0), accs)
+
+        (trainable, opt_state, state, key), (lvecs, accs) = jax.lax.scan(
+            epoch_body, (trainable, opt_state, state, key), batches)
+        return trainable, opt_state, state, key, lvecs, accs
+
+    return run_chunk
+
+
+def _sample_link_epoch_batches(ds, cfg, it, edge_ids, rng_np, n_batches,
+                               labels):
+    """One epoch of link batches (shuffled; fixed count ``n_batches`` with
+    the last batch partial via label_mask).  Returns a list of
+    (IndexedGraph, li, ri, y, mask) numpy tuples."""
+    bs = cfg.batch_size
+    order = rng_np.permutation(len(edge_ids))
+    out = []
+    for i in range(n_batches):
+        chunk = edge_ids[order[i * bs: (i + 1) * bs]]
+        u = ds.edge_index[0][chunk]
+        v = ds.edge_index[1][chunk]
+        uniq, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        g, _, _ = it.make_batch(uniq)
+        li = np.zeros(bs, np.int32)
+        ri = np.zeros(bs, np.int32)
+        li[: len(chunk)] = inv[: len(chunk)]
+        ri[: len(chunk)] = inv[len(chunk):]
+        y_batch = np.zeros(bs, np.int32)
+        y_batch[: len(chunk)] = labels[chunk]
+        mask = np.arange(bs) < len(chunk)
+        out.append((g, li, ri, y_batch, mask))
+    return out
+
+
+def _stack_link_batches(epochs_of_batches, n_floor: int = 0,
+                        e_floor: int = 0):
+    """[K][B] (ig, li, ri, y, mask) -> one pytree with [K, B] leading axes;
+    graphs re-padded to max(buckets seen, floors).  Passing the iterator's
+    CURRENT buckets as floors keeps stacked shapes identical across chunks
+    once escalation settles (one compile)."""
+    n_pad = max([b[0].num_nodes_padded for ep in epochs_of_batches
+                 for b in ep] + [n_floor])
+    e_pad = max([b[0].num_edges_padded for ep in epochs_of_batches
+                 for b in ep] + [e_floor])
+    fixed = [[(_repad_indexed(g, n_pad, e_pad), li, ri, y, m)
+              for (g, li, ri, y, m) in ep] for ep in epochs_of_batches]
+    rows = [jax.tree_util.tree_map(lambda *xs: np.stack(xs), *ep)
+            for ep in fixed]
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *rows)
+
+
 def _donation_safe(cfg: FinetuneConfig) -> bool:
     """Donating (trainable, opt_state, state) is unsafe when the EMA-adopt
     path re-aliases state leaves into trainable between steps (train_step's
@@ -390,6 +511,14 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
         chunk_step_d = _make_epoch_chunk_step(cfg, task_kind, tx,
                                               cfg.epoch_chunk, donate=True) \
             if donate else None
+    # Minibatch-link epoch chunking (r2 VERDICT item 4): K epochs of
+    # pre-sampled batches + per-epoch full-batch eval per dispatch.
+    use_chunked_mb_link = (minibatch and task_kind == "link"
+                           and not chunked_eval and graph is not None
+                           and cfg.epoch_chunk > 0
+                           and not any(cfg.encoder.moe_layer_flags()))
+    mb_chunk_step = _make_link_mb_chunk_step(cfg, tx, cfg.epoch_chunk) \
+        if use_chunked_mb_link else None
     moe_print_interval = max(1, cfg.epochs // 20)
     rng_np = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 0)
 
@@ -468,6 +597,78 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                         stopped = True
                         break
                 epoch += cfg.epoch_chunk
+            if verbose:
+                b = logger.get_single_best(idx)
+                print(f"[split {idx}] best val={b['val']:.2f} "
+                      f"test={b['test']:.2f}")
+            continue
+
+        if use_chunked_mb_link:
+            from stemgnn_tpu.data.sampler import (CSCGraph,
+                                                  NeighborBatchIterator)
+            csc = ds.extras.get("_csc")
+            if csc is None:
+                csc = CSCGraph.from_edge_index(np.asarray(ds.edge_index),
+                                               ds.num_nodes)
+                ds.extras["_csc"] = csc
+            tables = ds.extras.get("_dev_tables")
+            if tables is None:
+                tables = (jnp.asarray(np.asarray(ds.node_text_feat,
+                                                 np.float32)),
+                          None if ds.edge_text_feat is None else
+                          jnp.asarray(np.asarray(ds.edge_text_feat,
+                                                 np.float32)))
+                ds.extras["_dev_tables"] = tables
+            node_table, edge_table = tables
+            labels_np = np.asarray(ds.labels)
+            bs = cfg.batch_size
+            edge_ids = np.nonzero(masks["train"][:n_items])[0]
+            n_batches = max((len(edge_ids) + bs - 1) // bs, 1)
+            fanouts = [cfg.link_fanout] * cfg.encoder.num_layers
+
+            def _endpoint_chunk(ids):
+                u = np.asarray(ds.edge_index[0])[ids]
+                v = np.asarray(ds.edge_index[1])[ids]
+                return np.unique(np.concatenate([u, v]))
+            probe = [_endpoint_chunk(edge_ids[i * bs:(i + 1) * bs])
+                     for i in range(min(12, n_batches))]
+            it = NeighborBatchIterator(
+                csc, ds.node_text_feat, ds.edge_text_feat, ds.x, ds.xe,
+                np.arange(ds.num_nodes), 2 * bs, fanouts, rng_np,
+                shuffle=False, indexed=True, probe_chunks=probe)
+            eval_masks = tuple(jnp.asarray(masks[k], jnp.float32)
+                               for k in ("train", "valid", "test"))
+            epoch = 0
+            stopped = False
+            while epoch < cfg.epochs and not stopped:
+                T = min(cfg.epoch_chunk, cfg.epochs - epoch)
+                eps = [_sample_link_epoch_batches(ds, cfg, it, edge_ids,
+                                                  rng_np, n_batches,
+                                                  labels_np)
+                       for _ in range(T)]
+                batches = _stack_link_batches(eps, n_floor=it.node_pad,
+                                              e_floor=it.edge_pad)
+                trainable, opt_state, state, key, lvecs, accs = \
+                    mb_chunk_step(trainable, frozen, opt_state, state, key,
+                                  batches, node_table, edge_table, graph,
+                                  y, eval_masks)
+                lvecs = np.asarray(lvecs)
+                accs = np.asarray(accs)
+                for j in range(T):
+                    loss = dict(zip(_LOSS_KEYS,
+                                    (float(v) for v in lvecs[j])))
+                    result = {"train": float(accs[j, 0]),
+                              "val": float(accs[j, 1]),
+                              "test": float(accs[j, 2]),
+                              "metric": task2metric[cfg.task]}
+                    logger.log(idx, epoch + j, loss, result)
+                    if stopper(result):
+                        if verbose:
+                            print(f"[split {idx}] early stop at epoch "
+                                  f"{epoch + j}")
+                        stopped = True
+                        break
+                epoch += T
             if verbose:
                 b = logger.get_single_best(idx)
                 print(f"[split {idx}] best val={b['val']:.2f} "

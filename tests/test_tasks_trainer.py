@@ -108,3 +108,28 @@ def test_graph_predictor(rng):
                                    jnp.asarray(ef), jnp.asarray(s),
                                    jnp.asarray(r), gid, 2)
     assert out.shape == (2, 3)
+
+
+def test_link_minibatch_epoch_chunked_matches_per_epoch():
+    """Minibatch-link epoch chunking (K epochs of pre-sampled batches + per
+    epoch full-batch eval in one dispatch, r2 VERDICT item 4) trains to the
+    same quality as the per-epoch driver."""
+    import numpy as np
+
+    from stemgnn_tpu.core import config as cfglib
+    from stemgnn_tpu.data.registry import load_dataset
+    from stemgnn_tpu.train.finetune_loop import run_finetune
+
+    ds = load_dataset("kg_synthetic", feat_dim=32)
+    enc = cfglib.EncoderConfig(input_dim=32, hidden_dim=32, num_layers=2)
+    vq = cfglib.VQConfig(dim=32, codebook_size=16, codebook_dim=32, heads=2,
+                         kmeans_init=True)
+    base = dict(encoder=enc, vq=vq, dataset="kg_synthetic", task="link",
+                epochs=6, early_stop=10, batch_size=64, lr=1e-3, repeat=1,
+                num_classes=ds.num_classes, use_fused_layout=False)
+    b1 = run_finetune(ds, cfglib.FinetuneConfig(**base, epoch_chunk=3)
+                      ).get_best()
+    b0 = run_finetune(ds, cfglib.FinetuneConfig(**base, epoch_chunk=0)
+                      ).get_best()
+    assert b1["test"]["mean"] > 25
+    assert abs(b1["test"]["mean"] - b0["test"]["mean"]) < 15
