@@ -173,3 +173,37 @@ def test_reorder_dataset_permutes_consistently(rng):
         reduce="mean", relu=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1)[perm],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_maybe_reorder_auto_gating(rng, monkeypatch):
+    """auto mode adopts a locality ordering only when probe layouts say the
+    windowed kernels unlock (community graph: yes; random graph: no)."""
+    import dataclasses
+
+    import jax
+
+    from stemgnn_tpu.core.config import EncoderConfig, FinetuneConfig
+    from stemgnn_tpu.data.synthetic import (community_power_law_graph,
+                                            synthetic_node_dataset)
+    from stemgnn_tpu.train import graph_setup
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg = FinetuneConfig(encoder=EncoderConfig(input_dim=16, hidden_dim=16),
+                         reorder="auto")
+
+    ds = synthetic_node_dataset(num_nodes=400, feat_dim=16, seed=0)
+    _, s, r, _ = community_power_law_graph(20000, 140000, 8, seed=0,
+                                           num_communities=64)
+    ds_comm = dataclasses.replace(
+        ds, x=np.arange(20000), edge_index=np.stack([s, r]),
+        labels=np.zeros(20000, np.int64),
+        node_text_feat=rng.standard_normal((20000, 16)).astype(np.float32),
+        splits=None)
+    out = graph_setup.maybe_reorder_dataset(ds_comm, cfg, "node")
+    assert "node_perm" in out.extras            # adopted an ordering
+
+    s2 = rng.integers(0, 20000, 140000)
+    r2 = rng.integers(0, 20000, 140000)
+    ds_rand = dataclasses.replace(ds_comm, edge_index=np.stack([s2, r2]))
+    out2 = graph_setup.maybe_reorder_dataset(ds_rand, cfg, "node")
+    assert "node_perm" not in out2.extras       # kept original order
