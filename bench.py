@@ -108,11 +108,18 @@ def main():
     e = s_np.shape[0]
     n_pad = round_up(n, 128)
     order = np.argsort(r_np, kind="stable")
-    s_sorted, r_sorted = jnp.asarray(s_np[order]), jnp.asarray(r_np[order])
-    layout = jax.device_put(build_edge_layout(s_np, r_np, n_pad,
-                                              edge_chunk=512))
     x0 = jax.jit(lambda k: jax.random.normal(k, (n_pad, d), jnp.float32))(
         jax.random.PRNGKey(0))
+
+    # Aux (edge arrays / layouts) are built LAZILY per candidate and freed
+    # before the next one runs: with six candidates the hub/sc layouts sum
+    # to several GB of HBM and holding them all alive OOMs the chip.
+    def make_xla_aux():
+        return jnp.asarray(s_np[order]), jnp.asarray(r_np[order])
+
+    def make_layout(**kw):
+        return lambda: jax.device_put(build_edge_layout(
+            s_np, r_np, n_pad, edge_chunk=512, **kw))
 
     def xla_step(x, aux):
         s, r = aux
@@ -122,13 +129,13 @@ def main():
 
     x0_bf16 = x0.astype(jnp.bfloat16)
 
-    candidates = {"xla_f32": (xla_step, x0, (s_sorted, r_sorted))}
+    candidates = {"xla_f32": (xla_step, x0, make_xla_aux)}
     if on_tpu:
         def fused_step(x, layout):
             return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
                 x, layout, None, reduce="mean", relu=True,
                 bf16_messages=True, slots=4) ** 2))(x)
-        candidates["fused_bf16"] = (fused_step, x0, layout)
+        candidates["fused_bf16"] = (fused_step, x0, make_layout())
 
         # bf16 activations end-to-end (the bf16-training configuration —
         # activations live in bf16 between layers): halves the x-gather, the
@@ -137,7 +144,8 @@ def main():
             return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
                 x, layout, None, reduce="mean", relu=True, bf16_messages=True,
                 bf16_out=True, slots=4).astype(jnp.float32) ** 2))(x)
-        candidates["fused_bf16act"] = (fused_bf16act_step, x0_bf16, layout)
+        candidates["fused_bf16act"] = (fused_bf16act_step, x0_bf16,
+                                       make_layout())
 
         # + hub-dense decomposition (ops.edge_layout.HubDense): messages from
         # the top-2048 gather-frequency nodes become a dense CNT @ f(x_hub)
@@ -148,10 +156,8 @@ def main():
         # h=2048 (33.6M) > h=4096 (30.0M, +1.3% coverage at 2x dense cost)
         # > none (27.6M); frequency concentration of this graph goes flat
         # past rank ~2048, so larger hubs lose.
-        layout_hub = jax.device_put(build_edge_layout(
-            s_np, r_np, n_pad, edge_chunk=512, hub_size=2048))
         candidates["fused_hub2048"] = (fused_bf16act_step, x0_bf16,
-                                       layout_hub)
+                                       make_layout(hub_size=2048))
 
         # + scatter-side hub blocks (HubDense.sc_*): after removing
         # gather-hub edges, edges whose SCATTER key is a top-frequency node
@@ -161,20 +167,31 @@ def main():
         # so they are exactly the edges no locality window can cover.  The
         # dense partial sums ride the tail kernel's fused init epilogue
         # (no separate [N, D] combine pass).
-        layout_hub_sc = jax.device_put(build_edge_layout(
-            s_np, r_np, n_pad, edge_chunk=512, hub_size=2048,
-            sc_hub_size=2048))
         candidates["fused_hub_sc2048"] = (fused_bf16act_step, x0_bf16,
-                                          layout_hub_sc)
+                                          make_layout(hub_size=2048,
+                                                      sc_hub_size=2048))
+
+        # H-size sweep (round-3, v5e): with BOTH hub blocks active the
+        # dense matmuls are MXU-bound, so shrinking H cuts their cost while
+        # coverage barely moves (frequency concentration is flat past rank
+        # ~512).  Measured: 768/768 111.8M ~ 512/512 110.9M > 1024/1024
+        # 102.0M > 1536/1536 89.2M > 2048/2048 76.3M edges/s.
+        candidates["fused_hub_sc768"] = (fused_bf16act_step, x0_bf16,
+                                         make_layout(hub_size=768,
+                                                     sc_hub_size=768))
 
     results = {}
-    for name, (fn, x_init, aux) in candidates.items():
+    for name, (fn, x_init, make_aux) in candidates.items():
         try:
+            aux = make_aux()
             results[name] = _bench(fn, x_init, aux, iters)
             print(f"# {name}: {e / results[name] / 1e6:.2f}M edges/s",
                   flush=True)
         except Exception as exc:  # keep the bench robust to one path failing
-            print(f"# {name} failed: {type(exc).__name__}", flush=True)
+            print(f"# {name} failed: {type(exc).__name__}: {exc}"[:300],
+                  flush=True)
+        finally:
+            aux = None
     best_name = min(results, key=results.get)
     dt = results[best_name]
     edges_per_s = e / dt

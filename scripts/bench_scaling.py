@@ -20,6 +20,22 @@ Usage:
   python scripts/bench_scaling.py                     # all visible devices
   python scripts/bench_scaling.py --force_cpu_devices 8 --edges 200000
 Prints one JSON line per (path, device count).
+
+SAFE-RUN RECIPE for real TPU pods (this script wedged the tunneled v5e in
+round 2 — scan + shard_map + collectives under grad is the heaviest
+program family in the repo):
+  1. Precompile via the persistent cache on a throwaway run with
+     ``--iters 1 --device_counts <N>`` so the timed run starts from the
+     cache (first compiles take minutes and a killed client mid-compile
+     wedges the chip).
+  2. Run ONE device count per process (``--device_counts 8``), never a
+     sweep in one process: a wedge then costs one point, not the run.
+  3. Never kill the process mid-program; if it stalls, wait >= 30 min
+     (the chip recovers on its own; short-timeout probes prolong it).
+  4. On shared/tunneled chips prefer ``--paths xla`` first to validate the
+     mesh, then ``fused``.
+CPU-mesh runs (``--force_cpu_devices``) are always safe and produce the
+hardware-independent communication diagnostics.
 """
 
 import argparse

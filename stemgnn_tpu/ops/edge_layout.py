@@ -219,6 +219,40 @@ def _gwin_decide(nsub: np.ndarray, gwin_w: int, num_valid_edges: int,
     return windowed * 1.2 < gather
 
 
+def _per_edge_gather_saving(d: int, prof) -> float:
+    """Modeled cost a hub-covered edge avoids: the XLA row gather + the
+    [E, D] bf16 message write + the kernel's re-read."""
+    return (prof.gather_fixed_s + d * 2.0 / prof.gather_bps
+            + d * 2.0 / prof.stream_bps + d * 2.0 / prof.seq_bps)
+
+
+def _auto_hub_size(freq: np.ndarray, cap: int, num_nodes_padded: int,
+                   d: int, prof) -> int:
+    """Pick the hub size minimizing modeled cost: dense-block cost grows
+    linearly in H while coverage is concave, so the optimum is usually far
+    below a generous cap (round-3 v5e sweep: 768 beats 2048 by 1.5x on the
+    bench graph).  ``freq`` is the (unsorted) gather-key frequency array;
+    returns 0 when no H wins with >= 20% margin."""
+    csum = np.cumsum(np.sort(freq)[::-1])
+    per_edge = _per_edge_gather_saving(d, prof)
+    best_h, best_score = 0, 0.0
+    cap = min(cap, len(csum))
+    grid = sorted(set(list(range(128, cap + 1, 128)) + [cap]) - {0})
+    for h in grid:
+        h_pad = round_up(h, 128)
+        # effective MXU rate saturates with the contraction size: at small
+        # h_pad the [N, h_pad] @ [h_pad, D] matmul is pipeline/weight-load
+        # bound (round-3 v5e sweep measured 768 ~ 512 > 256-biased-model
+        # predictions)
+        mxu_eff = prof.mxu_bf16_flops * min(1.0, h_pad / 512.0)
+        dense = (2.0 * num_nodes_padded * h_pad * d / mxu_eff
+                 + num_nodes_padded * h_pad * 2.0 / prof.hbm_bps)
+        score = float(csum[h - 1]) * per_edge - 1.2 * dense
+        if score > best_score:
+            best_h, best_score = h, score
+    return best_h
+
+
 def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
                      enabled_already: bool, num_nodes_padded: int,
                      node_block: int, edge_chunk: int, to_device: bool,
@@ -311,29 +345,29 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
         freq = np.bincount(pair[edge_mask],
                            minlength=num_nodes_padded * t_n)
         h = min(hub_size, num_nodes_padded * t_n)
+    else:
+        freq = np.bincount(gidx[edge_mask], minlength=num_nodes_padded)
+        h = min(hub_size, num_nodes_padded)
+    if min_coverage >= 0:
+        # AUTO mode: hub_size is a CAP — pick the H minimizing modeled cost
+        # (0 = no hub pays).  Forced mode (min_coverage < 0, the stacked
+        # halo builder) keeps the exact requested H for pytree uniformity.
+        h = _auto_hub_size(freq, h, num_nodes_padded, feat_dim_hint,
+                           current_profile())
+        if h == 0:
+            return None
+    if typed:
         hub_pairs = np.argsort(-freq, kind="stable")[:h]
         hub_ids = (hub_pairs // t_n).astype(np.int32)
         hub_xe = (hub_pairs % t_n).astype(np.int32)
         covered = float(freq[hub_pairs].sum())
     else:
-        freq = np.bincount(gidx[edge_mask], minlength=num_nodes_padded)
-        h = min(hub_size, num_nodes_padded)
         hub_ids = np.argsort(-freq, kind="stable")[:h].astype(np.int32)
         hub_xe = None
         covered = float(freq[hub_ids].sum())
     coverage = covered / max(edge_mask.sum(), 1)
-    if min_coverage >= 0:
-        if coverage < min_coverage:
-            return None
-        prof = current_profile()
-        h_pad_est = round_up(h, 128)
-        dense_cost = (2.0 * num_nodes_padded * h_pad_est * feat_dim_hint
-                      / prof.mxu_bf16_flops
-                      + num_nodes_padded * h_pad_est * 2.0 / prof.hbm_bps)
-        gather_row_s = (prof.gather_fixed_s
-                        + feat_dim_hint * 2.0 / prof.gather_bps)
-        if covered * gather_row_s < 1.2 * dense_cost:
-            return None
+    if min_coverage >= 0 and coverage < min_coverage:
+        return None
     if typed:
         rank = np.full(num_nodes_padded * num_edge_types, 2 ** 30, np.int64)
         rank[hub_pairs] = np.arange(h)
@@ -356,25 +390,30 @@ def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,
                                     # the transposed block is not factorable
         freq_sc = np.bincount(sidx[tail], minlength=num_nodes_padded)
         h2 = min(sc_hub_size, num_nodes_padded)
+        if min_coverage >= 0:   # AUTO: sc_hub_size is a cap (as above); the
+            # f(x) [N, D] materialization the fwd block needs is an
+            # H-independent cost, charged as an accept-margin via a second
+            # score check below
+            prof = current_profile()
+            d = feat_dim_hint
+            h2 = _auto_hub_size(freq_sc, h2, num_nodes_padded, d, prof)
+            if h2:
+                csum = np.cumsum(np.sort(freq_sc)[::-1])
+                fx_pass = num_nodes_padded * d * 4.0 / prof.stream_bps
+                h2_pad_est = round_up(h2, 128)
+                dense = (2.0 * num_nodes_padded * h2_pad_est * d
+                         / prof.mxu_bf16_flops
+                         + num_nodes_padded * h2_pad_est * 2.0
+                         / prof.hbm_bps)
+                if (float(csum[h2 - 1]) * _per_edge_gather_saving(d, prof)
+                        < 1.2 * (dense + fx_pass)):
+                    h2 = 0
         sc_ids = np.argsort(-freq_sc, kind="stable")[:h2].astype(np.int32)
         covered_sc = float(freq_sc[sc_ids].sum())
         sc_cov = covered_sc / max(edge_mask.sum(), 1)
-        gated_out = False
-        if min_coverage >= 0:   # negative bypasses gating, as above
-            prof = current_profile()
-            h2_pad_est = round_up(h2, 128)
-            d = feat_dim_hint
-            dense_cost = (2.0 * num_nodes_padded * h2_pad_est * d
-                          / prof.mxu_bf16_flops
-                          + num_nodes_padded * h2_pad_est * 2.0
-                          / prof.hbm_bps
-                          + num_nodes_padded * d * 4.0 / prof.stream_bps)
-            per_edge = (prof.gather_fixed_s + d * 2.0 / prof.gather_bps
-                        + d * 2.0 / prof.stream_bps + d * 2.0 / prof.seq_bps)
-            gated_out = (sc_cov < min_coverage
-                         or covered_sc * per_edge < 1.2 * dense_cost)
-        if gated_out:
+        if min_coverage >= 0 and sc_cov < min_coverage:
             h2 = 0
+        if h2 == 0:
             sc_cov = 0.0
         else:
             sc_rank = np.full(num_nodes_padded, 2 ** 30, np.int64)
