@@ -118,6 +118,11 @@ def main():
         return jnp.asarray(s_np[order]), jnp.asarray(r_np[order])
 
     def make_layout(**kw):
+        # hub candidates pin EXACT sizes (hub_min_coverage=-1 disables the
+        # auto-H cap selection) so the labels below stay truthful; the
+        # training paths use the auto selector instead.
+        if "hub_size" in kw:
+            kw.setdefault("hub_min_coverage", -1.0)
         return lambda: jax.device_put(build_edge_layout(
             s_np, r_np, n_pad, edge_chunk=512, **kw))
 
