@@ -255,7 +255,7 @@ def _auto_hub_size(freq: np.ndarray, cap: int, num_nodes_padded: int,
 
 def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
                      enabled_already: bool, num_nodes_padded: int,
-                     node_block: int, edge_chunk: int, to_device: bool,
+                     node_block: int, edge_chunk: int,
                      feat_dim_hint: int, loc_split: str, loc_reach: int):
     """One direction's LocSplit, or None when it would not pay (the
     whole-direction gate already enabled windows, the local fraction is too
@@ -671,11 +671,11 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         split_r = None if hub_r is not None else _build_loc_split(
             senders, receivers, edge_mask, xe_ids, "r",
             gwin_fields["use_gwin_r"], num_nodes_padded, node_block,
-            edge_chunk, to_device, feat_dim_hint, loc_split, loc_reach)
+            edge_chunk, feat_dim_hint, loc_split, loc_reach)
         split_s = None if hub_s is not None else _build_loc_split(
             senders, receivers, edge_mask, xe_ids, "s",
             gwin_fields["use_gwin_s"], num_nodes_padded, node_block,
-            edge_chunk, to_device, feat_dim_hint, loc_split, loc_reach)
+            edge_chunk, feat_dim_hint, loc_split, loc_reach)
 
     lay = EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),

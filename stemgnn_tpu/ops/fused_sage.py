@@ -486,6 +486,16 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     ``bf16_messages`` computes messages (and the backward edge grads) in
     bfloat16, halving gather + scatter HBM traffic; accumulation stays f32.
 
+    CONTRACT: padded node rows of ``x`` must be FINITE.  The windowed
+    kernels DMA whole node-id windows, so a NaN/Inf sitting in a padded row
+    would poison window-mates through the one-hot matmul (0 * NaN = NaN)
+    where the gather path would not read it at all.  Every producer in this
+    repo satisfies this (padded rows derive from zero-padded inputs through
+    the same finite layer arithmetic); a defensive isfinite pass was
+    measured to cost a full [N, D] sweep per call and was removed (r2
+    ADVICE) — if you feed externally-constructed activations, sanitize
+    padded rows yourself.
+
     ``relu_residual`` stores the forward relu mask packed to bits and permutes
     it into sender order in the backward ([E, D/8] bytes moved) instead of
     re-gathering x to recompute it ([E, D] bf16).  Measured OFF by default:

@@ -119,10 +119,13 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                     "layout.perm_r2o (rebuild the layout)")
             keep = jnp.take(edge_mask, layout.perm_r2o, axis=0)
             lmask = jnp.logical_and(lmask, keep.astype(bool))
+        # receivers_r is only BLOCK-grouped since the within-block
+        # gather-key sort (edge_layout block ordering) — NOT globally
+        # sorted, so the sorted-indices hint would be a correctness bug
         return gather_scatter_aggregate(
             x, layout.senders_r, layout.receivers_r, edge_feat=edge_feat,
             edge_mask=lmask, num_nodes=num_nodes, reduce=reduce,
-            relu=relu, indices_are_sorted=True)
+            relu=relu)
     return gather_scatter_aggregate(
         x, senders, receivers, edge_feat=edge_feat, edge_mask=edge_mask,
         num_nodes=num_nodes, reduce=reduce, relu=relu)

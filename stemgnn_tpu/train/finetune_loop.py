@@ -167,7 +167,7 @@ def _repad_indexed(ig, n_pad: int, e_pad: int):
         xe_ids=None if ig.xe_ids is None else pad1(ig.xe_ids, e_pad))
 
 
-def _make_link_mb_chunk_step(cfg: FinetuneConfig, tx, chunk: int):
+def _make_link_mb_chunk_step(cfg: FinetuneConfig, tx):
     """K minibatch-link training EPOCHS + one full-batch eval per epoch in
     ONE dispatch (round-2 VERDICT item 4: the reference FB15K237 preset is
     3000 epochs of LinkNeighborLoader minibatches — per-epoch host
@@ -517,7 +517,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                            and not chunked_eval and graph is not None
                            and cfg.epoch_chunk > 0
                            and not any(cfg.encoder.moe_layer_flags()))
-    mb_chunk_step = _make_link_mb_chunk_step(cfg, tx, cfg.epoch_chunk) \
+    mb_chunk_step = _make_link_mb_chunk_step(cfg, tx) \
         if use_chunked_mb_link else None
     moe_print_interval = max(1, cfg.epochs // 20)
     rng_np = np.random.default_rng(cfg.seed if hasattr(cfg, "seed") else 0)
