@@ -197,6 +197,13 @@ def main():
                   flush=True)
         finally:
             aux = None
+    if not results:
+        # still emit the contract line so the driver records the failure
+        # instead of crashing on a missing JSON (e.g. a wedged chip)
+        print(json.dumps({"metric": "spmm_fwd_bwd_edges_per_s_per_chip",
+                          "value": 0, "unit": "edges/s",
+                          "vs_baseline": 0.0}))
+        return
     best_name = min(results, key=results.get)
     dt = results[best_name]
     edges_per_s = e / dt
