@@ -143,6 +143,14 @@ def main():
                                if hasattr(args, k)})
         args = parser.parse_args()
 
+    # Sweep agents override hyperparameters through wandb.config
+    # (reference finetune.py:314-321); offline this is a no-op.
+    from stemgnn_tpu.utils.observability import apply_wandb_sweep_config
+    args = apply_wandb_sweep_config(args, "STEM-GNN-Finetune",
+                                    debug=args.debug)
+    name = args.finetune_dataset
+    task = dataset2task[name]
+
     seed_everything(args.seed)
     ds = load_dataset(name, feat_dim=args.feat_dim, seed=args.seed,
                       text_encoder=args.text_encoder)

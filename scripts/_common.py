@@ -93,6 +93,17 @@ def load_pretrained(args):
     return load_pretrained_for_finetune(enc, vq)
 
 
+def parse_with_sweep(parser: argparse.ArgumentParser,
+                     project: str = "STEM-GNN-Finetune"):
+    """parse_args + the reference's wandb sweep round-trip
+    (degree_shift_ood.py:500-507: init with the CLI params as config, then
+    read them BACK from wandb.config so sweep agents can drive the script).
+    Offline or with --debug this is plain parse_args."""
+    args = parser.parse_args()
+    from stemgnn_tpu.utils.observability import apply_wandb_sweep_config
+    return apply_wandb_sweep_config(args, project, debug=args.debug)
+
+
 def emit(payload: dict, args):
     print(json.dumps(payload, indent=2, default=float))
     if args.output_json:

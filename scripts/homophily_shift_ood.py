@@ -9,13 +9,14 @@ with invalid/zero-norm feature handling; same scaffold as the degree script.
 import numpy as np
 
 from _common import (base_parser, build_cfg, emit, load_node_dataset,
+                     parse_with_sweep,
                      load_pretrained)
 from stemgnn_tpu.eval.buckets import compute_homophily_buckets, stratified_split
 from stemgnn_tpu.eval.runner import nanmean_std, train_node_with_buckets
 
 
 def main():
-    args = base_parser("homophily_shift_ood").parse_args()
+    args = parse_with_sweep(base_parser("homophily_shift_ood"))
     ds = load_node_dataset(args)
     cfg = build_cfg(args, ds.num_classes)
     pretrained = load_pretrained(args)

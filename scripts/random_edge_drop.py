@@ -8,6 +8,7 @@ per-directed-edge, never dropping all (:103-229, re-eval :648-724).
 """
 
 from _common import (base_parser, build_cfg, emit, load_node_dataset,
+                     parse_with_sweep,
                      load_pretrained)
 from stemgnn_tpu.eval.perturb import apply_random_edge_drops
 from stemgnn_tpu.eval.runner import (evaluate_snapshot_on, nanmean_std,
@@ -21,7 +22,7 @@ def main():
                    choices=["test", "valtest", "all"])
     p.add_argument("--drop_mode", default="per_undirected",
                    choices=["per_undirected", "per_edge"])
-    args = p.parse_args()
+    args = parse_with_sweep(p)
     ds = load_node_dataset(args)
     cfg = build_cfg(args, ds.num_classes)
     pretrained = load_pretrained(args)

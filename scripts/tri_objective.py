@@ -14,6 +14,7 @@ ID, report
 import numpy as np
 
 from _common import (base_parser, build_cfg, emit, load_node_dataset,
+                     parse_with_sweep,
                      load_pretrained)
 from stemgnn_tpu.eval.buckets import compute_alignment_buckets, stratified_split
 from stemgnn_tpu.eval.perturb import apply_missing_features
@@ -27,7 +28,7 @@ def main():
     p = base_parser("tri_objective")
     p.add_argument("--perturb_scope", default="all",
                    choices=["test", "valtest", "all"])
-    args = p.parse_args()
+    args = parse_with_sweep(p)
     ds = load_node_dataset(args)
     cfg = build_cfg(args, ds.num_classes)
     pretrained = load_pretrained(args)

@@ -70,7 +70,7 @@ def _cite_splits(num_nodes: int, train_n: int, val_n: int, num_splits: int,
 
 def load_citation_raw(name: str, root: Optional[str] = None,
                       text_encoder: str = "hash", feat_dim: int = 768,
-                      num_splits: int = 10) -> TAGDataset:
+                      num_splits: int = 10, seed: int = 0) -> TAGDataset:
     """cora/pubmed from the raw ``{name}.pt`` torch payload +
     ``categories.csv`` (reference Cora/gen_data.py:24-94,
     Pubmed/gen_data.py:8-42).
@@ -114,8 +114,13 @@ def load_citation_raw(name: str, root: Optional[str] = None,
         if name == "cora":
             label_names = (m.get("label_names")
                            or getattr(data, "label_names", None) or [])
-            rows = [ln.split(",", 1) for ln in
-                    open(cat_path).read().strip().split("\n")]
+            # Quoting-aware parse matching the reference's
+            # ``pd.read_csv(...).values`` (Cora/gen_data.py:36-38): the
+            # first row is the header, quoted descriptions may contain
+            # commas and doubled quotes.
+            import csv as _csv
+            with open(cat_path, newline="") as f:
+                rows = list(_csv.reader(f))[1:]
             desc = {r[0]: (r[1] if len(r) > 1 else "") for r in rows}
             label_texts = [
                 "prompt node. literature category and description: "
@@ -137,7 +142,7 @@ def load_citation_raw(name: str, root: Optional[str] = None,
         name=name, node_text_feat=feats, edge_text_feat=edge_text_feat,
         x=np.arange(n), xe=np.zeros(edge_index.shape[1], np.int64),
         edge_index=edge_index, labels=y,
-        splits=_cite_splits(n, train_n, val_n, num_splits),
+        splits=_cite_splits(n, train_n, val_n, num_splits, seed=seed),
         class_node_text_feat=cls_feat, num_classes=num_classes,
         extras={"raw_root": root})
 
@@ -205,8 +210,13 @@ def load_arxiv_raw(root: Optional[str] = None, ogb_root: Optional[str] = None,
     with open(osp.join(root, "titleabs.tsv")) as f:
         for ln in f:
             parts = ln.rstrip("\n").split("\t")
+            # Papers with an empty abstract ship as 2-field rows; the
+            # reference's pandas join keeps the partial row, so treat the
+            # missing abstract as "" rather than dropping the node's text.
             if len(parts) >= 3:
                 titleabs[parts[0].strip()] = (parts[1], parts[2])
+            elif len(parts) == 2:
+                titleabs[parts[0].strip()] = (parts[1], "")
     n = len(idx2pid)
     node_texts = []
     for i in range(n):

@@ -82,7 +82,7 @@ def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
             if name in ("cora", "pubmed"):
                 ds = rp.load_citation_raw(name, root=root,
                                           text_encoder=text_encoder,
-                                          feat_dim=feat_dim, **kw)
+                                          feat_dim=feat_dim, seed=seed, **kw)
             elif name == "arxiv":
                 ds = rp.load_arxiv_raw(root=root, text_encoder=text_encoder,
                                        feat_dim=feat_dim, **kw)

@@ -100,15 +100,22 @@ def pool_graph(z, g: Graph, pool: str = "mean",
 
 
 def task_logits(params, state, cfg: FinetuneConfig, z, *, training: bool,
-                rng=None, mask=None):
+                rng=None, mask=None, axis_name=None):
     """get_lin_logits (ft_model.py:90-103) -> ([N, H or 1, C], commit_loss,
-    new_state)."""
+    new_state).
+
+    ``axis_name``: mesh axis/axes the node dimension is sharded over —
+    VQ EMA stats psum across it and the commitment loss becomes a global
+    masked mean (the reference's codebook all_reduce, vq.py:666-682);
+    required for unfrozen-VQ training under a node-sharded (halo) layout.
+    """
     h = cfg.vq.num_codebooks
     n = z.shape[0]
     if cfg.use_vq:
         res = vq_apply(params["vq"], state["vq"], cfg.vq, z,
                        training=training, rng=rng, mask=mask,
-                       freeze_codebook=cfg.freeze_vq)
+                       freeze_codebook=cfg.freeze_vq,
+                       axis_name=axis_name, commit_psum_axis=axis_name)
         if cfg.separate_decoder_for_each_head:
             pred = linear_apply(params["decoder"], res["codes"])
             pred = pred.reshape(n, h, cfg.num_classes)

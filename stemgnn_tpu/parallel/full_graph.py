@@ -236,7 +236,13 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
                 task_model.decoder_jacobian_penalty(params, cfg), st
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(trainable)
-        grads = jax.lax.psum(grads, axis)
+        # Every loss term above is a GLOBAL replicated value (psum-of-sums /
+        # psum-of-counts), and the transpose of psum is psum: each shard's
+        # grad therefore already carries an axis_size factor on the psum-ed
+        # terms.  pmean (not psum) recovers the exact single-device gradient
+        # — psum here double-counts by axis_size (caught by the
+        # dryrun_multichip parity check, r4).
+        grads = jax.lax.pmean(grads, axis)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, new_state, loss

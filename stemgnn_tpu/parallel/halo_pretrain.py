@@ -302,7 +302,11 @@ def make_halo_pretrain_step(cfg: PretrainConfig, tx, mesh, layouts,
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
-        grads = jax.lax.psum(grads, axes)
+        # All loss terms are global psum-mean values and psum's transpose is
+        # psum, so per-device grads already carry the total-device factor on
+        # those terms; pmean (not psum) yields the exact single-device
+        # gradient (see full_graph.make_halo_steps, r4 parity fix).
+        grads = jax.lax.pmean(grads, axes)
         # replicated-state consistency: per-device dead-code expiry reseeds
         # and BN updates can differ; average them (stats inside were already
         # psum-ed, so this is a near-no-op safeguard, as in data_parallel)

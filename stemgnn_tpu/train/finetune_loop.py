@@ -504,12 +504,19 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     use_chunked_epochs = (not minibatch and not chunked_eval
                           and cfg.epoch_chunk > 0
                           and not any(cfg.encoder.moe_layer_flags()))
+    # Early stopping acts at chunk granularity: a dispatched chunk trains
+    # all K epochs before the stop check, so the kept params can include up
+    # to K-1 post-stop updates (logger best-val selection is unaffected).
+    # Cap K at the early-stop patience so a small patience bounds the
+    # overshoot by itself (ADVICE r3).
+    eff_chunk = (max(1, min(cfg.epoch_chunk, cfg.early_stop))
+                 if cfg.early_stop and cfg.early_stop > 0
+                 else cfg.epoch_chunk)
     chunk_step = chunk_step_d = None
     if use_chunked_epochs:
-        chunk_step = _make_epoch_chunk_step(cfg, task_kind, tx,
-                                            cfg.epoch_chunk)
+        chunk_step = _make_epoch_chunk_step(cfg, task_kind, tx, eff_chunk)
         chunk_step_d = _make_epoch_chunk_step(cfg, task_kind, tx,
-                                              cfg.epoch_chunk, donate=True) \
+                                              eff_chunk, donate=True) \
             if donate else None
     # Minibatch-link epoch chunking (r2 VERDICT item 4): K epochs of
     # pre-sampled batches + per-epoch full-batch eval per dispatch.
@@ -582,7 +589,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                                      key, train_mask, graph, y, eval_masks)
                 lvecs = np.asarray(lvecs)
                 accs = np.asarray(accs)
-                for j in range(min(cfg.epoch_chunk, cfg.epochs - epoch)):
+                for j in range(min(eff_chunk, cfg.epochs - epoch)):
                     loss = dict(zip(_LOSS_KEYS, (float(v)
                                                  for v in lvecs[j])))
                     result = {"train": float(accs[j, 0]),
@@ -596,7 +603,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                                   f"{epoch + j}")
                         stopped = True
                         break
-                epoch += cfg.epoch_chunk
+                epoch += eff_chunk
             if verbose:
                 b = logger.get_single_best(idx)
                 print(f"[split {idx}] best val={b['val']:.2f} "
@@ -641,7 +648,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             epoch = 0
             stopped = False
             while epoch < cfg.epochs and not stopped:
-                T = min(cfg.epoch_chunk, cfg.epochs - epoch)
+                T = min(eff_chunk, cfg.epochs - epoch)
                 eps = [_sample_link_epoch_batches(ds, cfg, it, edge_ids,
                                                   rng_np, n_batches,
                                                   labels_np)

@@ -23,6 +23,49 @@ import time
 from typing import Optional
 
 
+def apply_wandb_sweep_config(args, project: str, debug: bool = False):
+    """wandb sweep round-trip (reference finetune.py:314-321,
+    degree_shift_ood.py:501-507): ``wandb.init(config=vars(args))`` then
+    read the hyperparameters BACK from ``wandb.config`` so a sweep agent's
+    overrides drive the run.
+
+    Mutates ``args`` in place with any keys the sweep changed (coerced to
+    the existing attribute's type) and returns it.  A no-op whenever the
+    wandb SDK is missing, the network is down, or ``debug`` is set — the
+    offline default behavior is unchanged.
+    """
+    if debug:
+        return args
+    try:
+        import wandb
+    except Exception:
+        return args
+    base = {k: v for k, v in vars(args).items()
+            if isinstance(v, (int, float, str, bool, type(None)))}
+    try:
+        if wandb.run is None:
+            wandb.init(project=project, config=base)
+        swept = dict(wandb.config)
+    except Exception:
+        return args
+    for k, v in swept.items():
+        if k not in base or v == base[k]:
+            continue
+        cur = base[k]
+        try:
+            if isinstance(cur, bool):
+                v = bool(v)
+            elif isinstance(cur, int) and not isinstance(v, bool):
+                v = int(v)
+            elif isinstance(cur, float):
+                v = float(v)
+        except (TypeError, ValueError):
+            continue
+        setattr(args, k, v)
+        print(f"[wandb sweep] {k}: {cur!r} -> {v!r}")
+    return args
+
+
 class MetricsLogger:
     """Schema-compatible metrics sink.
 
@@ -46,9 +89,10 @@ class MetricsLogger:
             try:
                 import wandb
                 self._wandb = wandb
-                wandb.init(project=wandb_project or "stemgnn-tpu",
-                           name=wandb_name, config=config or {},
-                           mode="disabled" if debug else "online")
+                if wandb.run is None:  # reuse a sweep agent's run if live
+                    wandb.init(project=wandb_project or "stemgnn-tpu",
+                               name=wandb_name, config=config or {},
+                               mode="disabled" if debug else "online")
             except Exception:
                 self._wandb = None
 

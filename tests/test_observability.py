@@ -94,3 +94,70 @@ def test_pretrain_resume_continues_epochs(tmp_path):
         save_root=str(tmp_path), verbose=False, resume=True)
     assert len(hist) == 1          # only epoch 3 ran
     assert (tmp_path / "encoder_3.npz").exists()
+
+
+def test_sweep_config_roundtrip_offline_noop():
+    """apply_wandb_sweep_config is a no-op when the wandb SDK is absent."""
+    import argparse
+
+    from stemgnn_tpu.utils.observability import apply_wandb_sweep_config
+    ns = argparse.Namespace(lr=0.1, epochs=5, debug=False)
+    out = apply_wandb_sweep_config(ns, "proj")
+    assert out.lr == 0.1 and out.epochs == 5
+
+
+def test_sweep_config_roundtrip_applies_overrides(monkeypatch):
+    """Sweep-agent overrides read back from wandb.config update the args
+    with type coercion (reference finetune.py:314-321 semantics)."""
+    import argparse
+    import sys
+    import types
+
+    fake = types.ModuleType("wandb")
+    fake.run = None
+    captured = {}
+
+    def init(project=None, config=None, **kw):
+        captured["project"] = project
+        fake.run = object()
+        # sweep agent overrides lr and epochs (epochs as str, as YAML
+        # sweeps sometimes deliver)
+        fake.config = dict(config, lr=0.5, epochs="9")
+        return fake.run
+
+    fake.init = init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    from stemgnn_tpu.utils.observability import apply_wandb_sweep_config
+    ns = argparse.Namespace(lr=0.1, epochs=5, name="x", debug=False)
+    out = apply_wandb_sweep_config(ns, "proj")
+    assert captured["project"] == "proj"
+    assert out.lr == 0.5 and out.epochs == 9 and isinstance(out.epochs, int)
+    assert out.name == "x"
+
+
+def test_missing_feature_tsv_export(tmp_path):
+    """The reference's per-split TSV artifact format
+    (missing_feature.py:739-763): split / [missing_val] / missing_test."""
+    import argparse
+    import importlib.util
+    import os
+    import sys
+    root = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    spec = importlib.util.spec_from_file_location(
+        "mf", os.path.join(root, "scripts", "missing_feature.py"))
+    mf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mf)
+    args = argparse.Namespace(
+        perturb="valtest", tsv_name="", finetune_dataset="cora_synthetic",
+        missing_prob=0.4, relative_noise_alpha=0.0, seed=3,
+        pretrain_path=str(tmp_path))
+    rows = [{"perturbed/valid": 81.5, "perturbed/test": 80.25},
+            {"perturbed/valid": 82.0, "perturbed/test": 79.0}]
+    mf._write_tsv(args, rows)
+    name = ("finetune_cora_synthetic_missing_p0.4_alpha0.0_valtest_"
+            "seed3.tsv")
+    lines = open(tmp_path / name).read().strip().split("\n")
+    assert lines[0].split("\t") == ["split", "missing_val", "missing_test"]
+    assert lines[1].split("\t") == ["0", "81.5", "80.25"]
+    assert lines[2].split("\t") == ["1", "82.0", "79.0"]

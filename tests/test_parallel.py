@@ -869,3 +869,62 @@ def test_halo_fused_typed_hub_aggregate_matches_single(rng):
             jnp.asarray(table))
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_halo_train_grads_match_single_device(rng):
+    """One fused halo train step on S=8 == the same step on S=1 (same init,
+    same rng, SGD so param deltas == lr * grad deltas).  Regression for the
+    r4 psum-vs-pmean gradient fix: all loss terms are global psum-mean
+    values, psum's transpose is psum, so combining per-shard grads with
+    psum double-counted by exactly axis_size."""
+    import optax
+
+    from stemgnn_tpu.core.config import FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.models import task as task_model
+    from stemgnn_tpu.parallel.full_graph import (make_halo_steps,
+                                                 prepare_halo_graph)
+    from stemgnn_tpu.train.finetune_loop import _split_params
+
+    n = 120
+    ds = synthetic_node_dataset(num_nodes=n, num_classes=4, feat_dim=D,
+                                train_per_split=30, val_per_split=30,
+                                num_splits=1, seed=3)
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="node", epochs=1, lr=1.0, repeat=1, num_classes=4,
+        use_vq=False)
+    tx = optax.sgd(1.0)
+    t_params, t_state = task_model.task_model_init(jax.random.PRNGKey(4),
+                                                   cfg)
+    trainable, frozen = _split_params(t_params, cfg)
+    got = {}
+    for S in (8, 1):
+        mesh = make_mesh(axis_names=("edge",),
+                         devices=np.asarray(jax.devices()[:S]))
+        sg, nb, _, layouts, edge_table = prepare_halo_graph(
+            ds, S, pad_multiple=8, fused=True, hub_size=0, node_block=8,
+            edge_chunk=128)
+        n_pad = S * nb
+        y_np = np.zeros(n_pad, np.int32)
+        y_np[:n] = np.asarray(ds.labels)
+        tm = np.zeros(n_pad, bool)
+        tm[:n] = np.asarray(ds.splits[0]["train"])
+        step, _ = make_halo_steps(cfg, tx, mesh,
+                                  jnp.asarray(y_np.reshape(S, nb)),
+                                  axis="edge", layouts=layouts,
+                                  edge_table=edge_table, interpret=True)
+        tr, _, _, loss = step(trainable, frozen, tx.init(trainable), t_state,
+                              jax.random.PRNGKey(5),
+                              jnp.asarray(tm.reshape(S, nb)),
+                              jnp.asarray(y_np.reshape(S, nb)), sg, *layouts)
+        got[S] = (jax.device_get(tr), float(loss))
+    assert abs(got[8][1] - got[1][1]) < 1e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-4),
+        got[8][0], got[1][0])

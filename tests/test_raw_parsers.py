@@ -23,8 +23,13 @@ def _write_cora_tree(tmp_path, name="cora"):
     }
     torch.save(payload, tmp_path / f"{name}.pt")
     if name == "cora":
+        # Real-file format: header row + quoted descriptions with embedded
+        # commas and doubled quotes (pandas read_csv semantics,
+        # Cora/gen_data.py:36-38)
         (tmp_path / "categories.csv").write_text(
-            "theory,about proofs\nsystems,about computers\nml,about data\n")
+            ',description\n'
+            'theory,"about proofs, with ""rigor"""\n'
+            "systems,about computers\nml,about data\n")
     else:
         (tmp_path / "categories.csv").write_text(
             "diabetes type 1\ndiabetes type 2\ndiabetes experimental\n")
@@ -63,7 +68,10 @@ def test_arxiv_raw_parser(tmp_path):
        ["node idx,paper id"] + [f"{i},{1000 + i}" for i in range(n)])
     with open(tmp_path / "titleabs.tsv", "w") as f:
         for i in range(n):
-            f.write(f"{1000 + i}\ttitle {i}\tabstract {i}\n")
+            if i == 3:  # paper with an empty abstract ships as a 2-field row
+                f.write(f"{1000 + i}\ttitle {i}\n")
+            else:
+                f.write(f"{1000 + i}\ttitle {i}\tabstract {i}\n")
     edges = rng.integers(0, n, (40, 2))
     gz("raw/edge.csv.gz", [f"{a},{b}" for a, b in edges])
     y = rng.integers(0, 2, n)
@@ -155,3 +163,38 @@ def test_registry_loads_raw_tree(tmp_path, monkeypatch):
     # second load hits the npz cache written on first load
     ds2 = load_dataset("cora", feat_dim=16)
     assert ds2.num_nodes == n
+
+
+def test_citation_split_seed_threading(tmp_path):
+    """load_citation_raw honors its seed (ADVICE r3: registry must thread
+    the caller's seed into the split draws)."""
+    import inspect
+
+    from stemgnn_tpu.data.raw_parsers import _cite_splits, load_citation_raw
+    # the loader exposes + forwards a seed parameter
+    assert "seed" in inspect.signature(load_citation_raw).parameters
+    s0 = _cite_splits(2000, 140, 500, num_splits=2, seed=0)
+    s7 = _cite_splits(2000, 140, 500, num_splits=2, seed=7)
+    assert not np.array_equal(s0[0]["train"], s7[0]["train"])
+    s0b = _cite_splits(2000, 140, 500, num_splits=2, seed=0)
+    np.testing.assert_array_equal(s0[0]["train"], s0b[0]["train"])
+
+
+def test_arxiv_empty_abstract_rows_kept(tmp_path):
+    """2-field titleabs.tsv rows (empty abstract) keep their title text
+    (ADVICE r3; the reference's pandas join keeps the partial row)."""
+    from stemgnn_tpu.data import raw_parsers as rp
+    calls = {}
+    orig = rp._encode
+
+    def spy(texts, enc, dim):
+        if len(texts) == 20:
+            calls["node_texts"] = list(texts)
+        return orig(texts, enc, dim)
+
+    rp._encode, _ = spy, None
+    try:
+        test_arxiv_raw_parser(tmp_path)
+    finally:
+        rp._encode = orig
+    assert "title 3" in calls["node_texts"][3]
