@@ -181,9 +181,24 @@ def main():
         # coverage barely moves (frequency concentration is flat past rank
         # ~512).  Measured: 768/768 111.8M ~ 512/512 110.9M > 1024/1024
         # 102.0M > 1536/1536 89.2M > 2048/2048 76.3M edges/s.
+        # r4: the hub partial-sum store is bf16 by default (hub_bf16_acc) —
+        # the f32 [N, D] store kept the gather-hub matmul at 45% MXU
+        # (scripts/int8_probe.py: 2.21 -> 0.98 ms); int8 hub matmuls were
+        # the measured NEGATIVE (<= 9% matmul gain through XLA, quantize
+        # pass ~1.2 ms — BASELINE.md r4).  The f32-store variant stays as a
+        # candidate to keep the comparison measured.
         candidates["fused_hub_sc768"] = (fused_bf16act_step, x0_bf16,
                                          make_layout(hub_size=768,
                                                      sc_hub_size=768))
+
+        def fused_f32acc_step(x, layout):
+            return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
+                x, layout, None, reduce="mean", relu=True, bf16_messages=True,
+                bf16_out=True, slots=4,
+                hub_bf16_acc=False).astype(jnp.float32) ** 2))(x)
+        candidates["fused_hub_sc768_f32acc"] = (fused_f32acc_step, x0_bf16,
+                                                make_layout(hub_size=768,
+                                                            sc_hub_size=768))
 
     results = {}
     for name, (fn, x_init, make_aux) in candidates.items():

@@ -48,7 +48,8 @@ def _zero_cot(tree):
 @functools.lru_cache(maxsize=None)
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
           interpret: bool, bf16_messages: bool, relu_residual: bool,
-          pipeline: str, bf16_out: bool, slots: int, single_type: bool):
+          pipeline: str, bf16_out: bool, slots: int, single_type: bool,
+          hub_bf16_acc: bool = True):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
 
@@ -181,10 +182,21 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         row added to every message (the factored T=1 case) or None."""
         t = hub.tail
 
-        def mm(a, b):
+        # Gather-hub partial-sum dtype: when the aggregate output is bf16
+        # anyway, emit the [N, D] hub matmul in bf16 — the MXU still
+        # accumulates f32 internally and only the output store is rounded,
+        # but the f32->bf16 store HALVES the block's wall time (measured
+        # v5e, scripts/int8_probe.py: 2.21 -> 0.98 ms at bench shapes; the
+        # f32 [N, D] write keeps the MXU at 45% peak).  int8 was the
+        # measured negative: XLA int8 dot gains <= 9% and the quantize
+        # pass costs ~1.2 ms (BASELINE.md r4 row).
+        acc_dt = (jnp.bfloat16 if (out_dtype == jnp.bfloat16 and hub_bf16_acc)
+                  else jnp.float32)
+
+        def mm(a, b, pt=None):
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=pt or acc_dt)
 
         if hub.sc_cnt is not None:
             # one f(x) [N, D] pass feeds BOTH dense blocks
@@ -192,7 +204,10 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             if relu_msgs:
                 f_all = jax.nn.relu(f_all)
             hub_out = mm(hub.cnt, jnp.take(f_all, hub.hub_ids, axis=0))
-            hub_out = hub_out.at[hub.sc_ids].add(mm(hub.sc_cnt, f_all))
+            # the sc block's output [H2, D] is small — keep its store f32
+            # and round once at the add
+            hub_out = hub_out.at[hub.sc_ids].add(
+                mm(hub.sc_cnt, f_all, pt=jnp.float32).astype(acc_dt))
         else:
             xh = jnp.take(src, hub.hub_ids, axis=0)
             if t0 is not None:
@@ -295,13 +310,18 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                   + jnp.take(tb, hub.hub_xe, axis=0))
             if relu:
                 xh = jax.nn.relu(xh)
-            hub_out = jax.lax.dot_general(
-                hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
             t = hub.tail
             scale = inv_deg() if reduce == "mean" else None
             out_dt2 = (jnp.bfloat16 if x.dtype == jnp.bfloat16
                        else jnp.float32)
+            # bf16 store of the [N, D] hub partials when the output is bf16
+            # anyway (see _hub_split's acc_dt note)
+            hub_out = jax.lax.dot_general(
+                hub.cnt, xh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=(jnp.bfloat16
+                                        if (out_dt2 == jnp.bfloat16
+                                            and hub_bf16_acc)
+                                        else jnp.float32))
             if t.use_gwin_r and t.gwin_w:
                 from stemgnn_tpu.ops.scatter_pallas import \
                     gathered_scatter_rows_sorted
@@ -479,7 +499,8 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          bf16_messages: bool = False,
                          relu_residual: bool = False,
                          pipeline: str = "rolling", bf16_out: bool = False,
-                         slots: int = 2, edge_keep=None):
+                         slots: int = 2, edge_keep=None,
+                         hub_bf16_acc: bool = True):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -495,6 +516,12 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     measured to cost a full [N, D] sweep per call and was removed (r2
     ADVICE) — if you feed externally-constructed activations, sanitize
     padded rows yourself.
+
+    ``hub_bf16_acc`` (default on) stores the [N, D] gather-hub dense
+    partial sums in bf16 when the aggregate's own output is bf16 — the MXU
+    accumulates f32 internally either way, but the halved store doubles
+    that block's throughput (measured v5e, scripts/int8_probe.py); with an
+    f32 output the hub partials stay f32 regardless.
 
     ``relu_residual`` stores the forward relu mask packed to bits and permutes
     it into sender order in the backward ([E, D/8] bytes moved) instead of
@@ -513,7 +540,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     relu_residual = relu_residual and relu and layout.perm_s2r is not None
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
                bf16_messages, relu_residual, pipeline, bf16_out, slots,
-               single_type)
+               single_type, hub_bf16_acc)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
     return fn(x, edge_table, layout, edge_keep)

@@ -464,6 +464,91 @@ def halo_moe_sage_aggregate(z_local, part_rev, params_layer, weights, *,
     return jnp.sum(weights[:, :, None] * out, axis=1)
 
 
+def _masked_segsum(data, ids, mask, nb):
+    data = jnp.where(mask.reshape(mask.shape + (1,) * (data.ndim - 1)),
+                     data, 0)
+    return jax.ops.segment_sum(data, ids, num_segments=nb)
+
+
+def halo_gcn_apply(params, z_local, part, *, axis: str):
+    """GCN layer over the halo layout == :func:`convs.gcn_apply` on the
+    owned block.  Sender-side inverse-sqrt degrees ride the same halo
+    exchange as the features (one all_to_all: [h | inv_sqrt] concatenated),
+    receiver-side degrees are fully local (every in-edge is owned)."""
+    nb = z_local.shape[0]
+    h = linear_apply(params["lin"], z_local)
+    deg = jax.ops.segment_sum(part["m_loc"].astype(h.dtype), part["r_loc"],
+                              num_segments=nb)
+    deg = deg + jax.ops.segment_sum(part["m_rem"].astype(h.dtype),
+                                    part["r_rem"], num_segments=nb)
+    inv = jax.lax.rsqrt(deg + 1.0)                     # +1 self-loop
+    buf = halo_exchange(jnp.concatenate([h, inv[:, None]], axis=-1),
+                        part["send_idx"], axis)
+    h_halo, inv_halo = buf[:, :-1], buf[:, -1]
+    w_loc = inv[part["s_loc"]] * inv[part["r_loc"]]
+    w_rem = inv_halo[part["s_rem"]] * inv[part["r_rem"]]
+    out = _masked_segsum(jnp.take(h, part["s_loc"], axis=0)
+                         * w_loc[:, None], part["r_loc"], part["m_loc"], nb)
+    out = out + _masked_segsum(jnp.take(h_halo, part["s_rem"], axis=0)
+                               * w_rem[:, None], part["r_rem"],
+                               part["m_rem"], nb)
+    out = out + h * (inv ** 2)[:, None]                # self-loop term
+    return out + params["bias"]
+
+
+def halo_gin_apply(params, z_local, part, *, axis: str):
+    """GIN layer over the halo layout == :func:`convs.gin_apply`."""
+    nb = z_local.shape[0]
+    halo = halo_exchange(z_local, part["send_idx"], axis)
+    agg = _masked_segsum(jnp.take(z_local, part["s_loc"], axis=0),
+                         part["r_loc"], part["m_loc"], nb)
+    agg = agg + _masked_segsum(jnp.take(halo, part["s_rem"], axis=0),
+                               part["r_rem"], part["m_rem"], nb)
+    return linear_apply(params["lin"],
+                        (1.0 + params["eps"]) * z_local + agg)
+
+
+def halo_gat_apply(params, z_local, part, *, axis: str,
+                   negative_slope: float = 0.2):
+    """Single-head GAT over the halo layout == :func:`convs.gat_apply`.
+
+    The per-receiver attention softmax is local (all in-edges owned); the
+    sender-side terms (projected features + ``att_src`` logits) ride one
+    halo exchange.  The combined local+remote softmax is computed with an
+    explicit max/exp/sum pass over both edge sets, matching
+    :func:`stemgnn_tpu.ops.segment.segment_softmax` numerics."""
+    _NEG = -1e30
+    nb = z_local.shape[0]
+    h = linear_apply(params["lin"], z_local)
+    a_src = h @ params["att_src"]
+    buf = halo_exchange(jnp.concatenate([h, a_src[:, None]], axis=-1),
+                        part["send_idx"], axis)
+    h_halo, a_src_halo = buf[:, :-1], buf[:, -1]
+    a_dst = h @ params["att_dst"]
+    e_loc = jax.nn.leaky_relu(a_src[part["s_loc"]] + a_dst[part["r_loc"]],
+                              negative_slope)
+    e_rem = jax.nn.leaky_relu(a_src_halo[part["s_rem"]]
+                              + a_dst[part["r_rem"]], negative_slope)
+    e_loc = jnp.where(part["m_loc"], e_loc, _NEG)
+    e_rem = jnp.where(part["m_rem"], e_rem, _NEG)
+    mx = jnp.maximum(
+        jax.ops.segment_max(e_loc, part["r_loc"], num_segments=nb),
+        jax.ops.segment_max(e_rem, part["r_rem"], num_segments=nb))
+    mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
+    exp_l = jnp.where(part["m_loc"], jnp.exp(e_loc - mx[part["r_loc"]]), 0.0)
+    exp_r = jnp.where(part["m_rem"], jnp.exp(e_rem - mx[part["r_rem"]]), 0.0)
+    den = jax.ops.segment_sum(exp_l, part["r_loc"], num_segments=nb) \
+        + jax.ops.segment_sum(exp_r, part["r_rem"], num_segments=nb)
+    den = jnp.maximum(den, 1e-16)
+    out = _masked_segsum(jnp.take(h, part["s_loc"], axis=0)
+                         * (exp_l / den[part["r_loc"]])[:, None],
+                         part["r_loc"], part["m_loc"], nb)
+    out = out + _masked_segsum(jnp.take(h_halo, part["s_rem"], axis=0)
+                               * (exp_r / den[part["r_rem"]])[:, None],
+                               part["r_rem"], part["m_rem"], nb)
+    return out + params["bias"]
+
+
 def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                        axis: str, training: bool = False, rng=None,
                        node_mask=None, part_rev=None, lay_loc=None,
@@ -472,8 +557,9 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                        keep_loc=None, keep_rem=None):
     """Encoder forward over the node-sharded halo layout.
 
-    Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` for the SAGE
-    backbone (the flagship config), including MoE layers: per-layer halo
+    Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` for every
+    backbone (sage — the flagship config, incl. MoE layers — plus
+    gcn/gin/gat via their halo formulations above): per-layer halo
     exchange of the current activations, BatchNorm statistics psum-ed over
     ``axis``.  MoE layers additionally need ``part_rev`` — a partition of
     the REVERSED edge list (out-edge aggregation, encoder.py:122-124) built
@@ -498,10 +584,14 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
     messages AND the mean's degree on both the fused and the XLA path.
     """
     flags = cfg.moe_layer_flags()
+    if cfg.backbone not in ("sage", "gcn", "gin", "gat"):
+        raise ValueError(f"Unsupported backbone: {cfg.backbone}")
     if cfg.backbone != "sage":
-        raise NotImplementedError(
-            "halo mode supports the SAGE backbone; use "
-            "parallel.edge_partition (psum mode) for other backbones")
+        # gcn/gin/gat run their XLA formulations over the halo layout
+        # (matching the single-device path, which is XLA for them too);
+        # the fused Pallas layouts encode SAGE message semantics only.
+        flags = [False] * cfg.num_layers
+        lay_loc = lay_rem = None
     if any(flags) and part_rev is None:
         raise ValueError("MoE layers in halo mode need part_rev (a halo "
                          "partition of the reversed edge list)")
@@ -570,6 +660,12 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
             z = halo_moe_sage_aggregate(z, part_rev, layer_p, weights,
                                         axis=axis)
             env_idx += 1
+        elif cfg.backbone == "gcn":
+            z = halo_gcn_apply(layer_p, z, part, axis=axis)
+        elif cfg.backbone == "gin":
+            z = halo_gin_apply(layer_p, z, part, axis=axis)
+        elif cfg.backbone == "gat":
+            z = halo_gat_apply(layer_p, z, part, axis=axis)
         else:
             ef = part.get("ef_loc")
             if ef is not None and ef.shape[-1] != z.shape[-1]:
