@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--nodes", type=int, default=169_343)
     ap.add_argument("--edges", type=int, default=1_166_243)
     ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--locsplit", action="store_true",
+                    help="also bench the LocSplit two-launch vs merged "
+                         "single-kernel paths (hubs off)")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +114,33 @@ def main():
         dt = bench_scan(step, x0, lay, iters=args.iters)
         print(json.dumps({"path": name, "ms_per_step": round(dt * 1e3, 3),
                           "edges_per_s": round(e / dt)}), flush=True)
+
+    if args.locsplit:
+        # LocSplit comparison (r3 VERDICT item 4): the same mixed graph with
+        # hubs OFF, so stray (hub-bound) edges go through the split —
+        # two-launch chain vs the merged single kernel.
+        lay_ls = jax.device_put(build_edge_layout(
+            s_np, r_np, n_pad, edge_chunk=512, feat_dim_hint=d,
+            loc_split="on"))
+        sp = lay_ls.split_r
+        print(f"# locsplit: loc_frac {sp.loc_frac:.3f}  "
+              f"strays {int(np.asarray(sp.m_scnt).sum())}  "
+              f"m_gwin_w {sp.m_gwin_w}", flush=True)
+
+        def step_ls(merged):
+            def f(x, lay):
+                return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
+                    x, lay, None, reduce="mean", relu=True,
+                    bf16_messages=True, bf16_out=True, interpret=interpret,
+                    slots=4, loc_merged=merged).astype(jnp.float32) ** 2))(x)
+            return f
+
+        for name, merged in (("locsplit_2launch", False),
+                             ("locsplit_merged", True)):
+            dt = bench_scan(step_ls(merged), x0, lay_ls, iters=args.iters)
+            print(json.dumps({"path": name,
+                              "ms_per_step": round(dt * 1e3, 3),
+                              "edges_per_s": round(e / dt)}), flush=True)
 
 
 if __name__ == "__main__":

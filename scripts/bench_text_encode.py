@@ -14,6 +14,8 @@ timers).  Run on the chip: `python scripts/bench_text_encode.py`.
 
 import argparse
 import json
+import os.path as osp
+import sys
 import time
 
 import numpy as np
@@ -21,7 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from stemgnn_tpu.utils.jax_cache import enable_persistent_cache
+sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
+from stemgnn_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
 

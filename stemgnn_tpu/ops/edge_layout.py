@@ -86,10 +86,29 @@ class LocSplit:
     (gather + scatter).  The two kernels CHAIN through the scatter
     epilogue's additive ``init`` (stray partial sums feed the windowed
     call), so the split costs one extra kernel launch and zero [N, D]
-    passes.  Only the named direction of each sub-layout is used."""
+    passes.  Only the named direction of each sub-layout is used.
+
+    The ``m_*`` fields are the SINGLE-KERNEL variant (r3 VERDICT item 4):
+    all edges in one (scatter-block, stray-class, gather) order; stray
+    edges carry sentinel keys (zero window contribution) plus a stray-rank
+    stream, and each chunk with strays pulls one slice of the compact
+    pre-gathered stray buffer inside the kernel — one launch, no [N, D]
+    partial-sum round trip.  ``m_stray_keys`` are the gather-side node ids
+    in rank order (the wrapper gathers ``x[m_stray_keys]`` as the buffer;
+    padded to leave >= edge_chunk rows of tail slack)."""
     loc: "EdgeLayout"
     stray: "EdgeLayout"
+    m_keys: Optional[jax.Array] = None       # [1, E_pad] int32 (stray=sent.)
+    m_lrow: Optional[jax.Array] = None       # [1, E_pad] int32
+    m_block_ptr: Optional[jax.Array] = None  # [N_pad/NB + 1] int32
+    m_win_lo: Optional[jax.Array] = None     # [C] int32 (local edges only)
+    m_win_nsub: Optional[jax.Array] = None   # [C] int32
+    m_sidx: Optional[jax.Array] = None       # [1, E_pad] int32 (-1 local)
+    m_soff: Optional[jax.Array] = None       # [C] int32
+    m_scnt: Optional[jax.Array] = None       # [C] int32
+    m_stray_keys: Optional[jax.Array] = None  # [S_pad] int32
     loc_frac: float = struct.field(pytree_node=False, default=0.0)
+    m_gwin_w: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -301,7 +320,73 @@ def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
         senders[stray_mask], receivers[stray_mask], num_nodes_padded,
         xe_ids=None if xe_ids is None else xe_ids[stray_mask],
         gwin="off", **sub_kw)
-    return LocSplit(loc=loc_lay, stray=stray_lay, loc_frac=frac)
+    merged = _build_merged_split(scatter_key, gather_key, local, stray_mask,
+                                 num_nodes_padded, node_block, edge_chunk)
+    return LocSplit(loc=loc_lay, stray=stray_lay, loc_frac=frac, **merged)
+
+
+def _build_merged_split(scatter_key, gather_key, local, stray_mask,
+                        num_nodes_padded: int, node_block: int,
+                        edge_chunk: int):
+    """Single-kernel LocSplit metadata (LocSplit ``m_*`` fields): all valid
+    edges in ONE (scatter-block, stray-class, gather) order.  Local edges
+    keep their gather keys (window-coverable by construction); stray edges
+    carry the sentinel key plus a consecutive stray rank so the kernel
+    pulls their pre-gathered rows from a compact side buffer per chunk."""
+    sentinel = num_nodes_padded
+    valid = local | stray_mask
+    idx = np.nonzero(valid)[0]
+    blk = scatter_key[idx].astype(np.int64) // node_block
+    cls = stray_mask[idx].astype(np.int64)
+    g = gather_key[idx].astype(np.int64)
+    order = np.lexsort((g, cls, blk))
+    idx = idx[order]
+    e = len(idx)
+    e_pad = round_up(max(e, edge_chunk), edge_chunk)
+    num_chunks = e_pad // edge_chunk
+
+    sk = np.full(e_pad, sentinel, np.int64)
+    sk[:e] = scatter_key[idx]
+    gk = np.full(e_pad, sentinel, np.int64)
+    gk[:e] = gather_key[idx]
+    is_stray = np.zeros(e_pad, bool)
+    is_stray[:e] = stray_mask[idx]
+    is_local = np.zeros(e_pad, bool)
+    is_local[:e] = ~stray_mask[idx]
+
+    lrow = np.where(is_local | is_stray, sk % node_block,
+                    node_block).astype(np.int32)[None, :]
+    block_ptr = _block_ptr(sk, num_nodes_padded, node_block)
+
+    # window metadata over LOCAL edges only; strays masked out entirely
+    keys = np.where(is_local, gk, sentinel).astype(np.int32)
+    lo, span = _chunk_windows(keys, is_local, edge_chunk, sentinel)
+    max_span = int(span.max()) if len(span) else 0
+    gwin_w = min(max(round_up(max_span, 128), 128), 512, num_nodes_padded)
+    nsub = np.where(span > 0, -(-span // gwin_w), 0).astype(np.int32)
+
+    # consecutive stray ranks in merged order
+    sidx = np.full(e_pad, -1, np.int32)
+    ranks = np.cumsum(is_stray) - 1
+    sidx[is_stray] = ranks[is_stray]
+    n_stray = int(is_stray.sum())
+    ch = np.arange(e_pad) // edge_chunk
+    scnt = np.bincount(ch[is_stray], minlength=num_chunks).astype(np.int32)
+    soff = np.zeros(num_chunks, np.int32)
+    first = np.full(num_chunks, e_pad, np.int64)
+    # first stray position per chunk (positions ascending -> keep first)
+    pos = np.nonzero(is_stray)[0]
+    np.minimum.at(first, ch[pos], pos)
+    has = scnt > 0
+    soff[has] = sidx[first[has]]
+    stray_keys = np.zeros(round_up(n_stray + edge_chunk, 8), np.int32)
+    stray_keys[:n_stray] = gk[is_stray].astype(np.int32)
+
+    return dict(m_keys=keys[None, :], m_lrow=lrow,
+                m_block_ptr=block_ptr,
+                m_win_lo=lo.astype(np.int32), m_win_nsub=nsub,
+                m_sidx=sidx[None, :], m_soff=soff, m_scnt=scnt,
+                m_stray_keys=stray_keys, m_gwin_w=gwin_w)
 
 
 def _build_hub_dense(senders, receivers, edge_mask, gather_by: str,

@@ -49,7 +49,7 @@ def _zero_cot(tree):
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
           interpret: bool, bf16_messages: bool, relu_residual: bool,
           pipeline: str, bf16_out: bool, slots: int, single_type: bool,
-          hub_bf16_acc: bool = True):
+          hub_bf16_acc: bool = True, loc_merged: bool = True):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
 
@@ -145,20 +145,42 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         """LocSplit execution: stray edges via gather + scatter (raw f32,
         chained from ``init0``), local edges via the windowed in-kernel
         gather with the stray sums as its additive init — scale/gate/cast
-        in the final epilogue, zero separate [N, D] combine passes."""
+        in the final epilogue, zero separate [N, D] combine passes.
+
+        When the layout carries the merged single-kernel metadata
+        (LocSplit ``m_*``) and ``loc_merged`` is on, both classes run in
+        ONE windowed-kernel launch: stray rows are pre-gathered compactly
+        (``x[m_stray_keys]``) and pulled per chunk inside the kernel."""
         from stemgnn_tpu.ops.scatter_pallas import \
             gathered_scatter_rows_sorted
         st, lo = sp.stray, sp.loc
+        if loc_merged and sp.m_keys is not None:
+            sbuf = jnp.take(src, sp.m_stray_keys, axis=0, mode="clip")
+            return gathered_scatter_rows_sorted(
+                sp.m_keys, sp.m_lrow, sp.m_block_ptr, sp.m_win_lo,
+                sp.m_win_nsub, _sane(src), table=t0,
+                num_nodes_padded=lo.num_nodes_padded, win_w=sp.m_gwin_w,
+                node_block=lo.node_block, edge_chunk=lo.edge_chunk,
+                relu=relu_msgs, init=init0, scale=scale, gate=gate,
+                out_dtype=out_dtype, interpret=interpret,
+                stray_src=sbuf, stray_idx=sp.m_sidx, stray_off=sp.m_soff,
+                stray_cnt=sp.m_scnt)
         lrow, bp, gather, mask, _, _, _ = _dir(st, order)
         m = jnp.take(src, gather, axis=0, mode="clip")
         if t0 is not None:
             m = m + t0
         m = jnp.where(mask[:, None], m, src.dtype.type(0))
+        # the intermediate [N, D] stray partial sums store in bf16 when the
+        # final output is bf16 anyway (same measured lever as _hub_split's
+        # acc_dt: the f32 store+reload costs 2 extra half-passes)
         stray_out = scatter_rows_sorted(
             m, lrow, bp, num_nodes_padded=st.num_nodes_padded,
             node_block=st.node_block, edge_chunk=st.edge_chunk,
             fast=fast, interpret=interpret, pipeline=pipeline,
-            relu=relu_msgs, slots=slots, init=init0)
+            relu=relu_msgs, slots=slots, init=init0,
+            out_dtype=(jnp.bfloat16
+                       if (out_dtype == jnp.bfloat16 and hub_bf16_acc)
+                       else jnp.float32))
         lrow, bp, keys, _, _, wlo, wns = _dir(lo, order)
         return gathered_scatter_rows_sorted(
             keys[None, :], lrow, bp, wlo, wns, _sane(src), table=t0,
@@ -500,7 +522,8 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          relu_residual: bool = False,
                          pipeline: str = "rolling", bf16_out: bool = False,
                          slots: int = 2, edge_keep=None,
-                         hub_bf16_acc: bool = True):
+                         hub_bf16_acc: bool = True,
+                         loc_merged: bool = True):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -540,7 +563,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     relu_residual = relu_residual and relu and layout.perm_s2r is not None
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
                bf16_messages, relu_residual, pipeline, bf16_out, slots,
-               single_type, hub_bf16_acc)
+               single_type, hub_bf16_acc, loc_merged)
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
     return fn(x, edge_table, layout, edge_keep)

@@ -562,7 +562,7 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
                            *refs, eb: int, nb: int, w: int, n_pad: int,
                            with_table: bool, xe_stream: bool, t_rows: int,
                            relu: bool, has_scale: bool, has_gate: bool,
-                           has_init: bool):
+                           has_init: bool, with_stray: bool = False):
     """Per-block walk that GATHERS the message rows inside the kernel: for
     each (scatter-key-sorted) edge chunk, the gather-side node ids live in a
     narrow window [win_lo, win_lo + nsub*w) (locality-ordered graphs), so
@@ -575,13 +575,28 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
     matmul.  This replaces the XLA random row gather AND the [E, D] message
     materialization of the standard path (reference hot loop semantics
     STEM-GNN/model/encoder.py:94-102).  Messages are built in bf16 (the
-    bf16-message training configuration)."""
+    bf16-message training configuration).
+
+    ``with_stray`` (the single-kernel LocSplit, r3 VERDICT item 4): edges
+    whose gather keys fall outside any window carry sentinel keys (the
+    window matmuls contribute zero for them) plus a stray-rank stream; a
+    chunk with ``stray_cnt > 0`` DMAs one eb-row slice of the compact
+    pre-gathered stray buffer and places those rows into their edge
+    columns with one extra one-hot matmul — no second kernel launch, no
+    [N, D] partial-sum round trip."""
+    if with_stray:
+        stray_off_ref, stray_cnt_ref = refs[0], refs[1]
+        refs = refs[2:]
     k_hbm, l_hbm, x_hbm = refs[0], refs[1], refs[2]
     k = 3
     t_ref = refs[k] if with_table else None
     k += with_table
     xe_hbm = refs[k] if xe_stream else None
     k += xe_stream
+    sidx_hbm = refs[k] if with_stray else None
+    k += with_stray
+    sbuf_hbm = refs[k] if with_stray else None
+    k += with_stray
     init_ref = refs[k] if has_init else None
     k += has_init
     scale_ref = refs[k] if has_scale else None
@@ -591,6 +606,8 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
     out_ref = refs[k]
     (k_buf, l_buf, xe_buf, xwin_buf, sem_k, sem_l, sem_xe, sem_x,
      acc_ref, pre_ref) = refs[k + 1:k + 11]
+    if with_stray:
+        sidx_buf, sbuf_vmem, sem_sidx, sem_sb = refs[k + 11:k + 15]
     i = pl.program_id(0)
     start = block_ptr_ref[i]
     end = block_ptr_ref[i + 1]
@@ -611,6 +628,10 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
             copies.append(pltpu.make_async_copy(
                 xe_hbm.at[:, pl.ds(off, eb)], xe_buf.at[slot],
                 sem_xe.at[slot]))
+        if with_stray:
+            copies.append(pltpu.make_async_copy(
+                sidx_hbm.at[:, pl.ds(off, eb)], sidx_buf.at[slot],
+                sem_sidx.at[slot]))
         return copies
 
     @pl.when(num_chunks > 0)
@@ -635,6 +656,25 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
             nsub = win_nsub_ref[c]
             key = k_buf[slot]                    # [1, eb] int32
             pre_ref[:] = jnp.zeros_like(pre_ref)
+
+            if with_stray:
+                soff = stray_off_ref[c]
+
+                @pl.when(stray_cnt_ref[c] > 0)
+                def _():
+                    # compact stray rows [soff, soff+eb) -> edge columns via
+                    # one one-hot matmul (stray ranks are consecutive in the
+                    # merged edge order, so one slice covers the chunk)
+                    cs = pltpu.make_async_copy(
+                        sbuf_hbm.at[pl.ds(soff, eb), :], sbuf_vmem, sem_sb)
+                    cs.start()
+                    cs.wait()
+                    jrows = jax.lax.broadcasted_iota(jnp.int32, (eb, eb), 0)
+                    g2 = (sidx_buf[slot] - soff == jrows).astype(jnp.bfloat16)
+                    pre_ref[:] += jax.lax.dot_general(
+                        g2, sbuf_vmem[...].astype(jnp.bfloat16),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
             def sub_body(s, _):
                 # window starts 8-aligned on the host; clamped windows at the
@@ -700,7 +740,9 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
                                  node_block: int = NODE_BLOCK,
                                  edge_chunk: int = 512, relu: bool = False,
                                  out_dtype=jnp.float32, scale=None, gate=None,
-                                 init=None, interpret: bool = False):
+                                 init=None, interpret: bool = False,
+                                 stray_src=None, stray_idx=None,
+                                 stray_off=None, stray_cnt=None):
     """Scatter-sum with IN-KERNEL windowed gather:
 
         out[n] = sum_e 1[local_row[e]==n] * f(x[keys[e]] (+ T[xe[e]] | + t0))
@@ -711,7 +753,15 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
     (ops.edge_layout gwin_*).  A 1-row ``table`` with ``xe=None`` broadcasts
     t0 to every message (the factored single-type shift); a multi-row table
     requires the ``xe`` [1, E_pad] stream.  Messages are built in bf16;
-    ``scale``/``gate``/``init`` as in scatter_rows_sorted."""
+    ``scale``/``gate``/``init`` as in scatter_rows_sorted.
+
+    Single-kernel LocSplit (all four together or none): ``stray_src``
+    [S_pad, D] compact pre-gathered rows for out-of-window edges (S_pad
+    must leave >= edge_chunk rows of tail slack), ``stray_idx`` [1, E_pad]
+    per-edge stray rank (-1 for windowed edges, whose ``keys`` must be the
+    sentinel so the windows contribute zero for them), ``stray_off``/
+    ``stray_cnt`` [C] per-chunk first-rank / count (ranks are consecutive
+    within a chunk under the (block, class, gather) edge order)."""
     e_pad = keys.shape[1]
     d = x.shape[1]
     nb, eb, w = node_block, edge_chunk, win_w
@@ -728,6 +778,14 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
         assert t_rows == 1, "multi-row table requires the xe stream"
     has_scale, has_gate = scale is not None, gate is not None
     has_init = init is not None
+    with_stray = stray_src is not None
+    if with_stray:
+        assert stray_idx is not None and stray_off is not None \
+            and stray_cnt is not None
+        assert stray_idx.shape == (1, e_pad)
+        assert stray_off.shape == (num_chunks,)
+        assert stray_cnt.shape == (num_chunks,)
+        assert stray_src.shape[0] >= eb and stray_src.shape[1] == d
     if has_scale:
         assert scale.shape == (num_nodes_padded, 1), scale.shape
     if has_gate:
@@ -748,6 +806,11 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # xe
         operands.append(xe)
         assert xe.shape == (1, e_pad)
+    if with_stray:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # stray_idx
+        operands.append(stray_idx)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))      # stray_src
+        operands.append(stray_src)
     if has_init:
         in_specs.append(pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
                                      memory_space=pltpu.VMEM))
@@ -773,13 +836,23 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
         pltpu.VMEM((nb, d), jnp.float32),              # acc
         pltpu.VMEM((eb, d), jnp.float32),              # pre
     ]
+    if with_stray:
+        scratch += [
+            pltpu.VMEM((2, 1, eb), jnp.int32),         # sidx_buf
+            pltpu.VMEM((eb, d), stray_src.dtype),      # sbuf_vmem
+            pltpu.SemaphoreType.DMA((2,)),             # sem_sidx
+            pltpu.SemaphoreType.DMA(()),               # sem_sb
+        ]
     kernel = functools.partial(_gathered_block_kernel, eb=eb, nb=nb, w=w,
                                n_pad=num_nodes_padded, with_table=with_table,
                                xe_stream=xe_stream, t_rows=t_rows, relu=relu,
                                has_scale=has_scale, has_gate=has_gate,
-                               has_init=has_init)
+                               has_init=has_init, with_stray=with_stray)
+    prefetch = [block_ptr, win_lo, win_nsub]
+    if with_stray:
+        prefetch += [stray_off, stray_cnt]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(prefetch),
         grid=(num_blocks,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((nb, d), lambda i, *_: (i, 0),
@@ -806,4 +879,4 @@ def gathered_scatter_rows_sorted(keys, local_row, block_ptr, win_lo, win_nsub,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=[pltpu.GridDimensionSemantics.ARBITRARY]),
         interpret=interpret,
-    )(block_ptr, win_lo, win_nsub, *operands)
+    )(*prefetch, *operands)

@@ -437,3 +437,40 @@ def test_typed_virtual_hubs_match_plain(rng):
     np.testing.assert_allclose(np.asarray(g1, np.float32)[:n],
                                np.asarray(g0, np.float32)[:n],
                                rtol=2e-2, atol=2e-2)
+
+
+def test_loc_split_merged_single_kernel(rng):
+    """Single-kernel LocSplit (r3 VERDICT item 4): the merged (block,
+    stray-class, gather) layout + in-kernel compact stray pull must match
+    BOTH the two-launch chain and the plain path, values and grads."""
+    n, e, d = 3000, 18000, 64
+    n_pad = ((n + 127) // 128) * 128
+    s, r = _community_graph(rng, n, e, d)
+    lay_plain = build_edge_layout(s, r, n_pad, feat_dim_hint=d)
+    lay_split = build_edge_layout(s, r, n_pad, feat_dim_hint=d,
+                                  loc_split="on")
+    sp = lay_split.split_r
+    assert sp is not None and sp.m_keys is not None
+    # stray ranks are consecutive within each chunk and counts match
+    assert int(sp.m_scnt.sum()) == int((np.asarray(sp.m_sidx) >= 0).sum())
+    assert sp.m_stray_keys.shape[0] >= int(sp.m_scnt.sum()) + 512
+    x = jnp.asarray(rng.standard_normal((n_pad, d)).astype(np.float32))
+
+    def loss(x, lay, merged):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   interpret=True, bf16_messages=True,
+                                   loc_merged=merged)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(x, lay_plain, False)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(x, lay_split, True)
+    (_, o2), g2 = jax.value_and_grad(loss, has_aux=True)(x, lay_split, False)
+    for got, want in [(o1, o0), (g1, g0)]:
+        np.testing.assert_allclose(np.asarray(got, np.float32)[:n],
+                                   np.asarray(want, np.float32)[:n],
+                                   rtol=2e-2, atol=2e-2)
+    # merged == two-launch tightly (same bf16 message arithmetic)
+    for got, want in [(o1, o2), (g1, g2)]:
+        np.testing.assert_allclose(np.asarray(got, np.float32)[:n],
+                                   np.asarray(want, np.float32)[:n],
+                                   rtol=2e-3, atol=2e-3)
