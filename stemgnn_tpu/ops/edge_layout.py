@@ -365,22 +365,23 @@ def _build_merged_split(scatter_key, gather_key, local, stray_mask,
     gwin_w = min(max(round_up(max_span, 128), 128), 512, num_nodes_padded)
     nsub = np.where(span > 0, -(-span // gwin_w), 0).astype(np.int32)
 
-    # consecutive stray ranks in merged order
-    sidx = np.full(e_pad, -1, np.int32)
-    ranks = np.cumsum(is_stray) - 1
-    sidx[is_stray] = ranks[is_stray]
-    n_stray = int(is_stray.sum())
+    # consecutive stray ranks in merged order, with each chunk's FIRST
+    # rank 8-aligned: the kernel DMAs the chunk's buffer slice from
+    # stray_off, and Mosaic requires HBM slice starts divisible by the
+    # sublane tiling (8) — alignment gaps are dead buffer rows
     ch = np.arange(e_pad) // edge_chunk
     scnt = np.bincount(ch[is_stray], minlength=num_chunks).astype(np.int32)
     soff = np.zeros(num_chunks, np.int32)
-    first = np.full(num_chunks, e_pad, np.int64)
-    # first stray position per chunk (positions ascending -> keep first)
-    pos = np.nonzero(is_stray)[0]
-    np.minimum.at(first, ch[pos], pos)
-    has = scnt > 0
-    soff[has] = sidx[first[has]]
-    stray_keys = np.zeros(round_up(n_stray + edge_chunk, 8), np.int32)
-    stray_keys[:n_stray] = gk[is_stray].astype(np.int32)
+    sidx = np.full(e_pad, -1, np.int32)
+    next_rank = 0
+    for c in np.nonzero(scnt)[0]:
+        next_rank = -(-next_rank // 8) * 8
+        soff[c] = next_rank
+        rows = np.nonzero(is_stray[c * edge_chunk:(c + 1) * edge_chunk])[0]
+        sidx[c * edge_chunk + rows] = next_rank + np.arange(len(rows))
+        next_rank += len(rows)
+    stray_keys = np.zeros(round_up(next_rank + edge_chunk, 8), np.int32)
+    stray_keys[sidx[is_stray]] = gk[is_stray].astype(np.int32)
 
     return dict(m_keys=keys[None, :], m_lrow=lrow,
                 m_block_ptr=block_ptr,

@@ -658,7 +658,10 @@ def _gathered_block_kernel(block_ptr_ref, win_lo_ref, win_nsub_ref,  # scalars
             pre_ref[:] = jnp.zeros_like(pre_ref)
 
             if with_stray:
-                soff = stray_off_ref[c]
+                # host guarantees 8-aligned per-chunk stray offsets
+                # (Mosaic must prove HBM slice starts divisible by the
+                # sublane tiling)
+                soff = pl.multiple_of(stray_off_ref[c], 8)
 
                 @pl.when(stray_cnt_ref[c] > 0)
                 def _():

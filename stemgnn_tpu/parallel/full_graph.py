@@ -380,9 +380,12 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
         if cfg.use_vq and not bool(state["vq"]["initted"]):
-            g_full = ds.to_graph(node_pad_to=n_pad)
+            # the fused/layout graph for the one init forward — a raw
+            # to_graph() materializes [E, D] edge features, which OOMs at
+            # arxiv scale (the r1 XLA-path failure mode)
+            from stemgnn_tpu.train.graph_setup import fused_full_graph
             params, state = task_model.maybe_kmeans_init_vq(
-                params, state, cfg, g_full, rng=k_init)
+                params, state, cfg, fused_full_graph(ds, cfg), rng=k_init)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)
@@ -445,9 +448,9 @@ def run_finetune_edge_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
         if cfg.use_vq and not bool(state["vq"]["initted"]):
-            g_full = ds.to_graph(node_pad_to=n_pad)
+            from stemgnn_tpu.train.graph_setup import fused_full_graph
             params, state = task_model.maybe_kmeans_init_vq(
-                params, state, cfg, g_full, rng=k_init)
+                params, state, cfg, fused_full_graph(ds, cfg), rng=k_init)
         trainable, frozen = _split_params(params, cfg)
         opt_state = tx.init(trainable)
         stopper = EarlyStopping(patience=cfg.early_stop)

@@ -21,6 +21,7 @@ VQ params are excluded from the optimizer when frozen (finetune.py:179-181).
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -873,6 +874,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         stopper = EarlyStopping(patience=cfg.early_stop)
 
         for epoch in range(cfg.epochs):
+            t_ep = time.time()
             for g, lab, n_real in make_batches(split["train"],
                                                cfg.batch_size or 64, rng_np):
                 key, k_step = jax.random.split(key)
@@ -882,6 +884,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                 trainable, opt_state, state, loss = split_train_step(
                     trainable, frozen, opt_state, state, k_step, g, y, valid,
                     gmask)
+            t_train = time.time() - t_ep
 
             def auc_of(batch_source):
                 # predictions read back in chunks of 128 batches — one D2H
@@ -918,6 +921,10 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                       "metric": "auc"}
             logger.log(idx, epoch, {k: float(v) for k, v in loss.items()},
                        result)
+            if verbose:
+                print(f"[split {idx}] epoch {epoch}: train {t_train:.1f} s "
+                      f"+ eval {time.time() - t_ep - t_train:.1f} s  "
+                      f"val={result['val']:.2f}", flush=True)
             if stopper(result):
                 break
         if verbose:
