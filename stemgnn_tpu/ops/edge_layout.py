@@ -305,7 +305,12 @@ def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
     dist = g64 - med[np.minimum(blk, nblocks - 1)]
     local = edge_mask & (np.abs(dist) <= loc_reach)
     frac = float(local.sum()) / max(int(edge_mask.sum()), 1)
-    if not force and frac < 0.5:
+    # r4 chip measurement (scripts/bench_gwin.py --locsplit): at 62%-local
+    # the split LOSES to the plain gather path (92.7 vs 89.7 ms) while at
+    # 90%-local it wins by 19% (68.9 vs 81.7) — the stray pass amortizes
+    # only when strays are a small minority, so the auto gate requires
+    # strong locality
+    if not force and frac < 0.8:
         return None
     stray_mask = edge_mask & ~local
     sub_kw = dict(node_block=node_block, edge_chunk=edge_chunk,

@@ -49,7 +49,7 @@ def _zero_cot(tree):
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
           interpret: bool, bf16_messages: bool, relu_residual: bool,
           pipeline: str, bf16_out: bool, slots: int, single_type: bool,
-          hub_bf16_acc: bool = True, loc_merged: bool = True):
+          hub_bf16_acc: bool = True, loc_merged: bool = False):
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
 
@@ -150,7 +150,12 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         When the layout carries the merged single-kernel metadata
         (LocSplit ``m_*``) and ``loc_merged`` is on, both classes run in
         ONE windowed-kernel launch: stray rows are pre-gathered compactly
-        (``x[m_stray_keys]``) and pulled per chunk inside the kernel."""
+        (``x[m_stray_keys]``) and pulled per chunk inside the kernel.
+        MEASURED NEGATIVE on v5e, so OFF by default (BASELINE r4 row):
+        strays scatter across most chunks, so nearly every chunk pays the
+        eb-row side-buffer DMA + the extra one-hot matmul — at 10%% strays
+        the merged kernel ran 85.8 ms vs 68.9 for this two-launch chain
+        (whose [N, D] bf16 init round trip costs well under 1 ms)."""
         from stemgnn_tpu.ops.scatter_pallas import \
             gathered_scatter_rows_sorted
         st, lo = sp.stray, sp.loc
@@ -523,7 +528,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          pipeline: str = "rolling", bf16_out: bool = False,
                          slots: int = 2, edge_keep=None,
                          hub_bf16_acc: bool = True,
-                         loc_merged: bool = True):
+                         loc_merged: bool = False):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
