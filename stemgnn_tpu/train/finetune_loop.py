@@ -833,8 +833,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
     train_step_d = jax.jit(_train_impl, donate_argnums=(0, 2, 3)) \
         if donate else None
 
-    @jax.jit
-    def predict(trainable, frozen, state, g):
+    def _predict_impl(trainable, frozen, state, g):
         g = _prep(g)
         params = _merge(trainable, frozen)
         z, state2, _ = task_model.encode(params, state, cfg, g,
@@ -844,6 +843,62 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         logits, _, _ = task_model.task_logits(params, state2, cfg, pooled,
                                               training=False)
         return jnp.mean(logits, axis=1)
+
+    predict = jax.jit(_predict_impl)
+
+    @jax.jit
+    def predict_many(trainable, frozen, state, gs):
+        """lax.scan over a stack of same-shape eval batches — ONE dispatch
+        per stack instead of one per batch (each dispatch costs a 3-15 ms
+        round trip on tunneled transports; a chempcba-scale AUC pass is
+        ~780 batches x 3 splits per epoch)."""
+        def body(c, g):
+            return c, _predict_impl(trainable, frozen, state, g)
+        _, out = jax.lax.scan(body, 0, gs)
+        return out
+
+    STACK = 64
+
+    def _shape_of(g):
+        return tuple(np.asarray(x).shape for x in
+                     jax.tree_util.tree_leaves(g))
+
+    def build_device_eval(mask):
+        """Device-RESIDENT eval: stack same-shape batches and ship them
+        once (indexed batches are ids — ~0.2 MB each — so a whole
+        chempcba-scale split fits in a few hundred MB of HBM), plus the
+        split's labels/valid for ON-DEVICE AUC
+        (utils.metrics.device_multitask_auc).  Per-epoch eval then costs
+        zero H2D batch traffic and one scalar readback per split, instead
+        of re-shipping every batch and reading [G, T] predictions back
+        (~200 MB/epoch over the ~34 MB/s tunnel).  Returns None over the
+        HBM budget (falls back to streaming)."""
+        idxs = np.where(mask)[0]
+        stacks, pend = [], []
+        total = 0
+        for g, lab, n in _batch_graph_list(graphs, labels, idxs,
+                                           batch_size):
+            if pend and (len(pend) >= STACK
+                         or _shape_of(g) != _shape_of(pend[0])):
+                stacks.append(jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *pend))
+                pend = []
+            pend.append(g)
+            total += sum(np.asarray(x).nbytes for x in
+                         jax.tree_util.tree_leaves(g))
+            if total > 2e9:
+                return None
+        if pend:
+            stacks.append(jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *pend))
+        stacks = [jax.device_put(s) for s in stacks]
+        y_split = np.asarray(labels)[idxs]
+        y_dev = jnp.asarray(np.nan_to_num(y_split).astype(np.float32))
+        valid_dev = jnp.asarray(~np.isnan(y_split))
+        return stacks, y_dev, valid_dev, len(idxs)
+
+    from stemgnn_tpu.utils.metrics import device_multitask_auc
+    auc_scalar = jax.jit(device_multitask_auc)
 
     for idx in range(cfg.repeat):
         first_flag = [True]
@@ -857,7 +912,17 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
-        if cache_eval:
+        dev_eval = None
+        if indexed:
+            dev_eval = {k: build_device_eval(split[k])
+                        for k in ("train", "valid", "test")}
+            if any(v is None for v in dev_eval.values()):
+                dev_eval = None
+        if dev_eval is not None:
+            eval_batches = {k: (lambda k=k: make_batches(
+                split[k], cfg.batch_size or 64))
+                for k in ["train", "valid", "test"]}
+        elif cache_eval:
             cached = {k: list(make_batches(split[k], cfg.batch_size or 64))
                       for k in ["train", "valid", "test"]}
             eval_batches = {k: (lambda k=k: cached[k]) for k in cached}
@@ -887,27 +952,49 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             t_train = time.time() - t_ep
 
             def auc_of(batch_source):
-                # predictions read back in chunks of 128 batches — one D2H
-                # round trip per chunk (each tiny readback costs a full
-                # round trip over remote transports), host memory bounded
-                # for streamed batch sources
-                preds, ys, dev, ns = [], [], [], []
+                # consecutive same-shape batches stack into one scanned
+                # dispatch (predict_many); predictions read back in chunks
+                # — one D2H round trip per chunk; host memory bounded for
+                # streamed batch sources
+                STACK = 64
+                preds, ys, dev, ns, pend = [], [], [], [], []
+
+                def dispatch():
+                    if not pend:
+                        return
+                    if len(pend) == 1:
+                        dev.append(predict(trainable, frozen, state,
+                                           pend[0]))
+                    else:
+                        gs = jax.tree_util.tree_map(
+                            lambda *xs: np.stack(xs), *pend)
+                        out = predict_many(trainable, frozen, state, gs)
+                        dev.append(out.reshape(-1, out.shape[-1]))
+                    pend.clear()
 
                 def flush():
+                    dispatch()
                     if not dev:
                         return
                     flat = np.asarray(jnp.concatenate(dev, axis=0))
-                    bs = dev[0].shape[0]
+                    bs = batch_size
                     preds.extend(flat[i * bs: i * bs + n]
                                  for i, n in enumerate(ns))
                     dev.clear()
                     ns.clear()
 
+                def shape_of(g):
+                    return tuple(np.asarray(x).shape for x in
+                                 jax.tree_util.tree_leaves(g))
+
                 for g, lab, n in batch_source():
-                    dev.append(predict(trainable, frozen, state, g))
+                    if pend and (len(pend) >= STACK
+                                 or shape_of(g) != shape_of(pend[0])):
+                        dispatch()
+                    pend.append(g)
                     ns.append(n)
                     ys.append(lab[:n])
-                    if len(dev) >= 128:
+                    if len(ns) >= 512:
                         flush()
                 flush()
                 if not preds:
@@ -915,10 +1002,24 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                 return evaluate(np.concatenate(preds), np.concatenate(ys),
                                 None, "graph")
 
-            result = {"train": auc_of(eval_batches["train"]),
-                      "val": auc_of(eval_batches["valid"]),
-                      "test": auc_of(eval_batches["test"]),
-                      "metric": "auc"}
+            def auc_of_device(entry):
+                stacks, y_dev, valid_dev, g_total = entry
+                outs = [predict_many(trainable, frozen, state, gs)
+                        for gs in stacks]
+                preds = jnp.concatenate(
+                    [o.reshape(-1, o.shape[-1]) for o in outs])[:g_total]
+                return float(auc_scalar(preds, y_dev, valid_dev)) * 100
+
+            if dev_eval is not None:
+                result = {"train": auc_of_device(dev_eval["train"]),
+                          "val": auc_of_device(dev_eval["valid"]),
+                          "test": auc_of_device(dev_eval["test"]),
+                          "metric": "auc"}
+            else:
+                result = {"train": auc_of(eval_batches["train"]),
+                          "val": auc_of(eval_batches["valid"]),
+                          "test": auc_of(eval_batches["test"]),
+                          "metric": "auc"}
             logger.log(idx, epoch, {k: float(v) for k, v in loss.items()},
                        result)
             if verbose:
