@@ -121,7 +121,7 @@ def main():
         # two-launch chain vs the merged single kernel.
         lay_ls = jax.device_put(build_edge_layout(
             s_np, r_np, n_pad, edge_chunk=512, feat_dim_hint=d,
-            loc_split="on"))
+            loc_split="on", loc_merge=True))
         sp = lay_ls.split_r
         print(f"# locsplit: loc_frac {sp.loc_frac:.3f}  "
               f"strays {int(np.asarray(sp.m_scnt).sum())}  "

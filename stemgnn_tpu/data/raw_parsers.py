@@ -121,7 +121,8 @@ def load_citation_raw(name: str, root: Optional[str] = None,
             import csv as _csv
             with open(cat_path, newline="") as f:
                 rows = list(_csv.reader(f))[1:]
-            desc = {r[0]: (r[1] if len(r) > 1 else "") for r in rows}
+            # csv.reader yields [] for blank lines — tolerate them
+            desc = {r[0]: (r[1] if len(r) > 1 else "") for r in rows if r}
             label_texts = [
                 "prompt node. literature category and description: "
                 + lab + "." + desc.get(lab, "") for lab in label_names]

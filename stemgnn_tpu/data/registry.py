@@ -75,6 +75,19 @@ def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
                                                 save_dataset_cache)
         cached = load_dataset_cache(name, text_encoder, feat_dim)
         if cached is not None:
+            # the cache key is seed-less (features are seed-independent);
+            # re-draw the seeded splits so the caller's seed is honored on
+            # cache hits too (r4 self-review: cache otherwise pins every
+            # run to whichever seed populated it)
+            if name in ("cora", "pubmed") and seed:
+                import dataclasses
+
+                from stemgnn_tpu.data.raw_parsers import _cite_splits
+                tr_n, va_n = (140, 500) if name == "cora" else (60, 500)
+                n_splits = len(cached.splits) if cached.splits else 10
+                cached = dataclasses.replace(
+                    cached, splits=_cite_splits(cached.num_nodes, tr_n,
+                                                va_n, n_splits, seed=seed))
             return cached
         from stemgnn_tpu.data import raw_parsers as rp
         root = kw.pop("root", None)

@@ -275,7 +275,8 @@ def _auto_hub_size(freq: np.ndarray, cap: int, num_nodes_padded: int,
 def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
                      enabled_already: bool, num_nodes_padded: int,
                      node_block: int, edge_chunk: int,
-                     feat_dim_hint: int, loc_split: str, loc_reach: int):
+                     feat_dim_hint: int, loc_split: str, loc_reach: int,
+                     loc_merge: bool = False):
     """One direction's LocSplit, or None when it would not pay (the
     whole-direction gate already enabled windows, the local fraction is too
     small, or the local subset's own break-even gate fails)."""
@@ -325,8 +326,12 @@ def _build_loc_split(senders, receivers, edge_mask, xe_ids, direction: str,
         senders[stray_mask], receivers[stray_mask], num_nodes_padded,
         xe_ids=None if xe_ids is None else xe_ids[stray_mask],
         gwin="off", **sub_kw)
+    # the merged single-kernel metadata is a measured negative on v5e
+    # (BASELINE r4), so its build (full-edge lexsort + per-chunk walk) and
+    # its ~3x [E_pad] int32 device footprint are opt-in (bench/tests)
     merged = _build_merged_split(scatter_key, gather_key, local, stray_mask,
-                                 num_nodes_padded, node_block, edge_chunk)
+                                 num_nodes_padded, node_block,
+                                 edge_chunk) if loc_merge else {}
     return LocSplit(loc=loc_lay, stray=stray_lay, loc_frac=frac, **merged)
 
 
@@ -590,6 +595,7 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
                       sc_hub_size: int = 0,
                       loc_split: str = "off",
                       loc_reach: int = 256,
+                      loc_merge: bool = False,
                       num_edge_types: int = 1) -> EdgeLayout:
     """Host numpy prep.  ``senders``/``receivers`` may include padded slots
     (edge_mask False); they are re-pointed at the sentinel and sorted last.
@@ -762,11 +768,11 @@ def build_edge_layout(senders, receivers, num_nodes_padded: int,
         split_r = None if hub_r is not None else _build_loc_split(
             senders, receivers, edge_mask, xe_ids, "r",
             gwin_fields["use_gwin_r"], num_nodes_padded, node_block,
-            edge_chunk, feat_dim_hint, loc_split, loc_reach)
+            edge_chunk, feat_dim_hint, loc_split, loc_reach, loc_merge)
         split_s = None if hub_s is not None else _build_loc_split(
             senders, receivers, edge_mask, xe_ids, "s",
             gwin_fields["use_gwin_s"], num_nodes_padded, node_block,
-            edge_chunk, feat_dim_hint, loc_split, loc_reach)
+            edge_chunk, feat_dim_hint, loc_split, loc_reach, loc_merge)
 
     lay = EdgeLayout(
         senders_r=to_dev(fw["a"]), receivers_r=to_dev(fw["b"]),

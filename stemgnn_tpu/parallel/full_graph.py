@@ -248,6 +248,11 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
         # — psum here double-counts by axis_size (caught by the
         # dryrun_multichip parity check, r4).
         grads = jax.lax.pmean(grads, axis)
+        # replicated-state consistency (as in halo_pretrain): the per-shard
+        # folded VQ rng makes dead-code expiry reseeds shard-local, so the
+        # state must be averaged back to a replicated value before it is
+        # adopted into trainable params (r4 self-review)
+        new_state = jax.lax.pmean(new_state, axis)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         if cfg.use_vq and not cfg.freeze_vq and cfg.vq.ema_update:

@@ -874,31 +874,50 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         (~200 MB/epoch over the ~34 MB/s tunnel).  Returns None over the
         HBM budget (falls back to streaming)."""
         idxs = np.where(mask)[0]
-        stacks, pend = [], []
+        stacks, ks, pend = [], [], []
         total = 0
+
+        def close():
+            if not pend:
+                return
+            ks.append(len(pend))
+            # pad to the fixed STACK length (repeat the last batch) so
+            # predict_many compiles once per BATCH shape, not once per
+            # (length, shape) pair — remote compiles cost minutes each
+            pend.extend([pend[-1]] * (STACK - len(pend)))
+            stacks.append(jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *pend))
+            pend.clear()
+
         for g, lab, n in _batch_graph_list(graphs, labels, idxs,
                                            batch_size):
             if pend and (len(pend) >= STACK
                          or _shape_of(g) != _shape_of(pend[0])):
-                stacks.append(jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs), *pend))
-                pend = []
+                close()
             pend.append(g)
             total += sum(np.asarray(x).nbytes for x in
                          jax.tree_util.tree_leaves(g))
             if total > 2e9:
                 return None
-        if pend:
-            stacks.append(jax.tree_util.tree_map(
-                lambda *xs: np.stack(xs), *pend))
+        close()
         stacks = [jax.device_put(s) for s in stacks]
         y_split = np.asarray(labels)[idxs]
         y_dev = jnp.asarray(np.nan_to_num(y_split).astype(np.float32))
         valid_dev = jnp.asarray(~np.isnan(y_split))
-        return stacks, y_dev, valid_dev, len(idxs)
+        return stacks, ks, y_dev, valid_dev, len(idxs)
 
     from stemgnn_tpu.utils.metrics import device_multitask_auc
     auc_scalar = jax.jit(device_multitask_auc)
+
+    # the device-resident eval stacks depend only on the fixed split —
+    # build them ONCE, outside the repeat loop (re-shipping a few hundred
+    # MB per repeat over the tunnel is exactly the traffic they remove)
+    dev_eval = None
+    if indexed:
+        dev_eval = {k: build_device_eval(split[k])
+                    for k in ("train", "valid", "test")}
+        if any(v is None for v in dev_eval.values()):
+            dev_eval = None
 
     for idx in range(cfg.repeat):
         first_flag = [True]
@@ -912,12 +931,6 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             vq_params=None if pretrained is None else _copy(pretrained["vq_params"]),
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
-        dev_eval = None
-        if indexed:
-            dev_eval = {k: build_device_eval(split[k])
-                        for k in ("train", "valid", "test")}
-            if any(v is None for v in dev_eval.values()):
-                dev_eval = None
         if dev_eval is not None:
             eval_batches = {k: (lambda k=k: make_batches(
                 split[k], cfg.batch_size or 64))
@@ -952,24 +965,27 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             t_train = time.time() - t_ep
 
             def auc_of(batch_source):
-                # consecutive same-shape batches stack into one scanned
-                # dispatch (predict_many); predictions read back in chunks
-                # — one D2H round trip per chunk; host memory bounded for
-                # streamed batch sources
-                STACK = 64
+                # consecutive same-shape batches pad to the fixed STACK
+                # length and run as one scanned dispatch (predict_many,
+                # one executable per batch shape); predictions read back
+                # in chunks — one D2H round trip per chunk; host memory
+                # bounded for streamed batch sources
                 preds, ys, dev, ns, pend = [], [], [], [], []
 
                 def dispatch():
                     if not pend:
                         return
-                    if len(pend) == 1:
+                    k = len(pend)
+                    if k == 1:
                         dev.append(predict(trainable, frozen, state,
                                            pend[0]))
                     else:
+                        pend.extend([pend[-1]] * (STACK - k))
                         gs = jax.tree_util.tree_map(
                             lambda *xs: np.stack(xs), *pend)
                         out = predict_many(trainable, frozen, state, gs)
-                        dev.append(out.reshape(-1, out.shape[-1]))
+                        dev.append(out.reshape(-1, out.shape[-1])
+                                   [:k * batch_size])
                     pend.clear()
 
                 def flush():
@@ -983,13 +999,9 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     dev.clear()
                     ns.clear()
 
-                def shape_of(g):
-                    return tuple(np.asarray(x).shape for x in
-                                 jax.tree_util.tree_leaves(g))
-
                 for g, lab, n in batch_source():
                     if pend and (len(pend) >= STACK
-                                 or shape_of(g) != shape_of(pend[0])):
+                                 or _shape_of(g) != _shape_of(pend[0])):
                         dispatch()
                     pend.append(g)
                     ns.append(n)
@@ -1003,11 +1015,12 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                                 None, "graph")
 
             def auc_of_device(entry):
-                stacks, y_dev, valid_dev, g_total = entry
+                stacks, ks, y_dev, valid_dev, g_total = entry
                 outs = [predict_many(trainable, frozen, state, gs)
                         for gs in stacks]
                 preds = jnp.concatenate(
-                    [o.reshape(-1, o.shape[-1]) for o in outs])[:g_total]
+                    [o.reshape(-1, o.shape[-1])[:k * batch_size]
+                     for o, k in zip(outs, ks)])[:g_total]
                 return float(auc_scalar(preds, y_dev, valid_dev)) * 100
 
             if dev_eval is not None:

@@ -96,9 +96,14 @@ def device_multitask_auc(pred, y, valid):
         avg_rank = (lo + hi + 1.0) / 2.0            # 1-based average rank
         pos = v & (yy == 1)
         neg = v & (yy == 0)
-        np_, nn = jnp.sum(pos), jnp.sum(neg)
+        # float products: int32 np_*(np_+1) wraps past ~46K positives —
+        # exactly the chempcba-scale splits this exists for (caught by the
+        # r4 self-review; f32's ~1e-7 relative error is fine for a metric)
+        np_ = jnp.sum(pos).astype(jnp.float32)
+        nn = jnp.sum(neg).astype(jnp.float32)
         sum_pos = jnp.sum(jnp.where(pos, avg_rank, 0.0))
-        auc = (sum_pos - np_ * (np_ + 1) / 2.0) / jnp.maximum(np_ * nn, 1)
+        auc = (sum_pos - np_ * (np_ + 1.0) / 2.0) / jnp.maximum(np_ * nn,
+                                                                1.0)
         return jnp.where((np_ > 0) & (nn > 0), auc, jnp.nan)
 
     aucs = jax.vmap(one, in_axes=(1, 1, 1))(pred, y, valid)

@@ -448,7 +448,7 @@ def test_loc_split_merged_single_kernel(rng):
     s, r = _community_graph(rng, n, e, d)
     lay_plain = build_edge_layout(s, r, n_pad, feat_dim_hint=d)
     lay_split = build_edge_layout(s, r, n_pad, feat_dim_hint=d,
-                                  loc_split="on")
+                                  loc_split="on", loc_merge=True)
     sp = lay_split.split_r
     assert sp is not None and sp.m_keys is not None
     # stray ranks are consecutive within each chunk and counts match

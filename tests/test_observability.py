@@ -161,3 +161,23 @@ def test_missing_feature_tsv_export(tmp_path):
     assert lines[0].split("\t") == ["split", "missing_val", "missing_test"]
     assert lines[1].split("\t") == ["0", "81.5", "80.25"]
     assert lines[2].split("\t") == ["1", "82.0", "79.0"]
+
+
+def test_device_auc_matches_host_at_scale():
+    """device_multitask_auc == host eval_auc incl. at row counts where
+    int32 rank products would wrap (r4 self-review regression: P*(P+1)
+    overflowed past ~46K positives)."""
+    import jax.numpy as jnp
+
+    from stemgnn_tpu.utils.metrics import device_multitask_auc, eval_auc
+    rng = np.random.default_rng(0)
+    for G in (4000, 200_000):
+        y = rng.integers(0, 2, (G, 3)).astype(float)
+        y[rng.random((G, 3)) < 0.3] = np.nan
+        pred = rng.standard_normal((G, 3)) + 0.5 * np.nan_to_num(y)
+        pred[rng.random((G, 3)) < 0.1] = 0.25          # ties
+        host = eval_auc(pred, y)
+        dev = float(device_multitask_auc(
+            jnp.asarray(pred, jnp.float32), jnp.asarray(np.nan_to_num(y)),
+            jnp.asarray(~np.isnan(y))))
+        assert abs(host - dev) < 1e-4, (G, host, dev)
