@@ -191,6 +191,14 @@ def main():
                                          make_layout(hub_size=768,
                                                      sc_hub_size=768))
 
+        # r4 H re-sweep after the bf16 store change (scripts/sweep_hub.py):
+        # 512 125.5M > 768 123.3M > 384 118.3M > 1024 108.1M; larger
+        # edge_chunk (1024) and slots=8 both lose.  The auto selector
+        # already picks 512 on this graph; this pins it as a candidate.
+        candidates["fused_hub_sc512"] = (fused_bf16act_step, x0_bf16,
+                                         make_layout(hub_size=512,
+                                                     sc_hub_size=512))
+
         def fused_f32acc_step(x, layout):
             return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
                 x, layout, None, reduce="mean", relu=True, bf16_messages=True,

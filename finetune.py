@@ -84,6 +84,10 @@ def get_args():
                         "llama2_* use the first-party JAX forwards from a "
                         "local weights snapshot (nn/{distilbert,bert,"
                         "llama}.py)")
+    p.add_argument("--save_model", default="",
+                   help="write the best-val task model (params + state + "
+                        "config) to this npz for infer.py --mode predict "
+                        "(node/link tasks)")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -247,7 +251,8 @@ def main():
             fused=None if args.use_fused_layout else False)
     else:
         logger = run_finetune(payload, cfg, pretrained=pretrained,
-                              verbose=True, donate=args.donate)
+                              verbose=True, donate=args.donate,
+                              save_model_to=args.save_model)
     best = logger.get_best()
     print("final/train: {:.2f} ± {:.2f}".format(best["train"]["mean"],
                                                 best["train"]["std"]))

@@ -453,7 +453,8 @@ def _select_step(nondonating, donating, first_flag):
 
 def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                    pretrained=None, task_kind: str = "node",
-                   verbose: bool = False, donate: bool = False):
+                   verbose: bool = False, donate: bool = False,
+                   save_model_to: str = ""):
     minibatch = cfg.batch_size != 0
     donate = donate and _donation_safe(cfg)
     chunked_eval = cfg.eval_chunked and cfg.encoder.backbone == "sage"
@@ -487,6 +488,16 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     splits = splits[: cfg.repeat]
 
     logger = Logger()
+    # serving export (finetune.py --save_model): keep the best-val model
+    # across splits; snapshot granularity matches each path's stop check
+    # (per epoch, or per epoch-chunk on the scanned paths)
+    best_model = {"val": -1.0}
+
+    def maybe_snap(trainable, frozen, state, val):
+        if save_model_to and val > best_model["val"]:
+            best_model.update(val=val, params=_merge(
+                jax.device_get(trainable), jax.device_get(frozen)),
+                state=jax.device_get(state))
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
     train_step_fn, eval_step_fn = _make_node_steps(cfg, task_kind)
     train_step = jax.jit(lambda t, f, o, s, r, m, g, yy: train_step_fn(
@@ -604,6 +615,8 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                                   f"{epoch + j}")
                         stopped = True
                         break
+                maybe_snap(trainable, frozen, state,
+                           max(float(a[1]) for a in accs))
                 epoch += eff_chunk
             if verbose:
                 b = logger.get_single_best(idx)
@@ -676,6 +689,8 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                                   f"{epoch + j}")
                         stopped = True
                         break
+                maybe_snap(trainable, frozen, state,
+                           max(float(a[1]) for a in accs))
                 epoch += T
             if verbose:
                 b = logger.get_single_best(idx)
@@ -723,6 +738,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             }
             logger.log(idx, epoch, {k: float(v) for k, v in loss.items()},
                        result)
+            maybe_snap(trainable, frozen, state, float(result["val"]))
             if stopper(result):
                 if verbose:
                     print(f"[split {idx}] early stop at epoch {epoch}")
@@ -731,6 +747,19 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             b = logger.get_single_best(idx)
             print(f"[split {idx}] best val={b['val']:.2f} test={b['test']:.2f}")
 
+    if save_model_to and "params" in best_model:
+        import dataclasses
+
+        from stemgnn_tpu.utils import checkpoint as _ckpt
+        _ckpt.save_pytree(
+            save_model_to,
+            {"params": best_model["params"], "state": best_model["state"]},
+            meta={"config": dataclasses.asdict(cfg),
+                  "best_val": best_model["val"], "task": cfg.task,
+                  "dataset": cfg.dataset})
+        if verbose:
+            print(f"[save_model] best-val model (val="
+                  f"{best_model['val']:.2f}) -> {save_model_to}")
     return logger
 
 
@@ -1050,7 +1079,8 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
 # ------------------------------------------------------------------ front-end
 
 def run_finetune(ds, cfg: FinetuneConfig, pretrained=None,
-                 verbose: bool = False, donate: bool = False):
+                 verbose: bool = False, donate: bool = False,
+                 save_model_to: str = ""):
     """Returns the Logger after all repeats (mean±std via get_best()).
 
     ``ds``: TAGDataset for node/link; (graphs, labels, split) tuple for graph.
@@ -1062,7 +1092,7 @@ def run_finetune(ds, cfg: FinetuneConfig, pretrained=None,
     """
     if cfg.task in ("node", "link"):
         return _run_node_like(ds, cfg, pretrained, cfg.task, verbose,
-                              donate=donate)
+                              donate=donate, save_model_to=save_model_to)
     if cfg.task == "graph":
         graphs, labels, split = ds
         return _run_graph_task(graphs, labels, split, cfg, pretrained,
