@@ -86,8 +86,11 @@ def get_args():
                         "llama}.py)")
     p.add_argument("--save_model", default="",
                    help="write the best-val task model (params + state + "
-                        "config) to this npz for infer.py --mode predict "
-                        "(node/link tasks)")
+                        "config) to this npz for infer.py --mode predict")
+    p.add_argument("--eval_every", type=int, default=1,
+                   help="graph task: run the 3-split AUC eval every K "
+                        "epochs (1 = reference protocol; at chempcba scale "
+                        "eval dominates epoch wall time)")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -231,7 +234,7 @@ def main():
         decoder_jac_coeff=args.decoder_jac_coeff, lamda_env=args.lamda_env,
         num_classes=num_classes, eval_chunked=bool(args.eval_chunked),
         use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size,
-        reorder=args.reorder)
+        reorder=args.reorder, eval_every=args.eval_every)
 
     if args.halo_shards:
         if task != "node":

@@ -61,10 +61,10 @@ def main():
 
     name = args.finetune_dataset
     task = dataset2task[name]
-    if task == "graph":
-        raise SystemExit("graph-task inference: use the finetune loop's "
-                         "eval path (per-batch pooling); infer.py serves "
-                         "node/link datasets")
+    if task == "graph" and args.mode != "predict":
+        raise SystemExit("graph-task inference: --mode predict exports "
+                         "pooled per-molecule probabilities; --mode encode "
+                         "serves node/link datasets")
     ds = load_dataset(name, feat_dim=args.feat_dim, seed=args.seed,
                       text_encoder=args.text_encoder)
 
@@ -77,6 +77,19 @@ def main():
         from stemgnn_tpu.core.config import FinetuneConfig, from_dict
         cfg = from_dict(FinetuneConfig(), meta["config"])
         params, state = payload["params"], payload["state"]
+        if task == "graph":
+            # pooled per-molecule multitask probabilities (the serving
+            # analog of the reference's AUC scores, task/graph.py:60-97)
+            from stemgnn_tpu.train.finetune_loop import graph_task_predict
+            graphs, labels, _ = ds
+            logits = graph_task_predict(graphs, labels.shape[1], cfg,
+                                        params, state)
+            probs = 1.0 / (1.0 + np.exp(-logits))
+            np.savez_compressed(args.out, probs=probs, logits=logits,
+                                pred=(probs > 0.5).astype(np.int8))
+            print(f"wrote {args.out}: probs {probs.shape} "
+                  f"(per-molecule multitask)")
+            return
         graph = fused_full_graph(ds, cfg)
         import jax.numpy as jnp
         z, state2, _ = task_model.encode(params, state, cfg, graph,

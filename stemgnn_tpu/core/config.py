@@ -194,6 +194,14 @@ class FinetuneConfig:
     # out-edges of hub senders as one transposed dense matmul.  Gated by
     # the same per-chip break-even model; 0 disables.
     sc_hub_size: int = 2048
+    # Graph task: evaluate AUC on all three splits every K epochs instead of
+    # every epoch (the reference evaluates per epoch, task/graph.py:80 — the
+    # default 1 keeps that protocol).  At chempcba scale the 3-split eval
+    # forward pass dominates epoch wall time (BASELINE r4 graph-scale row:
+    # train ~6-8 s + eval ~28-33 s), so K>1 trades eval granularity for
+    # ~K× less eval compute; early-stop patience then counts EVAL points.
+    # The final epoch always evaluates.
+    eval_every: int = 1
     # Node reordering for gather locality (ops/reorder.py): "auto" applies
     # RCM when the windowed-gather break-even gate says the reordered graph
     # wins (full-batch fused path only); "rcm"/"degree" force a method;

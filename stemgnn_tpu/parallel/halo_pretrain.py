@@ -369,6 +369,12 @@ def run_pretrain_halo(merged, cfg: PretrainConfig, mesh, *, weights,
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init = jax.random.split(key)
     params, teacher, state = pretrain_init(k_init, cfg)
+    # k-means codebook seeding from one sampled batch when configured
+    # (the reference's lazy init-on-first-forward, vq.py:646) — shared
+    # with the minibatch driver; runs single-device before sharding.
+    from stemgnn_tpu.train.pretrain_loop import maybe_kmeans_seed_vq
+    params, state = maybe_kmeans_seed_vq(params, state, cfg, merged,
+                                         weights, k_init)
 
     node_feat = np.asarray(merged["node_text_feat"],
                            np.float32)[np.asarray(merged["x"])]

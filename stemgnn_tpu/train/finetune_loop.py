@@ -804,12 +804,62 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
         yield g, lab, len(chunk)
 
 
+def graph_task_predict(graphs, num_tasks: int, cfg: FinetuneConfig, params,
+                       state, batch_size: int = 0):
+    """Pooled per-molecule prediction export (infer.py --mode predict).
+
+    Streams every graph through the trained task model in dataset order
+    (same `_batch_graph_list` padding buckets as training) and returns
+    head-mean logits [G, num_tasks].  Serving probabilities are
+    ``sigmoid(logits)`` — the multitask-BCE score the reference computes
+    for AUC (task/graph.py:60-97) but never exports.  Works for both
+    materialized graph lists and IndexedGraphList bundles.
+    """
+    from stemgnn_tpu.core.graph import materialize_graph
+    bs = batch_size or cfg.batch_size or 64
+    indexed = getattr(graphs, "node_table", None) is not None
+    if indexed:
+        node_tab = jnp.asarray(np.asarray(graphs.node_table))
+        edge_tab = None if graphs.edge_table is None else \
+            jnp.asarray(np.asarray(graphs.edge_table))
+
+    @jax.jit
+    def predict(params, state, g):
+        if indexed:
+            g = materialize_graph(g, node_tab, edge_tab)
+        z, state2, _ = task_model.encode(params, state, cfg, g,
+                                         training=False)
+        pooled = task_model.pool_graph(z, g, "mean", num_segments=bs)
+        logits, _, _ = task_model.task_logits(params, state2, cfg, pooled,
+                                              training=False)
+        return jnp.mean(logits, axis=1)
+
+    dummy = np.zeros((len(graphs), num_tasks))
+    out = np.zeros((len(graphs), num_tasks), np.float32)
+    i = 0
+    for g, _, n in _batch_graph_list(graphs, dummy,
+                                     np.arange(len(graphs)), bs):
+        out[i: i + n] = np.asarray(predict(params, state, g))[:n]
+        i += n
+    return out
+
+
 def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     pretrained=None, verbose: bool = False,
-                    seed_base: int = 0, donate: bool = False):
+                    seed_base: int = 0, donate: bool = False,
+                    save_model_to: str = ""):
     from stemgnn_tpu.core.graph import materialize_graph
     num_tasks = labels.shape[1]
     logger = Logger()
+    # serving export (finetune.py --save_model), mirroring _run_node_like:
+    # best-val model across repeats, loadable by infer.py --mode predict
+    best_model = {"val": -1.0}
+
+    def maybe_snap(trainable, frozen, state, val):
+        if save_model_to and val > best_model["val"]:
+            best_model.update(val=val, params=_merge(
+                jax.device_get(trainable), jax.device_get(frozen)),
+                state=jax.device_get(state))
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
     donate = donate and _donation_safe(cfg)
     indexed = getattr(graphs, "node_table", None) is not None
@@ -1052,6 +1102,19 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                      for o, k in zip(outs, ks)])[:g_total]
                 return float(auc_scalar(preds, y_dev, valid_dev)) * 100
 
+            # eval_every K: the 3-split AUC forward pass dominates epoch
+            # wall time at chempcba scale (BASELINE r4) — skip it on
+            # non-multiple epochs when cfg.eval_every > 1 (default 1 keeps
+            # the reference's eval-every-epoch protocol, task/graph.py:80).
+            # Early stop then counts EVAL points; the last epoch always
+            # evaluates so the run never ends without a fresh metric.
+            k_ev = max(1, cfg.eval_every)
+            if (epoch + 1) % k_ev and epoch != cfg.epochs - 1:
+                if verbose:
+                    print(f"[split {idx}] epoch {epoch}: train "
+                          f"{t_train:.1f} s (eval skipped, every {k_ev})",
+                          flush=True)
+                continue
             if dev_eval is not None:
                 result = {"train": auc_of_device(dev_eval["train"]),
                           "val": auc_of_device(dev_eval["valid"]),
@@ -1064,6 +1127,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                           "metric": "auc"}
             logger.log(idx, epoch, {k: float(v) for k, v in loss.items()},
                        result)
+            maybe_snap(trainable, frozen, state, float(result["val"]))
             if verbose:
                 print(f"[split {idx}] epoch {epoch}: train {t_train:.1f} s "
                       f"+ eval {time.time() - t_ep - t_train:.1f} s  "
@@ -1073,6 +1137,20 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         if verbose:
             b = logger.get_single_best(idx)
             print(f"[split {idx}] best val={b['val']:.2f} test={b['test']:.2f}")
+
+    if save_model_to and "params" in best_model:
+        import dataclasses
+
+        from stemgnn_tpu.utils import checkpoint as _ckpt
+        _ckpt.save_pytree(
+            save_model_to,
+            {"params": best_model["params"], "state": best_model["state"]},
+            meta={"config": dataclasses.asdict(cfg),
+                  "best_val": best_model["val"], "task": cfg.task,
+                  "dataset": cfg.dataset})
+        if verbose:
+            print(f"[save_model] best-val model (val="
+                  f"{best_model['val']:.2f}) -> {save_model_to}")
     return logger
 
 
@@ -1096,5 +1174,6 @@ def run_finetune(ds, cfg: FinetuneConfig, pretrained=None,
     if cfg.task == "graph":
         graphs, labels, split = ds
         return _run_graph_task(graphs, labels, split, cfg, pretrained,
-                               verbose, donate=donate)
+                               verbose, donate=donate,
+                               save_model_to=save_model_to)
     raise ValueError(f"Invalid task {cfg.task}")

@@ -135,6 +135,52 @@ def make_pretrain_loop_step(cfg: PretrainConfig, tx, *, bs: int,
                    donate_argnums=(0, 1, 2, 3, 5, 6) if donate else ())
 
 
+def maybe_kmeans_seed_vq(params, state, cfg: PretrainConfig, merged,
+                         weights, k_init, csc=None):
+    """Seed the VQ codebook by k-means over one sampled batch's encoder
+    embeddings when ``cfg.vq.kmeans_init`` and the codebook is not yet
+    initted.
+
+    The reference's VQ lazily k-means-inits from the first forward when
+    kmeans_init is set (vq.py:646, triggered via the dummy forward in
+    utils/others.py:168-170); this is the functional analog for BOTH
+    pretrain drivers (run_pretrain and parallel.halo_pretrain) — without
+    it, training runs (and silently NaNs under a cosine codebook) from an
+    all-zero codebook.  The reference pretrain entry uses
+    kmeans_init=False (pretrain.py:117) so default recipes are unaffected.
+    """
+    if not cfg.vq.kmeans_init or bool(np.asarray(state["vq"]["initted"])):
+        return params, state
+    import jax.numpy as jnp
+
+    from stemgnn_tpu.core.graph import materialize_graph
+    from stemgnn_tpu.nn.encoder import encoder_apply
+    from stemgnn_tpu.vq import vq_kmeans_init
+    if csc is None:
+        csc = CSCGraph.from_edge_index(np.asarray(merged["edge_index"]),
+                                       merged["x"].shape[0])
+    seeds0 = get_train_node_idx(np.asarray(merged["ptr"]), weights,
+                                np.random.default_rng(cfg.seed))
+    it0 = NeighborBatchIterator(
+        csc, merged["node_text_feat"], merged.get("edge_text_feat"),
+        merged["x"], merged.get("xe"), seeds0,
+        min(cfg.batch_size, len(seeds0)),
+        [cfg.fanout] * cfg.encoder.num_layers,
+        np.random.default_rng(cfg.seed), drop_last=False, indexed=True)
+    g0 = next(iter(it0))[0]
+    gm = materialize_graph(
+        g0, jnp.asarray(np.asarray(merged["node_text_feat"], np.float32)),
+        None if merged.get("edge_text_feat") is None else
+        jnp.asarray(np.asarray(merged["edge_text_feat"], np.float32)))
+    z0, _, _ = encoder_apply(
+        params["encoder"], state["encoder"], cfg.encoder, gm.node_feat,
+        gm.senders, gm.receivers, edge_feat=gm.edge_feat,
+        edge_mask=gm.edge_mask, node_mask=gm.node_mask, training=False)
+    vq_p, vq_s = vq_kmeans_init(k_init, params["vq"], state["vq"], cfg.vq,
+                                z0, mask=gm.node_mask)
+    return dict(params, vq=vq_p), dict(state, vq=vq_s)
+
+
 def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                  save_root: Optional[str] = None, log_fn=None,
                  max_steps: Optional[int] = None, verbose: bool = True,
@@ -193,6 +239,9 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
     etf = merged.get("edge_text_feat")
     edge_table = None if etf is None else jnp.asarray(
         np.asarray(etf, np.float32)).astype(tdt)
+
+    params, state = maybe_kmeans_seed_vq(params, state, cfg, merged,
+                                         weights, k_init, csc=csc)
 
     n_dev = 1
     dp_loop_step = None

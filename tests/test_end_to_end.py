@@ -60,6 +60,43 @@ def test_finetune_graph_auc():
     assert best["test"]["mean"] > 55, best
 
 
+def test_graph_save_model_predict_and_eval_every(tmp_path):
+    """Serving export for the graph task: --save_model writes the best-val
+    model, graph_task_predict (infer.py --mode predict) reproduces the
+    pooled multitask scores, and eval_every=K skips (K-1)/K of the 3-split
+    AUC evals (the compute-bound stage at chempcba scale, BASELINE r4)."""
+    from stemgnn_tpu.core.config import from_dict
+    from stemgnn_tpu.train.finetune_loop import graph_task_predict
+    from stemgnn_tpu.utils.checkpoint import load_meta, load_pytree
+    from stemgnn_tpu.utils.metrics import evaluate
+
+    bundle = synthetic_graph_dataset(num_graphs=80, num_tasks=2, feat_dim=D,
+                                     seed=1)
+    graphs, labels, split = bundle
+    cfg = FinetuneConfig(encoder=small_enc("batch"), vq=small_vq(),
+                         task="graph", epochs=6, early_stop=10, lr=1e-2,
+                         repeat=1, batch_size=32, num_classes=2,
+                         freeze_vq=False, eval_every=3)
+    path = str(tmp_path / "graph_model.npz")
+    logger = run_finetune(bundle, cfg, save_model_to=path)
+    # epochs 0..5 with eval_every=3 -> evals at epochs 2 and 5 only
+    assert len(logger.data[0]["val"]) == 2, logger.data[0]["val"]
+
+    payload = load_pytree(path)
+    meta = load_meta(path)
+    assert meta["task"] == "graph" and meta["best_val"] > 0
+    cfg2 = from_dict(FinetuneConfig(), meta["config"])
+    logits = graph_task_predict(graphs, labels.shape[1], cfg2,
+                                payload["params"], payload["state"])
+    assert logits.shape == (len(graphs), labels.shape[1])
+    assert np.isfinite(logits).all()
+    val_idx = np.where(split["valid"])[0]
+    auc = evaluate(logits[val_idx], labels[val_idx], None, "graph")
+    # the exported scores must reproduce the saved best-val quality
+    assert auc == pytest.approx(meta["best_val"], abs=1.0), (
+        auc, meta["best_val"])
+
+
 def test_pretrain_then_finetune(tmp_path):
     ds = synthetic_node_dataset(num_nodes=250, num_classes=4, feat_dim=D,
                                 train_per_split=40, val_per_split=60,
@@ -82,6 +119,24 @@ def test_pretrain_then_finetune(tmp_path):
         lr=5e-3, repeat=1, num_classes=4)
     best = run_finetune(ds, ft_cfg, pretrained=bundle).get_best()
     assert best["test"]["mean"] > 50, best
+
+
+def test_pretrain_kmeans_init_finite(tmp_path):
+    """Pretrain with cfg.vq.kmeans_init must seed the codebook from the
+    first batch (the reference's lazy init-on-first-forward, vq.py:646) —
+    it used to train from an all-zero codebook and NaN immediately."""
+    ds = synthetic_node_dataset(num_nodes=300, num_classes=3, feat_dim=D,
+                                train_per_split=40, val_per_split=60,
+                                num_splits=1, seed=5)
+    cfg = PretrainConfig(
+        encoder=small_enc("batch"),
+        vq=small_vq(kmeans_init=True),
+        epochs=1, batch_size=32, fanout=4, lr=1e-3)
+    _, _, state, hist = run_pretrain(merge_datasets([ds]), cfg,
+                                     weights=[1.0],
+                                     save_root=str(tmp_path), verbose=False)
+    assert np.isfinite(hist[-1]["loss"]), hist[-1]
+    assert bool(np.asarray(state["vq"]["initted"]))
 
 
 def test_checkpoint_roundtrip(tmp_path):

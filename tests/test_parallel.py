@@ -679,6 +679,32 @@ def test_run_pretrain_halo_end_to_end(rng, tmp_path):
     assert os.path.exists(tmp_path / "vq_4.npz")
 
 
+def test_run_pretrain_halo_kmeans_init(rng, tmp_path):
+    """kmeans_init seeds the codebook before step 0 in the halo driver too
+    (shared maybe_kmeans_seed_vq) — it used to NaN from a zero codebook."""
+    from stemgnn_tpu.data.merge import merge_datasets
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.halo_pretrain import run_pretrain_halo
+
+    ds = synthetic_node_dataset(num_nodes=90, num_classes=4, feat_dim=D,
+                                train_per_split=20, val_per_split=20,
+                                num_splits=1, seed=0)
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0, kmeans_init=True),
+        epochs=2, lr=3e-3, feat_p=0.1, edge_p=0.1, topo_recon_ratio=0.1,
+        seed=0)
+    mesh = make_mesh(axis_sizes=(2, 4), axis_names=("data", "edge"))
+    _, _, state, hist = run_pretrain_halo(
+        merge_datasets([ds]), cfg, mesh, weights=[1.0],
+        verbose=False, interpret=True)
+    losses = [h["loss"] for h in hist]
+    assert np.isfinite(losses).all(), losses
+    assert bool(np.asarray(state["vq"]["initted"]))
+
+
 def test_halo_pretrain_to_finetune_handoff(rng, tmp_path):
     """Checkpoints written by the halo pretrain driver load into the
     standard finetune path (the reference's encoder_N/vq_N handoff,
