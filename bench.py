@@ -77,9 +77,17 @@ def _bench(step_fn, x0, aux, iters):
         return jnp.sum(probes)
 
     float(run(x0, aux))                  # compile + warm
-    t0 = time.perf_counter()
-    float(run(x0, aux))
-    return max((time.perf_counter() - t0 - 0.003) / iters, 1e-9)
+    # Best-of-3 timed reps: each rep pays one dispatch + one readback over
+    # the tunnel (RTT 3-24 ms, run-to-run variable) on top of iters * dt of
+    # real work — for fast candidates a single rep leaves 5-10% RTT noise
+    # in the reported rate, which is exactly the run-to-run spread observed
+    # between otherwise identical bench runs.  min() keeps the cleanest rep.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x0, aux))
+        best = min(best, time.perf_counter() - t0)
+    return max((best - 0.003) / iters, 1e-9)
 
 
 def main():

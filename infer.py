@@ -9,10 +9,12 @@ finetune process); this closes the deployment story:
     dataset's full graph, and export per-node **embeddings** [N, D],
     **quantized embeddings** [N, D] and **VQ code indices** [N, H] as one
     npz — the model's reusable artifacts (the VQ codes are the pretrained
-    graph "tokens").
+    graph "tokens").  Graph-task datasets export the per-MOLECULE pooled
+    analogs [G, D] / [G, H].
   * ``--mode predict``: load a task model saved by
     ``finetune.py --save_model`` and export class probabilities for every
-    node (or edge, for link tasks).
+    node (edge, for link tasks; molecule, for graph tasks — multitask
+    sigmoid probabilities).
 
 Examples:
   python infer.py --finetune_dataset WN18RR --text_encoder tfidf \\
@@ -61,10 +63,6 @@ def main():
 
     name = args.finetune_dataset
     task = dataset2task[name]
-    if task == "graph" and args.mode != "predict":
-        raise SystemExit("graph-task inference: --mode predict exports "
-                         "pooled per-molecule probabilities; --mode encode "
-                         "serves node/link datasets")
     ds = load_dataset(name, feat_dim=args.feat_dim, seed=args.seed,
                       text_encoder=args.text_encoder)
 
@@ -147,6 +145,17 @@ def main():
 
     params = {"encoder": pre["encoder_params"], "vq": pre["vq_params"]}
     state = {"encoder": pre["encoder_state"], "vq": pre["vq_state"]}
+    if task == "graph":
+        # per-molecule pooled embeddings + VQ codes (the molecule-level
+        # analog of the node export below)
+        from stemgnn_tpu.train.finetune_loop import graph_task_encode
+        graphs, _, _ = ds
+        pooled, quant, codes = graph_task_encode(graphs, cfg, params, state)
+        np.savez_compressed(args.out, embeddings=pooled, quantized=quant,
+                            codes=codes)
+        print(f"wrote {args.out}: embeddings {pooled.shape}, codes "
+              f"{codes.shape} (per-molecule)")
+        return
     graph = fused_full_graph(ds, cfg)
     from stemgnn_tpu.nn.encoder import encoder_apply
     z, _, _ = encoder_apply(

@@ -844,6 +844,46 @@ def graph_task_predict(graphs, num_tasks: int, cfg: FinetuneConfig, params,
     return out
 
 
+def graph_task_encode(graphs, cfg: FinetuneConfig, params, state,
+                      batch_size: int = 0):
+    """Per-molecule artifacts from a PRETRAINED encoder+VQ (infer.py
+    --mode encode, graph task): encoder -> mean pool per graph ->
+    eval-mode VQ.  Returns (pooled [G, D], quantized [G, D],
+    codes [G, heads]) — the molecule-level analog of the node-task
+    embedding/code export (the VQ codes are the pretrained graph
+    "tokens")."""
+    from stemgnn_tpu.core.graph import materialize_graph
+    from stemgnn_tpu.vq import vq_apply
+    bs = batch_size or cfg.batch_size or 64
+    indexed = getattr(graphs, "node_table", None) is not None
+    if indexed:
+        node_tab = jnp.asarray(np.asarray(graphs.node_table))
+        edge_tab = None if graphs.edge_table is None else \
+            jnp.asarray(np.asarray(graphs.edge_table))
+
+    @jax.jit
+    def enc(params, state, g):
+        if indexed:
+            g = materialize_graph(g, node_tab, edge_tab)
+        z, state2, _ = task_model.encode(params, state, cfg, g,
+                                         training=False)
+        pooled = task_model.pool_graph(z, g, "mean", num_segments=bs)
+        res = vq_apply(params["vq"], state2["vq"], cfg.vq, pooled,
+                       training=False)
+        return pooled, res["quantize"], res["indices"]
+
+    dummy = np.zeros((len(graphs), 1))
+    outs = {"pooled": [], "quant": [], "codes": []}
+    for g, _, n in _batch_graph_list(graphs, dummy,
+                                     np.arange(len(graphs)), bs):
+        pooled, quant, codes = enc(params, state, g)
+        outs["pooled"].append(np.asarray(pooled)[:n])
+        outs["quant"].append(np.asarray(quant)[:n])
+        outs["codes"].append(np.asarray(codes)[:n])
+    return (np.concatenate(outs["pooled"]), np.concatenate(outs["quant"]),
+            np.concatenate(outs["codes"]))
+
+
 def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     pretrained=None, verbose: bool = False,
                     seed_base: int = 0, donate: bool = False,

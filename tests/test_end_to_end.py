@@ -96,6 +96,15 @@ def test_graph_save_model_predict_and_eval_every(tmp_path):
     assert auc == pytest.approx(meta["best_val"], abs=1.0), (
         auc, meta["best_val"])
 
+    # per-molecule embedding/code export (infer.py --mode encode)
+    from stemgnn_tpu.train.finetune_loop import graph_task_encode
+    pooled, quant, codes = graph_task_encode(graphs, cfg2,
+                                             payload["params"],
+                                             payload["state"])
+    assert pooled.shape == (len(graphs), D) and quant.shape == pooled.shape
+    assert codes.shape[0] == len(graphs)
+    assert (codes >= 0).all() and (codes < cfg2.vq.codebook_size).all()
+
 
 def test_pretrain_then_finetune(tmp_path):
     ds = synthetic_node_dataset(num_nodes=250, num_classes=4, feat_dim=D,
