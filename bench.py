@@ -144,19 +144,37 @@ def main():
 
     candidates = {"xla_f32": (xla_step, x0, make_xla_aux)}
     if on_tpu:
-        def fused_step(x, layout):
-            return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
-                x, layout, None, reduce="mean", relu=True,
-                bf16_messages=True, slots=4) ** 2))(x)
+        # Fused candidates measure fwd + VJP with the OUTPUT as cotangent:
+        # exactly the aggregate's work in a real training step (the
+        # upstream grad arrives from the next layer), with no synthetic
+        # grad-of-sum-of-squares loss.  Measured NEUTRAL vs the grad form
+        # (118.2 vs 118.6M edges/s at H=512): scripts/phase_probe.py
+        # times the standalone loss machinery at 2.7 ms, but inside the
+        # full step XLA fuses those elementwise/reduce passes into the
+        # aggregate's own passes — kept for the cleaner semantics, not as
+        # a speedup.  Safe against DCE: the backward consumes the full
+        # forward output as its cotangent, and the Pallas calls are
+        # opaque to slicing.  The xla_f32 baseline keeps the sum-forced
+        # form: single-element probes CAN slice through pure-XLA gather
+        # graphs (r1 note).
+        def _vjp_step(agg_fn):
+            def step(x, layout):
+                out, vjp = jax.vjp(lambda x: agg_fn(x, layout), x)
+                (dx,) = vjp(out)
+                return dx
+            return step
+
+        fused_step = _vjp_step(lambda x, layout: fused_sage_aggregate(
+            x, layout, None, reduce="mean", relu=True,
+            bf16_messages=True, slots=4))
         candidates["fused_bf16"] = (fused_step, x0, make_layout())
 
         # bf16 activations end-to-end (the bf16-training configuration —
         # activations live in bf16 between layers): halves the x-gather, the
         # aggregate-output, and the dx traffic on top of bf16 messages.
-        def fused_bf16act_step(x, layout):
-            return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
-                x, layout, None, reduce="mean", relu=True, bf16_messages=True,
-                bf16_out=True, slots=4).astype(jnp.float32) ** 2))(x)
+        fused_bf16act_step = _vjp_step(lambda x, layout: fused_sage_aggregate(
+            x, layout, None, reduce="mean", relu=True, bf16_messages=True,
+            bf16_out=True, slots=4))
         candidates["fused_bf16act"] = (fused_bf16act_step, x0_bf16,
                                        make_layout())
 
@@ -207,11 +225,9 @@ def main():
                                          make_layout(hub_size=512,
                                                      sc_hub_size=512))
 
-        def fused_f32acc_step(x, layout):
-            return jax.grad(lambda x: jnp.sum(fused_sage_aggregate(
-                x, layout, None, reduce="mean", relu=True, bf16_messages=True,
-                bf16_out=True, slots=4,
-                hub_bf16_acc=False).astype(jnp.float32) ** 2))(x)
+        fused_f32acc_step = _vjp_step(lambda x, layout: fused_sage_aggregate(
+            x, layout, None, reduce="mean", relu=True, bf16_messages=True,
+            bf16_out=True, slots=4, hub_bf16_acc=False))
         candidates["fused_hub_sc768_f32acc"] = (fused_f32acc_step, x0_bf16,
                                                 make_layout(hub_size=768,
                                                             sc_hub_size=768))

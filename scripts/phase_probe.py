@@ -1,0 +1,94 @@
+"""Phase breakdown of the bench step at bench shapes (v5e tunnel).
+
+Decomposes the driver metric's fwd+bwd step to locate the non-roofline
+residual: full grad step vs forward-only aggregate vs the harness's own
+loss/cotangent machinery with no aggregation at all.  All timings use the
+same dependent-scan + scalar-readback discipline as bench.py (best-of-3).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench(step_fn, x0, aux, iters=10):
+    @jax.jit
+    def run(x0, aux):
+        def body(x, _):
+            out = step_fn(x, aux)
+            probe = out[0, 0]
+            return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
+        x, probes = jax.lax.scan(body, x0, None, length=iters)
+        return jnp.sum(probes)
+
+    float(run(x0, aux))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x0, aux))
+        best = min(best, time.perf_counter() - t0)
+    return max((best - 0.003) / iters, 1e-9)
+
+
+def main():
+    from stemgnn_tpu.core.graph import round_up
+    from stemgnn_tpu.data.synthetic import random_power_law_graph
+    from stemgnn_tpu.ops.edge_layout import build_edge_layout
+    from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
+
+    n, e0, d = 169_343, 1_166_243, 768
+    _, s_raw, r_raw, _ = random_power_law_graph(n, e0, d, seed=0,
+                                                with_edge_feat=False)
+    pair = np.unique(np.stack([np.concatenate([s_raw, r_raw]),
+                               np.concatenate([r_raw, s_raw])], 1), axis=0)
+    s_np, r_np = pair[:, 0].astype(np.int64), pair[:, 1].astype(np.int64)
+    e = s_np.shape[0]
+    n_pad = round_up(n, 128)
+    x0 = jax.jit(lambda k: jax.random.normal(k, (n_pad, d), jnp.float32))(
+        jax.random.PRNGKey(0)).astype(jnp.bfloat16)
+    lay = jax.device_put(build_edge_layout(
+        s_np, r_np, n_pad, edge_chunk=512, hub_size=512, sc_hub_size=512,
+        hub_min_coverage=-1.0))
+
+    def agg(x, lay):
+        return fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                    bf16_messages=True, bf16_out=True,
+                                    slots=4)
+
+    cases = {
+        # the full driver-metric step
+        "full_fwd_bwd": lambda x, l: jax.grad(
+            lambda x: jnp.sum(agg(x, l).astype(jnp.float32) ** 2))(x),
+        # forward aggregate only (sum-forced)
+        "fwd_only": lambda x, l: agg(x, l) + 0 * x[0, 0],
+        # harness-only: identical loss/cotangent machinery, aggregation
+        # replaced by an elementwise pass (isolates grad-of-sum-of-squares
+        # + scan-carry cost shared by every candidate)
+        "harness_only": lambda x, l: jax.grad(
+            lambda x: jnp.sum((x * jnp.bfloat16(1.0001)
+                               ).astype(jnp.float32) ** 2))(x),
+    }
+    res = {}
+    for name, fn in cases.items():
+        res[name] = bench(fn, x0, lay)
+        print(f"{name}: {res[name] * 1e3:.2f} ms "
+              f"({e / res[name] / 1e6:.1f}M edges/s-equivalent)", flush=True)
+    bwd = res["full_fwd_bwd"] - res["fwd_only"]
+    print(f"derived: bwd ~= {bwd * 1e3:.2f} ms; harness share of full = "
+          f"{res['harness_only'] / res['full_fwd_bwd'] * 100:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
