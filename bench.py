@@ -65,29 +65,39 @@ def _bench(step_fn, x0, aux, iters):
     the executable (and blow up remote-compile payload limits).
     """
 
-    @jax.jit
-    def run(x0, aux):
-        def body(x, _):
-            out = step_fn(x, aux)
-            probe = out[0, 0]
-            # Dependence via a single-element carry update: keeps the chain
-            # honest without an [N, D] elementwise pass per iteration.
-            return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
-        x, probes = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(probes)
+    def make_run(length):
+        @jax.jit
+        def run(x0, aux):
+            def body(x, _):
+                out = step_fn(x, aux)
+                probe = out[0, 0]
+                # Dependence via a single-element carry update: keeps the
+                # chain honest without an [N, D] pass per iteration.
+                return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
+            x, probes = jax.lax.scan(body, x0, None, length=length)
+            return jnp.sum(probes)
+        return run
 
-    float(run(x0, aux))                  # compile + warm
-    # Best-of-3 timed reps: each rep pays one dispatch + one readback over
-    # the tunnel (RTT 3-24 ms, run-to-run variable) on top of iters * dt of
-    # real work — for fast candidates a single rep leaves 5-10% RTT noise
-    # in the reported rate, which is exactly the run-to-run spread observed
-    # between otherwise identical bench runs.  min() keeps the cleanest rep.
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(x0, aux))
-        best = min(best, time.perf_counter() - t0)
-    return max((best - 0.003) / iters, 1e-9)
+    # TWO-POINT timing: every dispatched run pays a constant overhead —
+    # enqueue plus the first-readback tunnel RTT (measured 3-24 ms,
+    # run-to-run variable; r1 measurement notes) — that a fixed "-3 ms"
+    # correction under-subtracts.  Timing a short and a long scan of the
+    # SAME body and differencing cancels the constant exactly:
+    # dt = (t_long - t_short) / (iters_long - iters_short).  Best-of-3 on
+    # each length strips queue-noise outliers.
+    run_s, run_l = make_run(iters), make_run(4 * iters)
+
+    def best3(run):
+        float(run(x0, aux))              # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x0, aux))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_s, t_l = best3(run_s), best3(run_l)
+    return max((t_l - t_s) / (3 * iters), 1e-9)
 
 
 def main():
