@@ -2,7 +2,13 @@
 
 Dependent-scan timing with a forced scalar readback — the only reliable
 discipline on the tunneled TPU (BASELINE.md measurement notes:
-block_until_ready returns early; per-dispatch enqueue ~3 ms is subtracted).
+block_until_ready returns early).  TWO-POINT method (r4): every dispatched
+run pays a constant overhead — enqueue plus the first-readback tunnel RTT,
+measured ~2.6 ms and run-to-run variable — which a fixed subtraction
+under-corrects and which diluted the r1-r3 per-iter rates by up to 25% on
+fast kernels.  Timing a short and a 4x-length scan of the SAME body and
+differencing cancels the constant exactly; best-of-3 per length strips
+queue-noise outliers.
 """
 
 import os
@@ -21,34 +27,48 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _two_point(make_run, x0, aux, iters):
+    def best3(run):
+        float(run(x0, aux))                       # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x0, aux))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_s = best3(make_run(iters))
+    t_l = best3(make_run(4 * iters))
+    return max((t_l - t_s) / (3 * iters), 1e-9)
+
+
 def bench_scan(step_fn, x0, aux, iters=10):
     """Time ``step_fn(x, aux) -> array`` chained through a lax.scan carry."""
-    @jax.jit
-    def run(x0, aux):
-        def body(x, _):
-            out = step_fn(x, aux)
-            probe = out[0, 0]
-            return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
-        x, probes = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(probes)
+    def make_run(length):
+        @jax.jit
+        def run(x0, aux):
+            def body(x, _):
+                out = step_fn(x, aux)
+                probe = out[0, 0]
+                return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
+            x, probes = jax.lax.scan(body, x0, None, length=length)
+            return jnp.sum(probes)
+        return run
 
-    float(run(x0, aux))
-    t0 = time.perf_counter()
-    float(run(x0, aux))
-    return max((time.perf_counter() - t0 - 0.003) / iters, 1e-9)
+    return _two_point(make_run, x0, aux, iters)
 
 
 def bench_scalar_scan(step_fn, x0, aux, iters=8):
     """Variant for steps that reduce to a scalar probe themselves."""
-    @jax.jit
-    def run(x0, aux):
-        def body(c, _):
-            probe = step_fn(x0, aux, c)
-            return c + probe * 1e-12, probe
-        c, probes = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return jnp.sum(probes) + c
+    def make_run(length):
+        @jax.jit
+        def run(x0, aux):
+            def body(c, _):
+                probe = step_fn(x0, aux, c)
+                return c + probe * 1e-12, probe
+            c, probes = jax.lax.scan(body, jnp.float32(0), None,
+                                     length=length)
+            return jnp.sum(probes) + c
+        return run
 
-    float(run(x0, aux))
-    t0 = time.perf_counter()
-    float(run(x0, aux))
-    return max((time.perf_counter() - t0 - 0.003) / iters, 1e-9)
+    return _two_point(make_run, x0, aux, iters)
