@@ -82,21 +82,24 @@ def _bench(step_fn, x0, aux, iters):
     # enqueue plus the first-readback tunnel RTT (measured 3-24 ms,
     # run-to-run variable; r1 measurement notes) — that a fixed "-3 ms"
     # correction under-subtracts.  Timing a short and a long scan of the
-    # SAME body and differencing cancels the constant exactly:
-    # dt = (t_long - t_short) / (iters_long - iters_short).  Best-of-3 on
-    # each length strips queue-noise outliers.
+    # SAME body and differencing cancels the overhead FLOOR:
+    # dt = (t_long - t_short) / (iters_long - iters_short).  Best-of-5 on
+    # each length makes both measurements reach the floor (a rare
+    # high-tail draw surviving all reps on one length would skew the
+    # difference); back-to-back full-bench runs measure 0.4% spread under
+    # this scheme (BASELINE r4 row).
     run_s, run_l = make_run(iters), make_run(4 * iters)
 
-    def best3(run):
+    def best_of(run, reps=5):
         float(run(x0, aux))              # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(run(x0, aux))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_s, t_l = best3(run_s), best3(run_l)
+    t_s, t_l = best_of(run_s), best_of(run_l)
     return max((t_l - t_s) / (3 * iters), 1e-9)
 
 

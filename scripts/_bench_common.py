@@ -27,18 +27,23 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _two_point(make_run, x0, aux, iters):
-    def best3(run):
+def _two_point(make_run, x0, aux, iters, reps: int = 5):
+    # ASSUMPTION: best-of-``reps`` reaches the overhead FLOOR (~2.6 ms)
+    # on both lengths, so differencing cancels it; a rare high-tail draw
+    # (the band reaches 24 ms) surviving all reps on ONE length would
+    # skew the difference — 5 reps makes that unlikely, and back-to-back
+    # bench.py runs measure 0.4% spread under this scheme (BASELINE r4).
+    def best_of(run):
         float(run(x0, aux))                       # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             float(run(x0, aux))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_s = best3(make_run(iters))
-    t_l = best3(make_run(4 * iters))
+    t_s = best_of(make_run(iters))
+    t_l = best_of(make_run(4 * iters))
     return max((t_l - t_s) / (3 * iters), 1e-9)
 
 

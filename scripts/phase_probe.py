@@ -8,7 +8,6 @@ same dependent-scan + scalar-readback discipline as bench.py (best-of-3).
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
@@ -17,37 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-def bench(step_fn, x0, aux, iters=10):
-    # two-point timing (short vs 4x scan), same as bench.py: cancels the
-    # constant dispatch + first-readback RTT exactly
-    def make_run(length):
-        @jax.jit
-        def run(x0, aux):
-            def body(x, _):
-                out = step_fn(x, aux)
-                probe = out[0, 0]
-                return x.at[0, 0].add((probe * 1e-9).astype(x.dtype)), probe
-            x, probes = jax.lax.scan(body, x0, None, length=length)
-            return jnp.sum(probes)
-        return run
-
-    def best3(run):
-        float(run(x0, aux))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(run(x0, aux))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_s, t_l = best3(make_run(iters)), best3(make_run(4 * iters))
-    return max((t_l - t_s) / (3 * iters), 1e-9)
+from _bench_common import bench_scan as bench  # noqa: E402  (two-point)
 
 
 def main():

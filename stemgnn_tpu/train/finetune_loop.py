@@ -55,6 +55,38 @@ def _copy(tree):
     return jax.tree_util.tree_map(lambda x: x, tree)
 
 
+def _make_model_saver(save_model_to: str, cfg: FinetuneConfig,
+                      verbose: bool = False):
+    """Shared best-val model snapshot + final save (finetune.py
+    --save_model), used by every task family so the saved-meta schema
+    cannot drift between them.  Returns (maybe_snap, save_final)."""
+    best_model = {"val": -1.0}
+
+    def maybe_snap(trainable, frozen, state, val):
+        if save_model_to and val > best_model["val"]:
+            best_model.update(val=val, params=_merge(
+                jax.device_get(trainable), jax.device_get(frozen)),
+                state=jax.device_get(state))
+
+    def save_final():
+        if not (save_model_to and "params" in best_model):
+            return
+        import dataclasses
+
+        from stemgnn_tpu.utils import checkpoint as _ckpt
+        _ckpt.save_pytree(
+            save_model_to,
+            {"params": best_model["params"], "state": best_model["state"]},
+            meta={"config": dataclasses.asdict(cfg),
+                  "best_val": best_model["val"], "task": cfg.task,
+                  "dataset": cfg.dataset})
+        if verbose:
+            print(f"[save_model] best-val model (val="
+                  f"{best_model['val']:.2f}) -> {save_model_to}")
+
+    return maybe_snap, save_final
+
+
 # ------------------------------------------------------------------ node/link
 
 def _make_node_steps(cfg: FinetuneConfig, task_kind: str):
@@ -491,13 +523,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
     # serving export (finetune.py --save_model): keep the best-val model
     # across splits; snapshot granularity matches each path's stop check
     # (per epoch, or per epoch-chunk on the scanned paths)
-    best_model = {"val": -1.0}
-
-    def maybe_snap(trainable, frozen, state, val):
-        if save_model_to and val > best_model["val"]:
-            best_model.update(val=val, params=_merge(
-                jax.device_get(trainable), jax.device_get(frozen)),
-                state=jax.device_get(state))
+    maybe_snap, save_final = _make_model_saver(save_model_to, cfg, verbose)
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
     train_step_fn, eval_step_fn = _make_node_steps(cfg, task_kind)
     train_step = jax.jit(lambda t, f, o, s, r, m, g, yy: train_step_fn(
@@ -747,19 +773,7 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
             b = logger.get_single_best(idx)
             print(f"[split {idx}] best val={b['val']:.2f} test={b['test']:.2f}")
 
-    if save_model_to and "params" in best_model:
-        import dataclasses
-
-        from stemgnn_tpu.utils import checkpoint as _ckpt
-        _ckpt.save_pytree(
-            save_model_to,
-            {"params": best_model["params"], "state": best_model["state"]},
-            meta={"config": dataclasses.asdict(cfg),
-                  "best_val": best_model["val"], "task": cfg.task,
-                  "dataset": cfg.dataset})
-        if verbose:
-            print(f"[save_model] best-val model (val="
-                  f"{best_model['val']:.2f}) -> {save_model_to}")
+    save_final()
     return logger
 
 
@@ -804,16 +818,62 @@ def _batch_graph_list(graphs, labels, idxs, batch_size: int,
         yield g, lab, len(chunk)
 
 
+def _stream_scanned(fn, params, state, batches, stack: int = 64):
+    """Dispatch a stream of ``(g, n_real)`` batches through ``fn(params,
+    state, g) -> pytree`` as scanned SAME-SHAPE stacks of up to ``stack``
+    — one device dispatch per stack instead of one per batch (each
+    dispatch costs a 3-15 ms round trip on tunneled transports; same
+    pattern as the training loop's predict_many eval) — yielding
+    per-batch host outputs ``(out_pytree, n_real)`` in order."""
+    fn_one = jax.jit(fn)
+
+    @jax.jit
+    def fn_many(params, state, gs):
+        def body(c, g):
+            return c, fn(params, state, g)
+        _, out = jax.lax.scan(body, 0, gs)
+        return out
+
+    def shape_of(g):
+        return tuple(np.asarray(x).shape
+                     for x in jax.tree_util.tree_leaves(g))
+
+    pend, ns = [], []
+
+    def flush():
+        if not pend:
+            return
+        k = len(pend)
+        if k == 1:
+            yield jax.device_get(fn_one(params, state, pend[0])), ns[0]
+        else:
+            pend.extend([pend[-1]] * (stack - k))  # pad: one compile/shape
+            gs = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pend)
+            out = jax.device_get(fn_many(params, state, gs))
+            for i in range(k):
+                yield jax.tree_util.tree_map(lambda a: a[i], out), ns[i]
+        pend.clear()
+        ns.clear()
+
+    for g, n in batches:
+        if pend and (len(pend) >= stack
+                     or shape_of(g) != shape_of(pend[0])):
+            yield from flush()
+        pend.append(g)
+        ns.append(n)
+    yield from flush()
+
+
 def graph_task_predict(graphs, num_tasks: int, cfg: FinetuneConfig, params,
                        state, batch_size: int = 0):
     """Pooled per-molecule prediction export (infer.py --mode predict).
 
     Streams every graph through the trained task model in dataset order
-    (same `_batch_graph_list` padding buckets as training) and returns
-    head-mean logits [G, num_tasks].  Serving probabilities are
-    ``sigmoid(logits)`` — the multitask-BCE score the reference computes
-    for AUC (task/graph.py:60-97) but never exports.  Works for both
-    materialized graph lists and IndexedGraphList bundles.
+    (same `_batch_graph_list` padding buckets as training, scanned stacked
+    dispatch) and returns head-mean logits [G, num_tasks].  Serving
+    probabilities are ``sigmoid(logits)`` — the multitask-BCE score the
+    reference computes for AUC (task/graph.py:60-97) but never exports.
+    Works for both materialized graph lists and IndexedGraphList bundles.
     """
     from stemgnn_tpu.core.graph import materialize_graph
     bs = batch_size or cfg.batch_size or 64
@@ -823,7 +883,6 @@ def graph_task_predict(graphs, num_tasks: int, cfg: FinetuneConfig, params,
         edge_tab = None if graphs.edge_table is None else \
             jnp.asarray(np.asarray(graphs.edge_table))
 
-    @jax.jit
     def predict(params, state, g):
         if indexed:
             g = materialize_graph(g, node_tab, edge_tab)
@@ -835,11 +894,12 @@ def graph_task_predict(graphs, num_tasks: int, cfg: FinetuneConfig, params,
         return jnp.mean(logits, axis=1)
 
     dummy = np.zeros((len(graphs), num_tasks))
+    batches = ((g, n) for g, _, n in _batch_graph_list(
+        graphs, dummy, np.arange(len(graphs)), bs))
     out = np.zeros((len(graphs), num_tasks), np.float32)
     i = 0
-    for g, _, n in _batch_graph_list(graphs, dummy,
-                                     np.arange(len(graphs)), bs):
-        out[i: i + n] = np.asarray(predict(params, state, g))[:n]
+    for o, n in _stream_scanned(predict, params, state, batches):
+        out[i: i + n] = o[:n]
         i += n
     return out
 
@@ -861,7 +921,6 @@ def graph_task_encode(graphs, cfg: FinetuneConfig, params, state,
         edge_tab = None if graphs.edge_table is None else \
             jnp.asarray(np.asarray(graphs.edge_table))
 
-    @jax.jit
     def enc(params, state, g):
         if indexed:
             g = materialize_graph(g, node_tab, edge_tab)
@@ -873,13 +932,14 @@ def graph_task_encode(graphs, cfg: FinetuneConfig, params, state,
         return pooled, res["quantize"], res["indices"]
 
     dummy = np.zeros((len(graphs), 1))
+    batches = ((g, n) for g, _, n in _batch_graph_list(
+        graphs, dummy, np.arange(len(graphs)), bs))
     outs = {"pooled": [], "quant": [], "codes": []}
-    for g, _, n in _batch_graph_list(graphs, dummy,
-                                     np.arange(len(graphs)), bs):
-        pooled, quant, codes = enc(params, state, g)
-        outs["pooled"].append(np.asarray(pooled)[:n])
-        outs["quant"].append(np.asarray(quant)[:n])
-        outs["codes"].append(np.asarray(codes)[:n])
+    for (pooled, quant, codes), n in _stream_scanned(enc, params, state,
+                                                     batches):
+        outs["pooled"].append(pooled[:n])
+        outs["quant"].append(quant[:n])
+        outs["codes"].append(codes[:n])
     return (np.concatenate(outs["pooled"]), np.concatenate(outs["quant"]),
             np.concatenate(outs["codes"]))
 
@@ -891,15 +951,9 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
     from stemgnn_tpu.core.graph import materialize_graph
     num_tasks = labels.shape[1]
     logger = Logger()
-    # serving export (finetune.py --save_model), mirroring _run_node_like:
-    # best-val model across repeats, loadable by infer.py --mode predict
-    best_model = {"val": -1.0}
-
-    def maybe_snap(trainable, frozen, state, val):
-        if save_model_to and val > best_model["val"]:
-            best_model.update(val=val, params=_merge(
-                jax.device_get(trainable), jax.device_get(frozen)),
-                state=jax.device_get(state))
+    # serving export (finetune.py --save_model): best-val model across
+    # repeats, loadable by infer.py --mode predict
+    maybe_snap, save_final = _make_model_saver(save_model_to, cfg, verbose)
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
     donate = donate and _donation_safe(cfg)
     indexed = getattr(graphs, "node_table", None) is not None
@@ -1178,19 +1232,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             b = logger.get_single_best(idx)
             print(f"[split {idx}] best val={b['val']:.2f} test={b['test']:.2f}")
 
-    if save_model_to and "params" in best_model:
-        import dataclasses
-
-        from stemgnn_tpu.utils import checkpoint as _ckpt
-        _ckpt.save_pytree(
-            save_model_to,
-            {"params": best_model["params"], "state": best_model["state"]},
-            meta={"config": dataclasses.asdict(cfg),
-                  "best_val": best_model["val"], "task": cfg.task,
-                  "dataset": cfg.dataset})
-        if verbose:
-            print(f"[save_model] best-val model (val="
-                  f"{best_model['val']:.2f}) -> {save_model_to}")
+    save_final()
     return logger
 
 
