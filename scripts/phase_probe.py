@@ -66,6 +66,45 @@ def main():
     print(f"derived: bwd ~= {bwd * 1e3:.2f} ms; harness share of full = "
           f"{res['harness_only'] / res['full_fwd_bwd'] * 100:.1f}%")
 
+    # ---- component rooflines: the four dense hub blocks are the step's
+    # FLOPs; time each standalone and report MXU fraction (v5e bf16 peak
+    # 197 TFLOP/s).  Probe = sum(out^2): nonlinear, so XLA cannot push the
+    # reduce into the dot and slice the computation away.
+    from _bench_common import bench_scalar_scan
+    hub = lay.hub_r
+    h = int(hub.cnt.shape[1])
+    flops = 2.0 * hub.cnt.shape[0] * h * d
+
+    # The scan carry ``c`` perturbs the SMALL operand each iteration so
+    # XLA cannot hoist the matmul out of the loop; the sum-of-squares
+    # probe (nonlinear) blocks reduce-through-dot rewrites.  Reported
+    # times are slight over-estimates: they include the perturb pass and
+    # the probe's read of the output.
+    def hub_mm(x, lay, c):
+        xh = jax.nn.relu(jnp.take(x, lay.hub_r.hub_ids, axis=0)
+                         + (c * 1e-20).astype(x.dtype))      # [H, D] tiny
+        out = jax.lax.dot_general(
+            lay.hub_r.cnt, xh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16)
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-12
+
+    def sc_mm(x, lay, c):
+        f_all = jax.nn.relu(x)                               # hoisted: ok
+        sc = lay.hub_r.sc_cnt * (1 + c * 1e-20).astype(x.dtype)
+        out = jax.lax.dot_general(
+            sc, f_all,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(out ** 2) * 1e-12
+
+    for name, fn in (("gather_hub_matmul", hub_mm),
+                     ("scatter_hub_matmul", sc_mm)):
+        dt = bench_scalar_scan(fn, x0, lay)
+        print(f"{name} (H={h}): {dt * 1e3:.2f} ms = "
+              f"{flops / dt / 197e12 * 100:.0f}% of bf16 MXU peak "
+              f"(upper bound incl. perturb + probe passes)", flush=True)
+
 
 if __name__ == "__main__":
     main()
