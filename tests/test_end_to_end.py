@@ -130,6 +130,25 @@ def test_pretrain_then_finetune(tmp_path):
     assert best["test"]["mean"] > 50, best
 
 
+def test_stream_scanned_order_shapes_and_singletons():
+    """The serving exports' scanned-dispatch helper preserves batch order
+    and n_real across stack flushes, shape changes, and singleton tails."""
+    from stemgnn_tpu.train.finetune_loop import _stream_scanned
+
+    def fn(params, state, g):
+        return g["a"] * params
+
+    batches = [({"a": np.full((4,), i, np.float32)}, 4) for i in range(10)]
+    batches += [({"a": np.full((6,), 100 + i, np.float32)}, 6)
+                for i in range(3)]
+    batches += [({"a": np.full((8,), 7.0, np.float32)}, 8)]  # k == 1 path
+    outs = list(_stream_scanned(fn, 2.0, None, iter(batches), stack=4))
+    assert len(outs) == len(batches)
+    for (o, n), (g, n0) in zip(outs, batches):
+        np.testing.assert_allclose(o, g["a"] * 2.0)
+        assert n == n0
+
+
 def test_pretrain_kmeans_init_finite(tmp_path):
     """Pretrain with cfg.vq.kmeans_init must seed the codebook from the
     first batch (the reference's lazy init-on-first-forward, vq.py:646) —
