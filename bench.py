@@ -78,6 +78,9 @@ def _bench(step_fn, x0, aux, iters):
             return jnp.sum(probes)
         return run
 
+    # NOTE: intentional standalone copy of scripts/_bench_common._two_point
+    # — bench.py is the driver contract and must run with zero repo-path
+    # setup; keep the two in sync when the method changes.
     # TWO-POINT timing: every dispatched run pays a constant overhead —
     # enqueue plus the first-readback tunnel RTT (measured 3-24 ms,
     # run-to-run variable; r1 measurement notes) — that a fixed "-3 ms"
@@ -100,6 +103,11 @@ def _bench(step_fn, x0, aux, iters):
         return best
 
     t_s, t_l = best_of(run_s), best_of(run_l)
+    if t_l - t_s < t_s * 0.05:
+        # near-non-positive difference = queue noise swamped the body time;
+        # the clamp below would otherwise report an absurd rate silently
+        print(f"# WARNING: two-point difference suspect "
+              f"(t_s={t_s * 1e3:.2f} ms, t_l={t_l * 1e3:.2f} ms)", flush=True)
     return max((t_l - t_s) / (3 * iters), 1e-9)
 
 

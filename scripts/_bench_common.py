@@ -7,7 +7,7 @@ run pays a constant overhead — enqueue plus the first-readback tunnel RTT,
 measured ~2.6 ms and run-to-run variable — which a fixed subtraction
 under-corrects and which diluted the r1-r3 per-iter rates by up to 25% on
 fast kernels.  Timing a short and a 4x-length scan of the SAME body and
-differencing cancels the constant exactly; best-of-3 per length strips
+differencing cancels the constant exactly; best-of-5 per length strips
 queue-noise outliers.
 """
 
@@ -44,6 +44,13 @@ def _two_point(make_run, x0, aux, iters, reps: int = 5):
 
     t_s = best_of(make_run(iters))
     t_l = best_of(make_run(4 * iters))
+    if t_l - t_s < t_s * 0.05:
+        # Sanity: the long run should cost visibly more than the short one.
+        # A (near-)non-positive difference means queue noise swamped the
+        # body time — the clamped value below would report an absurd rate.
+        print(f"# WARNING: two-point difference suspect (t_s={t_s * 1e3:.2f} "
+              f"ms, t_l={t_l * 1e3:.2f} ms); rate unreliable",
+              file=sys.stderr, flush=True)
     return max((t_l - t_s) / (3 * iters), 1e-9)
 
 

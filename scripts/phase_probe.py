@@ -3,7 +3,8 @@
 Decomposes the driver metric's fwd+bwd step to locate the non-roofline
 residual: full grad step vs forward-only aggregate vs the harness's own
 loss/cotangent machinery with no aggregation at all.  All timings use the
-same dependent-scan + scalar-readback discipline as bench.py (best-of-3).
+same two-point dependent-scan + scalar-readback discipline as bench.py
+(best-of-5 per length, short vs 4x differenced — scripts/_bench_common.py).
 """
 
 import os
@@ -74,6 +75,9 @@ def main():
     hub = lay.hub_r
     h = int(hub.cnt.shape[1])
     flops = 2.0 * hub.cnt.shape[0] * h * d
+    # scatter-hub flops from sc_cnt's OWN shape — only equal to ``flops``
+    # while sc_hub_size == hub_size (ADVICE r4)
+    sc_flops = 2.0 * hub.sc_cnt.shape[0] * hub.sc_cnt.shape[1] * d
 
     # The scan carry ``c`` perturbs the SMALL operand each iteration so
     # XLA cannot hoist the matmul out of the loop; the sum-of-squares
@@ -98,11 +102,11 @@ def main():
             preferred_element_type=jnp.float32)
         return jnp.sum(out ** 2) * 1e-12
 
-    for name, fn in (("gather_hub_matmul", hub_mm),
-                     ("scatter_hub_matmul", sc_mm)):
+    for name, fn, fl in (("gather_hub_matmul", hub_mm, flops),
+                         ("scatter_hub_matmul", sc_mm, sc_flops)):
         dt = bench_scalar_scan(fn, x0, lay)
         print(f"{name} (H={h}): {dt * 1e3:.2f} ms = "
-              f"{flops / dt / 197e12 * 100:.0f}% of bf16 MXU peak "
+              f"{fl / dt / 197e12 * 100:.0f}% of bf16 MXU peak "
               f"(upper bound incl. perturb + probe passes)", flush=True)
 
 

@@ -847,7 +847,14 @@ def _stream_scanned(fn, params, state, batches, stack: int = 64):
         if k == 1:
             yield jax.device_get(fn_one(params, state, pend[0])), ns[0]
         else:
-            pend.extend([pend[-1]] * (stack - k))  # pad: one compile/shape
+            # Pad to the next length in a small power-of-4 ladder, not
+            # always to ``stack``: a flush of k=2 padded to 64 would run 62
+            # wasted forward passes, and streams whose padding buckets
+            # change often flush small stacks repeatedly (ADVICE r4).  The
+            # ladder keeps the compile count bounded (<= 3 scan lengths).
+            ladder = [s for s in (4, 16) if s < stack] + [stack]
+            padded = next(s for s in ladder if s >= k)
+            pend.extend([pend[-1]] * (padded - k))
             gs = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *pend)
             out = jax.device_get(fn_many(params, state, gs))
             for i in range(k):

@@ -148,6 +148,14 @@ def test_stream_scanned_order_shapes_and_singletons():
         np.testing.assert_allclose(o, g["a"] * 2.0)
         assert n == n0
 
+    # power-of-4 pad ladder (ADVICE r4): small flushes under a big stack cap
+    # pad to 4/16, not 64 — outputs must be identical either way
+    outs = list(_stream_scanned(fn, 2.0, None, iter(batches), stack=64))
+    assert len(outs) == len(batches)
+    for (o, n), (g, n0) in zip(outs, batches):
+        np.testing.assert_allclose(o, g["a"] * 2.0)
+        assert n == n0
+
 
 def test_pretrain_kmeans_init_finite(tmp_path):
     """Pretrain with cfg.vq.kmeans_init must seed the codebook from the
