@@ -489,7 +489,8 @@ def _run_node_like(ds: TAGDataset, cfg: FinetuneConfig,
                    save_model_to: str = ""):
     minibatch = cfg.batch_size != 0
     donate = donate and _donation_safe(cfg)
-    chunked_eval = cfg.eval_chunked and cfg.encoder.backbone == "sage"
+    # r5: layer-wise inference covers all four backbones (train/infer.py)
+    chunked_eval = cfg.eval_chunked
     if not minibatch:
         # locality relabel for the fused full-batch path (pure node
         # permutation; labels/splits/features move together — graph_setup)

@@ -12,9 +12,13 @@ forward (identical ops, blocked), with device memory bounded by
 O(N·D + edge_block·D) instead of the O(E·D) message materialization —
 so eval scales past the point where the one-shot full-graph encode fits.
 
-Supported encoder layers: ``sage`` (incl. per-edge-type features) and the
-K-expert MoE-SAGE layer (STEM-GNN/model/encoder.py:17-129 semantics).  Other
-backbones fall back to the one-shot full-graph path at the call site.
+Supported encoder layers: all four reference backbones
+(STEM-GNN/model/encoder.py:191-200) — ``sage`` (incl. per-edge-type
+features) and the K-expert MoE-SAGE layer (encoder.py:17-129 semantics),
+plus ``gcn`` (symmetric-normalized, streamed with host-precomputed degree
+weights), ``gin`` (streamed sum aggregation), and ``gat`` (two streamed
+sweeps: a running per-receiver attention-logit max, then the exp-sum and
+weighted-message accumulation — an online segment softmax).
 
 Every block step is a jitted fixed-shape program; the aggregation
 accumulator is donated so the layer sweep runs in-place on device.
@@ -78,6 +82,87 @@ def _gather_mean_block_step():
     return step
 
 
+@functools.lru_cache(maxsize=None)
+def _weighted_sum_block_step():
+    """gcn block: acc += segment_sum(h[s] * w * mask, r) with per-edge
+    symmetric-normalization weights ``w`` precomputed on host."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(acc, h, s, r, w, mask):
+        msgs = jnp.take(h, s, axis=0, mode="clip") * w[:, None]
+        msgs = jnp.where(mask[:, None], msgs, 0.0)
+        return acc + jax.ops.segment_sum(msgs, r,
+                                         num_segments=acc.shape[0])
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _sum_block_step():
+    """gin block: acc += segment_sum(h[s] * mask, r) (plain sum)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(acc, h, s, r, mask):
+        msgs = jnp.take(h, s, axis=0, mode="clip")
+        msgs = jnp.where(mask[:, None], msgs, 0.0)
+        return acc + jax.ops.segment_sum(msgs, r,
+                                         num_segments=acc.shape[0])
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _gat_max_block_step():
+    """gat pass A: running per-receiver max of the attention logits."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(seg_max, a_src, a_dst, s, r, mask, slope):
+        e = a_src[s] + a_dst[r]
+        e = jax.nn.leaky_relu(e, slope)
+        e = jnp.where(mask, e, -jnp.inf)
+        blk = jax.ops.segment_max(e, r, num_segments=seg_max.shape[0])
+        return jnp.maximum(seg_max, blk)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _gat_accum_block_step():
+    """gat pass B: denom += segment_sum(exp(e - max[r])); msg +=
+    segment_sum(h[s] * exp(e - max[r]))."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(denom, msg, h, a_src, a_dst, seg_max, s, r, mask, slope):
+        e = a_src[s] + a_dst[r]
+        e = jax.nn.leaky_relu(e, slope)
+        exp_e = jnp.exp(e - seg_max[r])
+        exp_e = jnp.where(mask, exp_e, 0.0)
+        denom = denom + jax.ops.segment_sum(exp_e, r,
+                                            num_segments=denom.shape[0])
+        msgs = jnp.take(h, s, axis=0, mode="clip") * exp_e[:, None]
+        msg = msg + jax.ops.segment_sum(msgs, r, num_segments=msg.shape[0])
+        return denom, msg
+
+    return step
+
+
+def _pad_edges(senders, receivers, edge_valid, edge_block, extra=None):
+    """Pad edge arrays to a whole number of blocks; returns (n_blk, arrays)."""
+    n_blk = _blocks(senders.shape[0], edge_block)
+    e_pad = n_blk * edge_block
+
+    def pad(a, fill=0):
+        out = np.full(e_pad, fill, dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    arrays = [pad(senders), pad(receivers),
+              pad(edge_valid.astype(np.bool_), fill=False)]
+    if extra is not None:
+        arrays.append(pad(extra))
+    return n_blk, arrays
+
+
 def _stream_aggregate(h, senders, receivers, xe, edge_valid, table,
                       edge_block: int, *, reverse: bool = False):
     """Mean-aggregate messages over the full edge list in fixed-size blocks.
@@ -116,6 +201,63 @@ def _stream_aggregate(h, senders, receivers, xe, edge_valid, table,
     return acc
 
 
+def _stream_gin_sum(h, senders, receivers, edge_valid, edge_block: int):
+    """Streamed segment_sum(h[s], r) (gin aggregation)."""
+    n_blk, (s_p, r_p, v_p) = _pad_edges(senders, receivers, edge_valid,
+                                        edge_block)
+    step = _sum_block_step()
+    acc = jnp.zeros_like(h)
+    for b in range(n_blk):
+        sl = slice(b * edge_block, (b + 1) * edge_block)
+        acc = step(acc, h, jnp.asarray(s_p[sl]), jnp.asarray(r_p[sl]),
+                   jnp.asarray(v_p[sl]))
+    return acc
+
+
+def _stream_gcn_sum(h, senders, receivers, w_edges, edge_valid,
+                    edge_block: int):
+    """Streamed segment_sum(h[s] * w, r) (gcn normalized aggregation)."""
+    n_blk, (s_p, r_p, v_p, w_p) = _pad_edges(senders, receivers, edge_valid,
+                                             edge_block, extra=w_edges)
+    step = _weighted_sum_block_step()
+    acc = jnp.zeros_like(h)
+    for b in range(n_blk):
+        sl = slice(b * edge_block, (b + 1) * edge_block)
+        acc = step(acc, h, jnp.asarray(s_p[sl]), jnp.asarray(r_p[sl]),
+                   jnp.asarray(w_p[sl]), jnp.asarray(v_p[sl]))
+    return acc
+
+
+def _stream_gat_attention(h, a_src, a_dst, senders, receivers, edge_valid,
+                          edge_block: int, negative_slope: float = 0.2):
+    """Online segment softmax + weighted message sum (gat aggregation).
+
+    Two streamed sweeps over the edge list: (A) running per-receiver max of
+    the attention logits, (B) exp-sum denominator + exp-weighted message
+    accumulation; exactly ``segment_softmax`` then weighted ``segment_sum``
+    (ops/segment.py:56-67) up to float summation order."""
+    n_blk, (s_p, r_p, v_p) = _pad_edges(senders, receivers, edge_valid,
+                                        edge_block)
+    slope = jnp.float32(negative_slope)
+    max_step, acc_step = _gat_max_block_step(), _gat_accum_block_step()
+    n_pad = h.shape[0]
+    seg_max = jnp.full((n_pad,), -jnp.inf, jnp.float32)
+    for b in range(n_blk):
+        sl = slice(b * edge_block, (b + 1) * edge_block)
+        seg_max = max_step(seg_max, a_src, a_dst, jnp.asarray(s_p[sl]),
+                           jnp.asarray(r_p[sl]), jnp.asarray(v_p[sl]), slope)
+    # receivers with no in-edges: shift by 0 (segment_softmax semantics)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    denom = jnp.zeros((n_pad,), jnp.float32)
+    msg = jnp.zeros_like(h)
+    for b in range(n_blk):
+        sl = slice(b * edge_block, (b + 1) * edge_block)
+        denom, msg = acc_step(denom, msg, h, a_src, a_dst, seg_max,
+                              jnp.asarray(s_p[sl]), jnp.asarray(r_p[sl]),
+                              jnp.asarray(v_p[sl]), slope)
+    return msg / jnp.maximum(denom, 1e-16)[:, None]
+
+
 def layerwise_encode(params, state, cfg: EncoderConfig, node_feat_table,
                      senders, receivers, xe=None, edge_table=None, *,
                      num_nodes: Optional[int] = None,
@@ -128,10 +270,9 @@ def layerwise_encode(params, state, cfg: EncoderConfig, node_feat_table,
     on device, node_mask [N_pad]).  Exactly matches
     ``encoder_apply(training=False)`` up to float summation order.
     """
-    if cfg.backbone != "sage":
+    if cfg.backbone not in ("sage", "gcn", "gin", "gat"):
         raise NotImplementedError(
-            f"layer-wise inference supports the sage/MoE-sage stack; "
-            f"got backbone={cfg.backbone!r}")
+            f"unknown backbone for layer-wise inference: {cfg.backbone!r}")
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
     n = int(num_nodes if num_nodes is not None
@@ -157,9 +298,18 @@ def layerwise_encode(params, state, cfg: EncoderConfig, node_feat_table,
            else lambda x: jax.nn.leaky_relu(x, 0.01))
     env_idx = 0
 
+    if cfg.backbone == "gcn":
+        # symmetric normalization weights, fixed across layers: the full
+        # path's masked degree + implicit self-loop (convs.py:89-102)
+        deg = np.bincount(receivers, minlength=n_pad).astype(np.float32) + 1.0
+        inv_sqrt_np = 1.0 / np.sqrt(deg)
+        w_edges = (inv_sqrt_np[senders] * inv_sqrt_np[receivers]).astype(
+            np.float32)
+        inv_deg = jnp.asarray((inv_sqrt_np ** 2)[:, None])
+
     for i in range(cfg.num_layers):
         layer_p = params["layers"][i]
-        if flags[i]:
+        if flags[i] and cfg.backbone == "sage":
             # MoE layer: router softmax (eval path, encoder.py:307-309) +
             # K-expert combine; experts applied one at a time so the
             # [N, K, D] expert tensor is never materialized.
@@ -176,13 +326,34 @@ def layerwise_encode(params, state, cfg: EncoderConfig, node_feat_table,
             if h.shape[-1] == z.shape[-1]:          # residual (convs.py)
                 z = z + h
             env_idx += 1
-        else:
+        elif cfg.backbone == "sage":
             # SAGE layer: mean_j relu(h_j + T[xe]) -> lin_l + lin_r(h).
             sums = _stream_aggregate(h, senders, receivers, xe, edge_valid,
                                      t_dev, edge_block)
             agg = sums / in_deg
             z = linear_apply(layer_p["lin_l"], agg) + \
                 linear_apply(layer_p["lin_r"], h)
+        elif cfg.backbone == "gcn":
+            # convs.gcn_apply semantics: lin -> normalized stream-sum +
+            # self-loop term + bias
+            h_lin = linear_apply(layer_p["lin"], h)
+            out = _stream_gcn_sum(h_lin, senders, receivers, w_edges,
+                                  edge_valid, edge_block)
+            z = out + h_lin * inv_deg + layer_p["bias"]
+        elif cfg.backbone == "gin":
+            # convs.gin_apply: lin((1 + eps) * h + sum_j h_j)
+            agg = _stream_gin_sum(h, senders, receivers, edge_valid,
+                                  edge_block)
+            z = linear_apply(layer_p["lin"],
+                             (1.0 + layer_p["eps"]) * h + agg)
+        else:  # gat
+            # convs.gat_apply: lin -> online segment softmax over in-edges
+            h_lin = linear_apply(layer_p["lin"], h)
+            a_src = h_lin @ layer_p["att_src"]
+            a_dst = h_lin @ layer_p["att_dst"]
+            z = _stream_gat_attention(h_lin, a_src, a_dst, senders,
+                                      receivers, edge_valid,
+                                      edge_block) + layer_p["bias"]
 
         if cfg.normalize != "none":
             z, _ = batchnorm_apply(params["norms"][i], state["norms"][i], z,
