@@ -35,6 +35,7 @@ class _Dataset2Task(dict):
 dataset2task: Dict[str, str] = _Dataset2Task({
     "cora": "node", "pubmed": "node", "arxiv": "node", "wikics": "node",
     "cora_synthetic": "node", "arxiv_synthetic": "node",
+    "arxiv_synthetic_fragile": "node",
     "WN18RR": "link", "FB15K237": "link", "kg_synthetic": "link",
     "chemhiv": "graph", "chempcba": "graph", "chemblpre": "graph",
     "mol_synthetic": "graph",
@@ -51,6 +52,20 @@ def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
             name=name, num_nodes=kw.pop("num_nodes", 169_343),
             num_classes=kw.pop("num_classes", 40), feat_dim=feat_dim,
             avg_degree=kw.pop("avg_degree", 14), num_splits=1, seed=seed, **kw)
+    if name == "arxiv_synthetic_fragile":
+        # perturbation-SENSITIVE arxiv-scale variant (r4 VERDICT item 5):
+        # sparse signal subspace + half the nodes signal-free (class
+        # recoverable only via neighbors) — missing-feature and edge-drop
+        # sweeps degrade gradedly instead of reading ~100 everywhere
+        return synthetic.synthetic_node_dataset(
+            name=name, num_nodes=kw.pop("num_nodes", 169_343),
+            num_classes=kw.pop("num_classes", 40), feat_dim=feat_dim,
+            avg_degree=kw.pop("avg_degree", 14), num_splits=1,
+            signal_dims=kw.pop("signal_dims", 16),
+            structure_frac=kw.pop("structure_frac", 0.5),
+            train_per_split=kw.pop("train_per_split", 8_000),
+            val_per_split=kw.pop("val_per_split", 4_000),
+            seed=seed, **kw)
     if name == "kg_synthetic":
         return synthetic.synthetic_link_dataset(name=name, feat_dim=feat_dim,
                                                 seed=seed, **kw)
