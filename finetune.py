@@ -91,6 +91,9 @@ def get_args():
                    help="graph task: run the 3-split AUC eval every K "
                         "epochs (1 = reference protocol; at chempcba scale "
                         "eval dominates epoch wall time)")
+    p.add_argument("--eval_bf16", type=int, default=0, choices=[0, 1],
+                   help="graph task: bf16 eval forward (training stays "
+                        "f32; AUC is a rank statistic — parity-tested)")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -234,7 +237,8 @@ def main():
         decoder_jac_coeff=args.decoder_jac_coeff, lamda_env=args.lamda_env,
         num_classes=num_classes, eval_chunked=bool(args.eval_chunked),
         use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size,
-        reorder=args.reorder, eval_every=args.eval_every)
+        reorder=args.reorder, eval_every=args.eval_every,
+        eval_bf16=bool(args.eval_bf16))
 
     if args.halo_shards:
         if task != "node":

@@ -48,6 +48,11 @@ def get_args():
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder activations/messages (params, "
                         "BatchNorm stats, VQ and losses stay f32)")
+    p.add_argument("--mixed_precision", "--mp", action="store_true",
+                   help="full mixed-precision pretrain (r5): --bf16 plus "
+                        "bf16 EMA-teacher pass and bf16 loss-decoder "
+                        "matmuls (teacher_bf16/loss_bf16; parity-gated — "
+                        "see scripts/pretrain_step_probe.py)")
     p.add_argument("--normalize", default="batch",
                    choices=["none", "batch", "layer"])
     p.add_argument("--dropout", type=float, default=0.15)
@@ -143,7 +148,8 @@ def main():
             activation=args.activation, moe=args.moe,
             num_experts=args.moe_experts, tau=args.moe_tau,
             moe_layers=args.moe_layers,
-            compute_dtype="bfloat16" if args.bf16 else "float32"),
+            compute_dtype="bfloat16" if (args.bf16 or args.mixed_precision)
+            else "float32"),
         vq=cfglib.VQConfig(
             dim=args.hidden_dim, codebook_size=args.codebook_size,
             codebook_dim=args.code_dim, heads=args.codebook_head,
@@ -159,6 +165,7 @@ def main():
         topo_sem_lambda=args.topo_sem_lambda, sem_lambda=args.sem_lambda,
         sem_encoder_decay=args.sem_encoder_decay,
         lamda_env=args.lamda_env, use_scheduler=bool(args.use_schedular),
+        teacher_bf16=args.mixed_precision, loss_bf16=args.mixed_precision,
         seed=args.seed)
 
     run_id = args.pretrain_run_id or "default"

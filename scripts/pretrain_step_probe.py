@@ -167,6 +167,36 @@ def main():
         res["full_step_static"] = time_full_step(cfg_static,
                                                  "full_step_static")
 
+    if "full" in want or "mixed" in want:
+        # r5 mixed-precision configuration: encoder+teacher+VQ-projection
+        # matmuls and loss decoders in bf16 (f32 BN/stats/reductions)
+        cfg_mp = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder,
+                                             compute_dtype="bfloat16"),
+            teacher_bf16=True, loss_bf16=True)
+        cfg_mp_static = dataclasses.replace(cfg_mp, edge_p=0.0)
+        res["full_step_mp"] = time_full_step(cfg_mp, "full_step_mp")
+        res["full_step_mp_static"] = time_full_step(cfg_mp_static,
+                                                    "full_step_mp_static")
+        # parity: one f32 vs one mp step from identical inits/rng
+        def one_loss(cfg_v):
+            k_f, _, k_fwd = jax.random.split(jax.random.PRNGKey(9), 3)
+            loss, (aux, _) = jax.jit(
+                lambda p, t, s, gg: pretrain_forward(
+                    p, t, s, cfg_v, gg.replace(
+                        node_feat=augment.mask_feature(k_f, gg.node_feat,
+                                                       cfg_v.feat_p)),
+                    gg, bs=n_pad, rng=k_fwd, training=True,
+                    layout=gg.layout, edge_table=gg.edge_table))(
+                params, teacher, state, g)
+            return float(loss), {k: float(v)
+                                 for k, v in aux["losses"].items()}
+        lf, la = one_loss(cfg_static)
+        lm, lb = one_loss(cfg_mp_static)
+        rel = abs(lm - lf) / max(abs(lf), 1e-9)
+        print(f"# mp parity: f32 loss {lf:.5f} vs mp loss {lm:.5f} "
+              f"(rel {rel:.2e}); per-loss f32={la} mp={lb}", flush=True)
+
     # ---------------- components (scan x through a [N, D]-carry chain)
     from _bench_common import bench_scan
 
@@ -226,13 +256,16 @@ def main():
     if "losses" in want:
         # fixed tz (teacher output) and upstream query; fwd+bwd through the
         # 4 losses wrt query — includes the topo_sem [num, 2D] decode the
-        # single-chip full step skips
+        # single-chip full step skips.  tz rides in aux (a closure capture
+        # would bake 520 MB of constants into the remote-compile payload)
         tz_fix = jnp.asarray(np.random.default_rng(1).standard_normal(
             (n_pad, d)).astype(np.float32))
         ratio = cfg.topo_recon_ratio
         num = max(int(g.num_edges_padded * ratio), 1)
 
-        def losses_fwd_bwd(query, g):
+        def losses_fwd_bwd(query, aux):
+            g, tz_fix = aux
+
             def f(query):
                 seed_mask = g.node_mask.astype(jnp.float32)
                 recon = linear_apply(params["feat_dec"], query)
@@ -275,7 +308,7 @@ def main():
                         + cfg.sem_lambda * sem)
             return jax.grad(f)(query)
 
-        res["losses_fwd_bwd"] = bench_scan(losses_fwd_bwd, x0, g,
+        res["losses_fwd_bwd"] = bench_scan(losses_fwd_bwd, x0, (g, tz_fix),
                                            iters=args.iters)
         print(f"losses_fwd_bwd (incl. topo_sem): "
               f"{res['losses_fwd_bwd'] * 1e3:.2f} ms", flush=True)
@@ -285,6 +318,7 @@ def main():
             lambda p: jnp.ones_like(p) * 1e-6, params)
 
         def opt_step(x, aux):
+            grads_fix, opt_state, params, teacher = aux
             # chain through x[0,0] so the scan carry stays honest
             gr = jax.tree_util.tree_map(
                 lambda t: t + (x[0, 0] * 1e-20).astype(t.dtype), grads_fix)
@@ -297,8 +331,9 @@ def main():
                      + jax.tree_util.tree_leaves(new_opt)[0].reshape(-1)[0])
             return x.at[0, 0].add((probe * 1e-20).astype(x.dtype))
 
-        res["optimizer"] = bench_scan(lambda x, a: opt_step(x, a), x0, None,
-                                      iters=args.iters)
+        res["optimizer"] = bench_scan(opt_step, x0,
+                                      (grads_fix, opt_state, params,
+                                       teacher), iters=args.iters)
         print(f"optimizer+teacher_ema: {res['optimizer'] * 1e3:.2f} ms",
               flush=True)
 

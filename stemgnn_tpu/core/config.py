@@ -148,6 +148,18 @@ class PretrainConfig:
     # PCIe-attached TPUs the transfer is ~0.2 ms and this should win, so
     # the machinery stays ("on" forces it); "auto" resolves to off here.
     fused_minibatch: str = "auto"
+    # r5 mixed-precision pretrain extensions (scripts/pretrain_step_probe.py
+    # measured the full-graph step at bench scale; BASELINE r5 row):
+    #   teacher_bf16 — the grad-free EMA-teacher encoder pass runs with
+    #     compute_dtype=bfloat16 (its output feeds a cosine loss on
+    #     l2-normalized vectors, so one bf16 rounding is benign);
+    #   loss_bf16 — the recon-loss decoder matmuls (feat_dec, topo_dec
+    #     projection, topo_sem_dec, sem_projector) compute in bf16 from a
+    #     bf16 copy of the quantized codes; targets/reductions stay f32.
+    # Both default OFF (reference-faithful f32); parity gates in
+    # tests/test_end_to_end.py.
+    teacher_bf16: bool = False
+    loss_bf16: bool = False
 
 
 @dataclass(frozen=True)
@@ -202,6 +214,13 @@ class FinetuneConfig:
     # ~K× less eval compute; early-stop patience then counts EVAL points.
     # The final epoch always evaluates.
     eval_every: int = 1
+    # bf16 EVAL forward (r4 VERDICT item 6): the eval/predict encoder pass
+    # runs with compute_dtype=bfloat16 while training stays f32.  AUC is a
+    # rank statistic, so one bf16 rounding of the logits moves it only
+    # where scores are near-ties (parity gate in tests/test_chem.py).
+    # Applies to the graph task's 3-split eval (the compute-bound stage at
+    # chempcba scale, BASELINE r4 row).  Default off (reference-faithful).
+    eval_bf16: bool = False
     # Node reordering for gather locality (ops/reorder.py): "auto" applies
     # RCM when the windowed-gather break-even gate says the reordered graph
     # wins (full-batch fused path only); "rcm"/"degree" force a method;

@@ -133,9 +133,14 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
     node_mask = orig_g.node_mask
     seed_mask = node_mask[:bs]
 
+    # loss_bf16 (cfg docstring): decoder matmuls read a bf16 copy of the
+    # query; targets, reductions and log/cosine arithmetic stay f32
+    query_l = query.astype(jnp.bfloat16) if cfg.loss_bf16 else query
+
     # ---- feat recon (pt_model.py:42-43): MSE over first bs seed nodes.
-    recon = linear_apply(params["feat_dec"], query[:bs])
-    se = (recon - orig_g.node_feat[:bs]) ** 2
+    recon = linear_apply(params["feat_dec"],
+                         query_l[:bs]).astype(jnp.float32)
+    se = (recon - orig_g.node_feat[:bs].astype(jnp.float32)) ** 2
     denom = jnp.maximum(jnp.sum(seed_mask) * se.shape[-1], 1.0)
     feat_recon_loss = jnp.sum(se * seed_mask[:, None]) / denom
 
@@ -148,21 +153,24 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         w_sum = jnp.maximum(jnp.sum(w), 1.0)
         pos_s = orig_g.senders[slots]
         pos_r = orig_g.receivers[slots]
-        pos_p = inner_product_decode(params["topo_dec"], query, pos_s, pos_r,
-                                     sigmoid=True)
+        pos_p = inner_product_decode(params["topo_dec"], query_l, pos_s,
+                                     pos_r, sigmoid=True).astype(jnp.float32)
         neg_s, neg_r = _negative_edges(k_topo_neg, num, orig_g.n_node,
                                        orig_g.num_nodes_padded)
-        neg_p = inner_product_decode(params["topo_dec"], query, neg_s, neg_r,
-                                     sigmoid=True)
+        neg_p = inner_product_decode(params["topo_dec"], query_l, neg_s,
+                                     neg_r, sigmoid=True).astype(jnp.float32)
         pos_loss = -jnp.sum(w * jnp.log(pos_p + EPS)) / w_sum
         neg_loss = -jnp.mean(jnp.log(1.0 - neg_p + EPS))
         topo_recon_loss = pos_loss + neg_loss
 
         # ---- topo-sem recon (pt_model.py:68-83): edge-feature MSE.
         if orig_g.edge_feat is not None:
-            zz = jnp.concatenate([query[pos_s], query[pos_r]], axis=-1)
-            pred_e = linear_apply(params["topo_sem_dec"], zz)
-            se_e = jnp.mean((pred_e - orig_g.edge_feat[slots]) ** 2, axis=-1)
+            zz = jnp.concatenate([query_l[pos_s], query_l[pos_r]], axis=-1)
+            pred_e = linear_apply(params["topo_sem_dec"],
+                                  zz).astype(jnp.float32)
+            se_e = jnp.mean(
+                (pred_e - orig_g.edge_feat[slots].astype(jnp.float32)) ** 2,
+                axis=-1)
             topo_sem_recon_loss = jnp.sum(w * se_e) / w_sum
         else:
             topo_sem_recon_loss = jnp.zeros(())
@@ -175,14 +183,20 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
     # BatchNorm semantics so the teacher runs in the same mode as the student
     # but its state updates are discarded (the reference's teacher *is* in
     # train mode and its BN running stats do update — we keep them).
+    teacher_cfg = cfg.encoder
+    if cfg.teacher_bf16 and cfg.encoder.compute_dtype != "bfloat16":
+        import dataclasses
+        teacher_cfg = dataclasses.replace(cfg.encoder,
+                                          compute_dtype="bfloat16")
     tz, teacher_state, _ = encoder_apply(
-        teacher_params, state["sem_encoder"], cfg.encoder,
+        teacher_params, state["sem_encoder"], teacher_cfg,
         orig_g.node_feat, orig_g.senders, orig_g.receivers,
         edge_feat=orig_g.edge_feat, edge_mask=orig_g.edge_mask,
         node_mask=orig_g.node_mask, training=training, rng=k_teacher,
         layout=layout, edge_table=edge_table, axis_name=axis_name)
     tz = jax.lax.stop_gradient(tz).astype(jnp.float32)
-    hproj = linear_apply(params["sem_projector"], query)
+    hproj = linear_apply(params["sem_projector"],
+                         query_l).astype(jnp.float32)
 
     def _l2n(t):
         return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True),

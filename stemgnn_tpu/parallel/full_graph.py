@@ -261,11 +261,7 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
                 trainable["vq"], new_state["vq"]))
         return trainable, opt_state, new_state, loss
 
-    def per_device_eval(trainable, frozen, state, sg, *rest):
-        rest = list(rest)
-        sg_rev = rest.pop(0) if with_reversed else None
-        lays = ((_shard_layout(rest[0]), _shard_layout(rest[1]))
-                if layouts is not None else (None, None))
+    def _eval_probs_local(trainable, frozen, state, sg, sg_rev, lays):
         part = _local({k: v for k, v in sg.items()
                        if k not in ("node_feat", "node_mask")})
         params = _merge(trainable, frozen)
@@ -279,8 +275,33 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
         logits, _, _ = task_model.task_logits(
             params, dict(state, encoder=enc_state), cfg, z, training=False,
             mask=sg["node_mask"][0])
-        probs = jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
+        return jax.nn.softmax(jnp.mean(logits, axis=1), axis=-1)
+
+    def per_device_eval(trainable, frozen, state, sg, *rest):
+        rest = list(rest)
+        sg_rev = rest.pop(0) if with_reversed else None
+        lays = ((_shard_layout(rest[0]), _shard_layout(rest[1]))
+                if layouts is not None else (None, None))
+        probs = _eval_probs_local(trainable, frozen, state, sg, sg_rev, lays)
         return jax.lax.all_gather(probs, axis, tiled=True)
+
+    def per_device_metrics(trainable, frozen, state, y_loc, split_masks,
+                           sg, *rest):
+        """On-device accuracies [3] for (train, valid, test) — psum of
+        masked correct counts over the shard axis; no [N, C] prediction
+        readback, no all_gather (r4 VERDICT item 7: the halo runner's
+        per-epoch host transfer was the overhead)."""
+        rest = list(rest)
+        sg_rev = rest.pop(0) if with_reversed else None
+        lays = ((_shard_layout(rest[0]), _shard_layout(rest[1]))
+                if layouts is not None else (None, None))
+        probs = _eval_probs_local(trainable, frozen, state, sg, sg_rev, lays)
+        pred = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        hit = (pred == y_loc[0]).astype(jnp.float32)
+        m = split_masks[:, 0].astype(jnp.float32)       # [3, nb]
+        num = jax.lax.psum(jnp.sum(m * hit[None, :], axis=1), axis)
+        den = jax.lax.psum(jnp.sum(m, axis=1), axis)
+        return 100.0 * num / jnp.maximum(den, 1.0)
 
     rep = P()
     sg_keys = ["s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
@@ -302,7 +323,12 @@ def make_halo_steps(cfg: FinetuneConfig, tx, mesh, y, axis: str = "edge",
         per_device_eval, mesh=mesh,
         in_specs=(rep, rep, rep, sg_spec) + rev_spec + lay_spec,
         out_specs=rep, check_vma=False))
-    return train, evals
+    metrics = jax.jit(jax.shard_map(
+        per_device_metrics, mesh=mesh,
+        in_specs=(rep, rep, rep, P(axis), P(None, axis), sg_spec)
+        + rev_spec + lay_spec,
+        out_specs=rep, check_vma=False))
+    return train, evals, metrics
 
 
 def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
@@ -365,11 +391,9 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
     y = jnp.asarray(y_np.reshape(n_shards, nb))
 
     tx = optax.adamw(cfg.lr, weight_decay=0.01)
-    train_step, eval_step = make_halo_steps(cfg, tx, mesh, y, axis=axis,
-                                            with_reversed=moe,
-                                            layouts=layouts,
-                                            edge_table=edge_table,
-                                            interpret=interpret)
+    train_step, eval_step, metrics_step = make_halo_steps(
+        cfg, tx, mesh, y, axis=axis, with_reversed=moe, layouts=layouts,
+        edge_table=edge_table, interpret=interpret)
     logger = Logger()
     rev_args = (sg_rev,) if moe else ()
     if layouts is not None:
@@ -401,18 +425,31 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
             m[:n] = np.asarray(split[k])[:n]
             masks[k] = m
         train_mask = jnp.asarray(masks["train"].reshape(n_shards, nb))
+        # all three split masks stacked for the on-device metrics step
+        masks3 = jnp.asarray(np.stack(
+            [masks[k].reshape(n_shards, nb)
+             for k in ("train", "valid", "test")]))
 
+        # Per-epoch dispatch stays (scan over shard_map wedges the
+        # tunneled chip — docs/wedge.md), but the loop never reads
+        # [N, C] predictions back: metrics come from the on-device
+        # psum-of-correct-counts step (3 scalars per eval), train-step
+        # dispatches pipeline asynchronously between evals, and
+        # cfg.eval_every thins the eval dispatches like the graph task's
+        # (r4 item 12).  The loss scalar is read only at eval epochs.
+        eval_every = max(int(getattr(cfg, "eval_every", 1) or 1), 1)
         for epoch in range(cfg.epochs):
             key, k_step = jax.random.split(key)
             trainable, opt_state, state, loss = train_step(
                 trainable, frozen, opt_state, state, k_step, train_mask, y,
                 sg, *rev_args)
-            pred = np.asarray(eval_step(trainable, frozen, state, sg,
-                                        *rev_args))
-            result = {k2: evaluate(pred, y_np, masks[k1], cfg.task)
-                      for k1, k2 in [("train", "train"), ("valid", "val"),
-                                     ("test", "test")]}
-            result["metric"] = task2metric[cfg.task]
+            if (epoch + 1) % eval_every and epoch + 1 < cfg.epochs:
+                continue
+            accs = np.asarray(metrics_step(trainable, frozen, state, y,
+                                           masks3, sg, *rev_args))
+            result = {"train": float(accs[0]), "val": float(accs[1]),
+                      "test": float(accs[2]),
+                      "metric": task2metric[cfg.task]}
             logger.log(idx, epoch, {"loss": float(loss)}, result)
             if stopper(result):
                 break

@@ -616,7 +616,12 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                                           keep_loc.astype(bool)),
                     m_rem=jnp.logical_and(part["m_rem"],
                                           keep_rem.astype(bool)))
-    z = x_local
+    # mixed precision (nn/encoder.py:94-97 semantics): bf16 activations —
+    # and therefore bf16 halo all_to_all exchanges — with f32 BatchNorm
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if dt == jnp.bfloat16 and cfg.backbone != "sage":
+        raise ValueError("compute_dtype=bfloat16 supports the sage backbone")
+    z = x_local.astype(dt)
     new_norm_states = []
     env_idx = 0
     env_reg_total = jnp.zeros(())

@@ -171,10 +171,13 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
     commit_loss = vq_res["loss"]
     query = vq_res["quantize"]
     seed_f = seed_mask_loc.astype(jnp.float32)
+    # loss_bf16 (PretrainConfig docstring): decoder matmuls read a bf16
+    # copy of the query; targets/reductions stay f32
+    query_l = query.astype(jnp.bfloat16) if cfg.loss_bf16 else query
 
     # ---- feat recon (pt_model.py:42-43) over this replica's seed nodes.
-    recon = linear_apply(params["feat_dec"], query)
-    se = jnp.sum((recon - x_loc) ** 2, axis=-1)
+    recon = linear_apply(params["feat_dec"], query_l).astype(jnp.float32)
+    se = jnp.sum((recon - x_loc.astype(jnp.float32)) ** 2, axis=-1)
     feat_recon_loss = gsum(jnp.sum(se * seed_f)) / jnp.maximum(
         gsum(jnp.sum(seed_f)) * recon.shape[-1], 1.0)
 
@@ -186,12 +189,12 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         k_slots = jax.random.fold_in(k_topo, jax.lax.axis_index(node_axis))
         slots = jax.random.randint(k_slots, (num,), 0, e_comb)
         w = part["cm"][slots].astype(jnp.float32)
-        q_halo = halo_exchange(query, part["send_idx"], node_axis)
-        q_full = jnp.concatenate([query, q_halo], axis=0)
+        q_halo = halo_exchange(query_l, part["send_idx"], node_axis)
+        q_full = jnp.concatenate([query_l, q_halo], axis=0)
         pos_s, pos_r = part["cs"][slots], part["cr"][slots]
         from stemgnn_tpu.nn.decoders import inner_product_decode
         pos_p = inner_product_decode(params["topo_dec"], q_full, pos_s,
-                                     pos_r, sigmoid=True)
+                                     pos_r, sigmoid=True).astype(jnp.float32)
         w_sum = jnp.maximum(gsum(jnp.sum(w)), 1.0)
         pos_loss = gsum(-jnp.sum(w * jnp.log(pos_p + EPS))) / w_sum
 
@@ -203,7 +206,8 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         neg_u = jax.random.randint(k_u, (num,), 0, nb)
         neg_v = jax.random.randint(k_v, (num,), 0, nb)
         proj = params["topo_dec"]
-        q_proj = linear_apply(proj["lin"], query) if "lin" in proj else query
+        q_proj = (linear_apply(proj["lin"], query_l).astype(jnp.float32)
+                  if "lin" in proj else query)
         pu, mu = q_proj[neg_u], node_mask_loc[neg_u].astype(jnp.float32)
         pv, mv = q_proj[neg_v], node_mask_loc[neg_v].astype(jnp.float32)
         n_shards = jax.lax.axis_size(node_axis)
@@ -219,9 +223,11 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
 
         if edge_table is not None:
             zz = jnp.concatenate([q_full[pos_s], q_full[pos_r]], axis=-1)
-            pred_e = linear_apply(params["topo_sem_dec"], zz)
+            pred_e = linear_apply(params["topo_sem_dec"],
+                                  zz).astype(jnp.float32)
             target = jnp.take(edge_table, part["cxe"][slots], axis=0)
-            se_e = jnp.mean((pred_e - target) ** 2, axis=-1)
+            se_e = jnp.mean((pred_e - target.astype(jnp.float32)) ** 2,
+                            axis=-1)
             topo_sem_recon_loss = gsum(jnp.sum(w * se_e)) / w_sum
         else:
             topo_sem_recon_loss = jnp.zeros(())
@@ -230,13 +236,19 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         topo_sem_recon_loss = jnp.zeros(())
 
     # ---- sem recon vs the detached EMA teacher on the CLEAN graph.
+    teacher_cfg = cfg.encoder
+    if cfg.teacher_bf16 and cfg.encoder.compute_dtype != "bfloat16":
+        import dataclasses
+        teacher_cfg = dataclasses.replace(cfg.encoder,
+                                          compute_dtype="bfloat16")
     tz, teacher_state, _ = halo_encoder_apply(
-        teacher_params, state["sem_encoder"], cfg.encoder, x_loc, part,
+        teacher_params, state["sem_encoder"], teacher_cfg, x_loc, part,
         axis=node_axis, training=training, rng=k_teacher,
         node_mask=node_mask_loc, lay_loc=lay_loc, lay_rem=lay_rem,
         edge_table=edge_table, interpret=interpret, stat_axes=axes)
     tz = jax.lax.stop_gradient(tz).astype(jnp.float32)
-    hproj = linear_apply(params["sem_projector"], query)
+    hproj = linear_apply(params["sem_projector"],
+                         query_l).astype(jnp.float32)
 
     def _l2n(t):
         return t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True),

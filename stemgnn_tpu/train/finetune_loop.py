@@ -1014,16 +1014,28 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
     train_step_d = jax.jit(_train_impl, donate_argnums=(0, 2, 3)) \
         if donate else None
 
+    # eval_bf16 (cfg docstring): the eval forward runs with bf16 encoder
+    # activations (training stays f32) — the graph task's per-epoch
+    # 3-split eval is compute-bound at chempcba scale
+    if cfg.eval_bf16 and cfg.encoder.backbone == "sage" \
+            and cfg.encoder.compute_dtype != "bfloat16":
+        import dataclasses as _dc
+        eval_cfg = _dc.replace(
+            cfg, encoder=_dc.replace(cfg.encoder,
+                                     compute_dtype="bfloat16"))
+    else:
+        eval_cfg = cfg
+
     def _predict_impl(trainable, frozen, state, g):
         g = _prep(g)
         params = _merge(trainable, frozen)
-        z, state2, _ = task_model.encode(params, state, cfg, g,
+        z, state2, _ = task_model.encode(params, state, eval_cfg, g,
                                          training=False)
         pooled = task_model.pool_graph(z, g, "mean",
                                        num_segments=batch_size)
-        logits, _, _ = task_model.task_logits(params, state2, cfg, pooled,
-                                              training=False)
-        return jnp.mean(logits, axis=1)
+        logits, _, _ = task_model.task_logits(params, state2, eval_cfg,
+                                              pooled, training=False)
+        return jnp.mean(logits, axis=1).astype(jnp.float32)
 
     predict = jax.jit(_predict_impl)
 

@@ -307,3 +307,30 @@ def test_mol_bundle_indexed_matches_materialized():
     # identical math (features are the same rows, gathered on device)
     np.testing.assert_allclose(b_idx["test"]["mean"], b_mat["test"]["mean"],
                                rtol=1e-4, atol=1e-3)
+
+
+def test_graph_eval_bf16_parity():
+    """eval_bf16 (r5, VERDICT item 6): the bf16 eval forward reproduces
+    the f32 run's quality — AUCs within noise — while training stays f32
+    (same seeds => same training trajectory up to eval-driven early
+    stopping)."""
+    from stemgnn_tpu.core.config import (EncoderConfig, FinetuneConfig,
+                                         VQConfig)
+    from stemgnn_tpu.data.synthetic import synthetic_graph_dataset
+    from stemgnn_tpu.train.finetune_loop import run_finetune
+    import dataclasses
+
+    bundle = synthetic_graph_dataset(num_graphs=90, num_tasks=2, feat_dim=32,
+                                     seed=2)
+    enc = EncoderConfig(input_dim=32, hidden_dim=32, num_layers=2,
+                        normalize="batch", dropout=0.0)
+    vq = VQConfig(dim=32, codebook_size=8, codebook_dim=8, heads=2,
+                  commitment_weight=0.25)
+    cfg = FinetuneConfig(encoder=enc, vq=vq, task="graph", epochs=8,
+                         early_stop=10, lr=1e-2, repeat=1, batch_size=16,
+                         num_classes=2, freeze_vq=False)
+    a = run_finetune(bundle, cfg).get_best()
+    b = run_finetune(bundle,
+                     dataclasses.replace(cfg, eval_bf16=True)).get_best()
+    assert abs(a["test"]["mean"] - b["test"]["mean"]) < 3.0, (a, b)
+    assert abs(a["val"]["mean"] - b["val"]["mean"]) < 3.0, (a, b)

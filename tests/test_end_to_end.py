@@ -157,6 +157,40 @@ def test_stream_scanned_order_shapes_and_singletons():
         assert n == n0
 
 
+def test_pretrain_mixed_precision_parity():
+    """teacher_bf16 + loss_bf16 (r5 mixed-precision pretrain extensions)
+    change the loss by at most bf16 rounding noise — the parity gate for
+    the bench-scale speedup (scripts/pretrain_step_probe.py)."""
+    import dataclasses
+
+    from stemgnn_tpu.core.config import PretrainConfig
+    from stemgnn_tpu.core.graph import make_graph
+    from stemgnn_tpu.models.pretrain import pretrain_forward, pretrain_init
+
+    rng = np.random.default_rng(0)
+    n, e = 200, 800
+    g = make_graph(rng.standard_normal((n, D)).astype(np.float32),
+                   rng.integers(0, n, e), rng.integers(0, n, e),
+                   edge_feat=rng.standard_normal((e, D)).astype(np.float32))
+    cfg = PretrainConfig(encoder=small_enc("batch"), vq=small_vq(),
+                        batch_size=64)
+    cfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder, dropout=0.0))
+    params, teacher, state = pretrain_init(jax.random.PRNGKey(0), cfg)
+
+    def run(cfg_v):
+        loss, (aux, _) = pretrain_forward(
+            params, teacher, state, cfg_v, g, g, bs=64,
+            rng=jax.random.PRNGKey(1), training=True)
+        return float(loss), {k: float(v) for k, v in aux["losses"].items()}
+
+    l0, a0 = run(cfg)
+    l1, a1 = run(dataclasses.replace(cfg, teacher_bf16=True, loss_bf16=True))
+    assert abs(l1 - l0) / max(abs(l0), 1e-9) < 0.02, (l0, l1)
+    for k in a0:
+        assert abs(a1[k] - a0[k]) <= 0.02 * max(abs(a0[k]), 0.1), (k, a0, a1)
+
+
 def test_pretrain_kmeans_init_finite(tmp_path):
     """Pretrain with cfg.vq.kmeans_init must seed the codebook from the
     first batch (the reference's lazy init-on-first-forward, vq.py:646) —

@@ -503,6 +503,64 @@ def test_halo_finetune_fused_learns(rng):
     assert best["test"]["mean"] > 75, best
 
 
+def test_halo_metrics_step_matches_host_evaluate(rng):
+    """On-device halo metrics (psum of masked correct counts, r5 item 7:
+    replaces the [N, C] prediction readback) == host evaluate() of the
+    all_gathered predictions, for all three splits."""
+    import optax
+
+    from stemgnn_tpu.core.config import FinetuneConfig, VQConfig
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.models import task as task_model
+    from stemgnn_tpu.parallel.full_graph import (make_halo_steps,
+                                                 prepare_halo_graph)
+    from stemgnn_tpu.train.finetune_loop import _split_params
+    from stemgnn_tpu.utils.metrics import evaluate
+
+    n, S = 220, 8
+    ds = synthetic_node_dataset(num_nodes=n, num_classes=4, feat_dim=D,
+                                train_per_split=40, val_per_split=60,
+                                num_splits=1, seed=5)
+    cfg = FinetuneConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=0.25),
+        task="node", epochs=1, lr=1e-3, repeat=1, num_classes=4)
+    mesh = make_mesh(axis_names=("edge",),
+                     devices=np.asarray(jax.devices()[:S]))
+    sg, nb, _, layouts, edge_table = prepare_halo_graph(
+        ds, S, pad_multiple=8, fused=True, hub_size=0, node_block=8,
+        edge_chunk=128)
+    n_pad = S * nb
+    y_np = np.zeros(n_pad, np.int32)
+    y_np[:n] = np.asarray(ds.labels)
+    y = jnp.asarray(y_np.reshape(S, nb))
+    tx = optax.sgd(1e-3)
+    _, eval_step, metrics_step = make_halo_steps(
+        cfg, tx, mesh, y, axis="edge", layouts=layouts,
+        edge_table=edge_table, interpret=True)
+    params, state = task_model.task_model_init(jax.random.PRNGKey(0), cfg)
+    params, state = task_model.maybe_kmeans_init_vq(
+        params, state, cfg, ds.to_graph(), rng=jax.random.PRNGKey(1))
+    trainable, frozen = _split_params(params, cfg)
+
+    split = ds.splits[0]
+    masks = {}
+    for k in ("train", "valid", "test"):
+        m = np.zeros(n_pad, bool)
+        m[:n] = np.asarray(split[k])[:n]
+        masks[k] = m
+    masks3 = jnp.asarray(np.stack([masks[k].reshape(S, nb)
+                                   for k in ("train", "valid", "test")]))
+    accs = np.asarray(metrics_step(trainable, frozen, state, y, masks3,
+                                   sg, *layouts))
+    pred = np.asarray(eval_step(trainable, frozen, state, sg, *layouts))
+    want = [evaluate(pred, y_np, masks[k], "node")
+            for k in ("train", "valid", "test")]
+    np.testing.assert_allclose(accs, want, rtol=1e-5, atol=1e-5)
+
+
 def test_halo_pretrain_loss_parity_2axis(rng):
     """2-axis ('data','edge') halo pretrain forward == single-device
     pretrain loss components (augmentation off, topo ratio 0 — the
@@ -647,6 +705,45 @@ def test_halo_pretrain_step_trains(rng):
         hist.append(float(metrics["loss"]))
     assert np.isfinite(hist).all(), hist
     assert hist[-1] < hist[0], hist
+
+
+def test_run_pretrain_halo_mixed_precision(rng, tmp_path):
+    """Halo pretrain with the r5 mixed-precision flags (bf16 encoder
+    activations + bf16 halo exchanges + bf16 teacher/loss decoders) stays
+    finite, decreases, and lands near the f32 run's loss."""
+    import dataclasses
+
+    from stemgnn_tpu.data.merge import merge_datasets
+    from stemgnn_tpu.data.synthetic import synthetic_node_dataset
+    from stemgnn_tpu.parallel.halo_pretrain import run_pretrain_halo
+
+    ds = synthetic_node_dataset(num_nodes=90, num_classes=4, feat_dim=D,
+                                train_per_split=20, val_per_split=20,
+                                num_splits=1, seed=0)
+    merged = merge_datasets([ds])
+    cfg = PretrainConfig(
+        encoder=EncoderConfig(input_dim=D, hidden_dim=D, num_layers=2,
+                              normalize="batch", dropout=0.0),
+        vq=VQConfig(dim=D, codebook_size=8, codebook_dim=8, heads=2,
+                    commitment_weight=1.0),
+        epochs=2, lr=3e-3, feat_p=0.1, edge_p=0.1, topo_recon_ratio=0.1,
+        seed=0)
+    mesh = make_mesh(axis_sizes=(1, 4), axis_names=("data", "edge"),
+                     devices=np.asarray(jax.devices()[:4]))
+    _, _, _, hist32 = run_pretrain_halo(
+        merged, cfg, mesh, weights=[1.0], save_root=None, verbose=False,
+        interpret=True)
+    cfg_mp = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder,
+                                         compute_dtype="bfloat16"),
+        teacher_bf16=True, loss_bf16=True)
+    _, _, _, hist16 = run_pretrain_halo(
+        merged, cfg_mp, mesh, weights=[1.0], save_root=None, verbose=False,
+        interpret=True)
+    for h in hist16:
+        assert np.isfinite(h["loss"]), hist16
+    rel = abs(hist16[0]["loss"] - hist32[0]["loss"]) / abs(hist32[0]["loss"])
+    assert rel < 0.05, (hist32[0]["loss"], hist16[0]["loss"])
 
 
 def test_run_pretrain_halo_end_to_end(rng, tmp_path):
@@ -940,7 +1037,7 @@ def test_halo_train_grads_match_single_device(rng):
         y_np[:n] = np.asarray(ds.labels)
         tm = np.zeros(n_pad, bool)
         tm[:n] = np.asarray(ds.splits[0]["train"])
-        step, _ = make_halo_steps(cfg, tx, mesh,
+        step, *_ = make_halo_steps(cfg, tx, mesh,
                                   jnp.asarray(y_np.reshape(S, nb)),
                                   axis="edge", layouts=layouts,
                                   edge_table=edge_table, interpret=True)
@@ -1045,7 +1142,7 @@ def test_halo_unfrozen_vq_train_matches_single(rng):
         y_np[:n] = np.asarray(ds.labels)
         tm = np.zeros(n_pad, bool)
         tm[:n] = np.asarray(ds.splits[0]["train"])
-        step, _ = make_halo_steps(cfg, tx, mesh,
+        step, *_ = make_halo_steps(cfg, tx, mesh,
                                   jnp.asarray(y_np.reshape(S, nb)),
                                   axis="edge", layouts=layouts,
                                   edge_table=edge_table, interpret=True)
