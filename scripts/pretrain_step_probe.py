@@ -119,22 +119,31 @@ def main():
     opt_state = tx.init(params)
 
     # ---------------- full train step (scan over the train-state carry)
-    def time_full_step(cfg_v, label):
+    def time_full_step(cfg_v, label, drop_hash: bool = False):
         def body_fn(carry, g):
             params, teacher, opt_state, state, key = carry
             key, k_step = jax.random.split(key)
             k_f, k_e, k_fwd = jax.random.split(k_step, 3)
             aug_feat = augment.mask_feature(k_f, g.node_feat, cfg_v.feat_p)
-            aug_mask = g.edge_mask if cfg_v.edge_p == 0 else \
-                augment.dropout_edges_undirected(k_e, g.senders, g.receivers,
-                                                 g.edge_mask, cfg_v.edge_p)
+            drop_seed = None
+            if cfg_v.edge_p == 0:
+                aug_mask = g.edge_mask
+            elif drop_hash:
+                # hub-preserving pair-hash dropout (r5): no materialized
+                # mask — the fused path masks the hub count matrices
+                drop_seed = augment.dropout_edge_seed(k_e)
+                aug_mask = g.edge_mask
+            else:
+                aug_mask = augment.dropout_edges_undirected(
+                    k_e, g.senders, g.receivers, g.edge_mask, cfg_v.edge_p)
             aug_g = g.replace(node_feat=aug_feat, edge_mask=aug_mask)
 
             def loss_fn(p):
                 return pretrain_forward(p, teacher, state, cfg_v, aug_g, g,
                                         bs=n_pad, rng=k_fwd, training=True,
                                         layout=g.layout,
-                                        edge_table=g.edge_table)
+                                        edge_table=g.edge_table,
+                                        drop_seed=drop_seed)
 
             (loss, (aux, new_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
@@ -166,6 +175,48 @@ def main():
         res["full_step"] = time_full_step(cfg, "full_step")
         res["full_step_static"] = time_full_step(cfg_static,
                                                  "full_step_static")
+
+    if "full" in want or "drop" in want:
+        # pair-hash (hub-preserving) dynamic edge dropout
+        res["full_step_drop_hash"] = time_full_step(cfg, "full_step_drop_hash",
+                                                    drop_hash=True)
+        cfg_mp_d = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder,
+                                             compute_dtype="bfloat16"),
+            teacher_bf16=True, loss_bf16=True)
+        res["full_step_mp_drop_hash"] = time_full_step(
+            cfg_mp_d, "full_step_mp_drop_hash", drop_hash=True)
+
+        # parity: same seed through drop_hash vs the materialized mask
+        def one_drop_loss(use_hash):
+            k_f, k_e, k_fwd = jax.random.split(jax.random.PRNGKey(11), 3)
+
+            @jax.jit
+            def run(params, teacher, state, gg):
+                seed = augment.dropout_edge_seed(k_e)
+                aug_feat = augment.mask_feature(k_f, gg.node_feat,
+                                                cfg.feat_p)
+                if use_hash:
+                    aug_g = gg.replace(node_feat=aug_feat)
+                    ds = seed
+                else:
+                    aug_g = gg.replace(
+                        node_feat=aug_feat,
+                        edge_mask=augment.dropout_edges_undirected_seeded(
+                            seed, gg.senders, gg.receivers, gg.edge_mask,
+                            cfg.edge_p))
+                    ds = None
+                loss, _ = pretrain_forward(
+                    params, teacher, state, cfg, aug_g, gg, bs=n_pad,
+                    rng=k_fwd, training=True, layout=gg.layout,
+                    edge_table=gg.edge_table, drop_seed=ds)
+                return loss
+            return float(run(params, teacher, state, g))
+
+        lh, lm_ = one_drop_loss(True), one_drop_loss(False)
+        print(f"# drop parity: hash {lh:.5f} vs mask {lm_:.5f} "
+              f"(rel {abs(lh - lm_) / max(abs(lm_), 1e-9):.2e})",
+              flush=True)
 
     if "full" in want or "mixed" in want:
         # r5 mixed-precision configuration: encoder+teacher+VQ-projection

@@ -99,16 +99,24 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
                      rng: jax.Array, training: bool = True,
                      no_codebook: bool = False,
                      axis_name: Optional[str] = None,
-                     layout=None, edge_table=None):
+                     layout=None, edge_table=None, drop_seed=None):
     """Full pretrain forward (pt_model.py:116-142).
 
     ``aug_g`` / ``orig_g`` share node/edge layout; augmentation only altered
     features and the edge mask.  Returns (total_loss, (losses, new_state)).
     Loss weighting (feat_lambda etc.) is applied here, matching
     pretrain.py:51-58.
+
+    ``drop_seed``: the pair-hash seed behind ``aug_g``'s edge-dropout mask
+    (train/augment.dropout_edge_seed).  When given with a fused ``layout``,
+    the encoder receives the dropout as ``drop_hash`` — the hub-preserving
+    closed form — instead of a per-edge runtime mask, which costs ~110
+    ms/step at bench scale (scripts/pretrain_step_probe.py, r5).
     """
     k_enc, k_vq, k_topo, k_topo_neg, k_sem, k_teacher = jax.random.split(rng, 6)
 
+    use_hash = (layout is not None and cfg.edge_p > 0
+                and drop_seed is not None and training)
     z, enc_state, enc_aux = encoder_apply(
         params["encoder"], state["encoder"], cfg.encoder,
         aug_g.node_feat, aug_g.senders, aug_g.receivers,
@@ -118,7 +126,9 @@ def pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
         # the augmented view's edge-dropout mask is random per step — the
         # fused path must fold it into messages and the mean's degree
         # (needless when dropout is disabled: static layout masks suffice)
-        dynamic_edge_mask=layout is not None and cfg.edge_p > 0)
+        dynamic_edge_mask=(layout is not None and cfg.edge_p > 0
+                           and not use_hash),
+        drop_hash=(drop_seed, cfg.edge_p) if use_hash else None)
     # z keeps the encoder's compute dtype into the VQ (project_in runs in
     # bf16 under mixed precision); the VQ returns f32, and the losses below
     # are f32.

@@ -42,14 +42,16 @@ def sage_init(key, in_dim: int, out_dim: int):
 
 def sage_apply(params, x, senders, receivers, edge_feat=None, edge_mask=None,
                layout=None, edge_table=None, shard_axis=None,
-               bf16_messages: bool = True, dynamic_edge_mask: bool = False):
+               bf16_messages: bool = True, dynamic_edge_mask: bool = False,
+               drop_hash=None):
     """out = lin_l(mean_j relu(x_j + xe)) + lin_r(x)  (encoder.py:82-87)."""
     agg = sage_aggregate(x, senders, receivers, edge_feat=edge_feat,
                          edge_mask=edge_mask, num_nodes=x.shape[0],
                          reduce="mean", relu=True, layout=layout,
                          edge_table=edge_table, shard_axis=shard_axis,
                          bf16_messages=bf16_messages,
-                         dynamic_edge_mask=dynamic_edge_mask)
+                         dynamic_edge_mask=dynamic_edge_mask,
+                         drop_hash=drop_hash)
     return linear_apply(params["lin_l"], agg) + linear_apply(params["lin_r"], x)
 
 

@@ -81,7 +81,7 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
                   layout=None, edge_table=None,
                   axis_name: Optional[str] = None,
                   edge_shard_axis: Optional[str] = None,
-                  dynamic_edge_mask: bool = False):
+                  dynamic_edge_mask: bool = False, drop_hash=None):
     """Forward pass (encoder.py:283-323).
 
     ``axis_name``: mesh axis for cross-shard BatchNorm statistics (needed
@@ -148,7 +148,8 @@ def encoder_apply(params, state, cfg: EncoderConfig, x, senders, receivers,
                                  shard_axis=edge_shard_axis,
                                  bf16_messages=(cfg.fused_bf16_messages
                                                 or dt == jnp.bfloat16),
-                                 dynamic_edge_mask=dynamic_edge_mask)
+                                 dynamic_edge_mask=dynamic_edge_mask,
+                                 drop_hash=drop_hash)
         elif cfg.backbone == "gcn":
             z = convs.gcn_apply(layer_p, z, senders, receivers,
                                 edge_mask=edge_mask, node_mask=node_mask)

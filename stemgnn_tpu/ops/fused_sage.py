@@ -49,9 +49,64 @@ def _zero_cot(tree):
 def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
           interpret: bool, bf16_messages: bool, relu_residual: bool,
           pipeline: str, bf16_out: bool, slots: int, single_type: bool,
-          hub_bf16_acc: bool = True, loc_merged: bool = False):
+          hub_bf16_acc: bool = True, loc_merged: bool = False,
+          drop_p: float = 0.0):
+
+    from stemgnn_tpu.ops.pairhash import pair_hash_uniform
 
     mdtype = jnp.bfloat16 if bf16_messages else jnp.float32
+
+    # ---- drop_hash support (r5): per-step undirected-pair edge dropout
+    # whose keep decision is a closed-form hash of (seed, node pair) —
+    # evaluable on DENSE (node, hub) grids, so the hub count matrices mask
+    # in place and the hub-dense decomposition SURVIVES the dynamic mask
+    # (the per-edge ``keep`` path must bypass the hubs entirely, which
+    # costs ~110 ms/step at bench scale — scripts/pretrain_step_probe.py).
+    def _keep_edges(seed, a, b):
+        """Per-edge keep in the arrays' own (sorted) order."""
+        return pair_hash_uniform(seed, a, b) >= drop_p
+
+    def _keep_dense(seed, rows, cols):
+        """[R, C] keep mask over a (row-id, col-id) grid."""
+        u = pair_hash_uniform(seed, rows[:, None], cols[None, :])
+        return u >= drop_p
+
+    def _masked_hub_mats(hub, seed, n_rows):
+        """(cnt, sc_cnt) with dropped pairs zeroed."""
+        ids = jnp.arange(n_rows, dtype=jnp.int32)
+        cnt = hub.cnt * _keep_dense(seed, ids, hub.hub_ids).astype(
+            hub.cnt.dtype)
+        sc_cnt = hub.sc_cnt
+        if sc_cnt is not None:
+            sc_cnt = sc_cnt * _keep_dense(seed, hub.sc_ids, ids).astype(
+                sc_cnt.dtype)
+        return cnt, sc_cnt
+
+    def _drop_inv_deg(layout, seed):
+        """1 / (# kept in-edges per receiver) under the pair-hash drop —
+        assembled from the same decomposition the kernels execute."""
+        n_pad = layout.num_nodes_padded
+        hub = layout.hub_r
+        if hub is not None and hub.hub_xe is None:
+            cnt, sc_cnt = _masked_hub_mats(hub, seed, n_pad)
+            deg = jnp.einsum("nh->n", cnt.astype(jnp.float32))
+            if sc_cnt is not None:
+                sc_deg = jnp.sum(sc_cnt.astype(jnp.float32), axis=1)
+                deg = deg.at[hub.sc_ids].add(sc_deg)
+            t = hub.tail
+            kt = jnp.logical_and(
+                t.mask_r, _keep_edges(seed, t.senders_r, t.receivers_r))
+            deg = deg + jax.ops.segment_sum(kt.astype(jnp.float32),
+                                            t.receivers_r,
+                                            num_segments=n_pad)
+        else:
+            kt = jnp.logical_and(
+                layout.mask_r,
+                _keep_edges(seed, layout.senders_r, layout.receivers_r))
+            deg = jax.ops.segment_sum(kt.astype(jnp.float32),
+                                      layout.receivers_r,
+                                      num_segments=n_pad)
+        return (1.0 / jnp.maximum(deg, 1.0))[:, None]
 
     def _type_rows(table, xe):
         """Per-edge type feature lookup.  The XLA row gather is row-rate-
@@ -195,7 +250,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             out_dtype=out_dtype, interpret=interpret)
 
     def _hub_split(src, hub, order, layout, relu_msgs: bool = False, t0=None,
-                   scale=None, gate=None, out_dtype=jnp.float32):
+                   scale=None, gate=None, out_dtype=jnp.float32, seed=None):
         """Hub-dense decomposition, FINAL output: the gather-side hub part
         is a dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring),
         the optional scatter-side hub part a transposed dense
@@ -206,8 +261,17 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         partial sums ride the kernel's additive ``init`` and scale/gate/
         cast happen in the kernel epilogue, so no separate [N, D] combine
         pass ever touches HBM.  ``t0`` is the broadcast single-type table
-        row added to every message (the factored T=1 case) or None."""
+        row added to every message (the factored T=1 case) or None.
+
+        ``seed`` activates the pair-hash edge dropout: the dense count
+        matrices are masked in place (see ``_masked_hub_mats``) and tail
+        messages carry a per-edge keep — the hub decomposition survives
+        the per-step random mask.  Splits/windowed tails fall back to the
+        plain gather tail under ``seed`` (per-edge keeps cannot ride the
+        in-kernel window DMA reconstruction)."""
         t = hub.tail
+        m_cnt, m_sc = (hub.cnt, hub.sc_cnt) if seed is None else \
+            _masked_hub_mats(hub, seed, src.shape[0])
 
         # Gather-hub partial-sum dtype: when the aggregate output is bf16
         # anyway, emit the [N, D] hub matmul in bf16 — the MXU still
@@ -225,31 +289,31 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 a, b, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=pt or acc_dt)
 
-        if hub.sc_cnt is not None:
+        if m_sc is not None:
             # one f(x) [N, D] pass feeds BOTH dense blocks
             f_all = src if t0 is None else src + t0
             if relu_msgs:
                 f_all = jax.nn.relu(f_all)
-            hub_out = mm(hub.cnt, jnp.take(f_all, hub.hub_ids, axis=0))
+            hub_out = mm(m_cnt, jnp.take(f_all, hub.hub_ids, axis=0))
             # the sc block's output [H2, D] is small — keep its store f32
             # and round once at the add
             hub_out = hub_out.at[hub.sc_ids].add(
-                mm(hub.sc_cnt, f_all, pt=jnp.float32).astype(acc_dt))
+                mm(m_sc, f_all, pt=jnp.float32).astype(acc_dt))
         else:
             xh = jnp.take(src, hub.hub_ids, axis=0)
             if t0 is not None:
                 xh = xh + t0
             if relu_msgs:
                 xh = jax.nn.relu(xh)
-            hub_out = mm(hub.cnt, xh)
+            hub_out = mm(m_cnt, xh)
         sp = t.split_r if order == "r" else t.split_s
-        if sp is not None:
+        if sp is not None and seed is None:
             # tail's local/stray split chained onto the hub partial sums
             return _stray_then_windowed(src, sp, order, relu_msgs, t0,
                                         scale, gate, out_dtype,
                                         init0=hub_out)
         lrow, block_ptr, gather, mask, use_g, wlo, wns = _dir(t, order)
-        if use_g and t.gwin_w:
+        if use_g and t.gwin_w and seed is None:
             from stemgnn_tpu.ops.scatter_pallas import \
                 gathered_scatter_rows_sorted
             return gathered_scatter_rows_sorted(
@@ -264,6 +328,12 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         if t0 is not None:
             m = m + t0
         m = jnp.where(mask[:, None], m, src.dtype.type(0))
+        if seed is not None:
+            # keep * relu(m) == relu(keep * m): fold the tail keep into the
+            # pre-activation so the kernel's relu/gate epilogues still apply
+            ts, tr = (t.senders_r, t.receivers_r) if order == "r" else \
+                (t.senders_s, t.receivers_s)
+            m = m * _keep_edges(seed, ts, tr).astype(m.dtype)[:, None]
         return scatter_rows_sorted(
             m, lrow, block_ptr, num_nodes_padded=layout.num_nodes_padded,
             node_block=layout.node_block, edge_chunk=layout.edge_chunk,
@@ -271,14 +341,42 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             relu=relu_msgs, slots=slots,
             init=hub_out, scale=scale, gate=gate, out_dtype=out_dtype)
 
-    def fwd_impl(x, table, layout: EdgeLayout, keep=None, *,
+    def fwd_impl(x, table, layout: EdgeLayout, keep=None, seed=None, *,
                  want_mask: bool = False):
         n_pad = layout.num_nodes_padded
+        assert seed is None or factored, \
+            "drop_hash needs the factored (relu, T<=1) path"
         inv_deg = (lambda: _dyn_inv_deg(layout, keep) if keep is not None
                    else _inv_deg(layout))
         if factored:
             out_dt = (jnp.bfloat16 if (bf16_out or x.dtype == jnp.bfloat16)
                       else jnp.float32)
+            if (layout.hub_r is not None and mdtype == jnp.bfloat16
+                    and keep is None and seed is not None):
+                # pair-hash drop: hubs masked densely, tail keep per edge
+                return _hub_split(
+                    x.astype(mdtype), layout.hub_r, "r", layout,
+                    relu_msgs=True, t0=_t0(table),
+                    scale=(_drop_inv_deg(layout, seed)
+                           if reduce == "mean" else None),
+                    out_dtype=out_dt, seed=seed)
+            if seed is not None:
+                # no hub block: per-edge keep in receiver order, dynamic
+                # kept-degree mean
+                pre = messages(x, table, layout, "r")
+                pre = pre * _keep_edges(
+                    seed, layout.senders_r,
+                    layout.receivers_r).astype(mdtype)[:, None]
+                sums = scatter_rows_sorted(
+                    pre, layout.lrow_r, layout.block_ptr_r,
+                    num_nodes_padded=n_pad, node_block=layout.node_block,
+                    edge_chunk=layout.edge_chunk, fast=fast,
+                    interpret=interpret, pipeline=pipeline, relu=True,
+                    slots=slots,
+                    scale=(_drop_inv_deg(layout, seed)
+                           if reduce == "mean" else None),
+                    out_dtype=out_dt)
+                return sums
             if (layout.hub_r is not None and mdtype == jnp.bfloat16
                     and keep is None):
                 return _hub_split(
@@ -406,24 +504,28 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return sums
 
     @jax.custom_vjp
-    def f(x, table, layout, keep):
-        return fwd_impl(x, table, layout, keep)
+    def f(x, table, layout, keep, seed):
+        return fwd_impl(x, table, layout, keep, seed)
 
-    def f_fwd(x, table, layout, keep):
+    def f_fwd(x, table, layout, keep, seed):
         if relu and relu_residual and not factored:
-            out, packed = fwd_impl(x, table, layout, keep, want_mask=True)
-            return out, (packed, table, layout, keep)
-        return fwd_impl(x, table, layout, keep), (x, table, layout, keep)
+            out, packed = fwd_impl(x, table, layout, keep, seed,
+                                   want_mask=True)
+            return out, (packed, table, layout, keep, seed)
+        return fwd_impl(x, table, layout, keep, seed), (x, table, layout,
+                                                        keep, seed)
 
     def f_bwd(res, g):
-        first, table, layout, keep = res
+        first, table, layout, keep, seed = res
         n_pad = layout.num_nodes_padded
         if factored:
             # one fused [N, D] pass: mean scaling + bf16 narrowing of g
             gp = g.astype(jnp.float32)
             if reduce == "mean":
-                gp = gp * (_dyn_inv_deg(layout, keep) if keep is not None
-                           else _inv_deg(layout))
+                gp = gp * (_drop_inv_deg(layout, seed)
+                           if seed is not None
+                           else _dyn_inv_deg(layout, keep)
+                           if keep is not None else _inv_deg(layout))
             gp = gp.astype(mdtype)
             # factored relu gate: 1[x_j (+ t0) > 0], per source row (the
             # single-type shift keeps the forward's bf16 pre-activation
@@ -431,18 +533,39 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             t0 = _t0(table)
             gate = first if t0 is None else first.astype(mdtype) + t0
             if (layout.hub_s is not None and mdtype == jnp.bfloat16
+                    and keep is None and seed is not None):
+                dx = _hub_split(gp, layout.hub_s, "s", layout, gate=gate,
+                                out_dtype=first.dtype, seed=seed)
+                return (dx, _zero_cot(table), _zero_cot(layout),
+                        _zero_cot(keep), _zero_cot(seed))
+            if seed is not None:
+                # no hub block: per-edge keep in sender order
+                dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
+                dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
+                dm = dm * _keep_edges(
+                    seed, layout.senders_s,
+                    layout.receivers_s).astype(mdtype)[:, None]
+                dx = scatter_rows_sorted(
+                    dm, layout.lrow_s, layout.block_ptr_s,
+                    num_nodes_padded=n_pad, node_block=layout.node_block,
+                    edge_chunk=layout.edge_chunk, fast=fast,
+                    interpret=interpret, pipeline=pipeline, gate=gate,
+                    out_dtype=first.dtype, slots=slots)
+                return (dx, _zero_cot(table), _zero_cot(layout),
+                        _zero_cot(keep), _zero_cot(seed))
+            if (layout.hub_s is not None and mdtype == jnp.bfloat16
                     and keep is None):
                 # relu gate fused into the tail kernel's epilogue
                 dx = _hub_split(gp, layout.hub_s, "s", layout, gate=gate,
                                 out_dtype=first.dtype)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep))
+                        _zero_cot(keep), _zero_cot(seed))
             if (layout.split_s is not None and mdtype == jnp.bfloat16
                     and keep is None):
                 dx = _stray_then_windowed(gp, layout.split_s, "s",
                                           gate=gate, out_dtype=first.dtype)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep))
+                        _zero_cot(keep), _zero_cot(seed))
             if (layout.use_gwin_s and layout.gwin_w
                     and mdtype == jnp.bfloat16 and keep is None):
                 # gather-free factored backward: upstream grads rebuilt
@@ -458,7 +581,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                     edge_chunk=layout.edge_chunk, gate=gate,
                     out_dtype=first.dtype, interpret=interpret)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep))
+                        _zero_cot(keep), _zero_cot(seed))
             dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
             dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
             if keep is not None:
@@ -470,7 +593,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 pipeline=pipeline, gate=gate, out_dtype=first.dtype,
                 slots=slots)
             return (dx, _zero_cot(table), _zero_cot(layout),
-                    _zero_cot(keep))
+                    _zero_cot(keep), _zero_cot(seed))
         if reduce == "mean":
             g = g * (_dyn_inv_deg(layout, keep) if keep is not None
                      else 1.0 / jnp.maximum(layout.in_degree, 1.0)[:, None])
@@ -504,7 +627,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                     edge_chunk=layout.edge_chunk, out_dtype=first.dtype,
                     interpret=interpret)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep))
+                        _zero_cot(keep), _zero_cot(seed))
             else:
                 pre_s = messages(first, table, layout, "s")
                 dm = jnp.where(pre_s > 0, dm, mdtype(0))
@@ -514,7 +637,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             edge_chunk=layout.edge_chunk, fast=fast, interpret=interpret,
             pipeline=pipeline)
         dtable = _zero_cot(table)
-        return dx, dtable, _zero_cot(layout), _zero_cot(keep)
+        return (dx, dtable, _zero_cot(layout), _zero_cot(keep),
+                _zero_cot(seed))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -528,7 +652,8 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          pipeline: str = "rolling", bf16_out: bool = False,
                          slots: int = 2, edge_keep=None,
                          hub_bf16_acc: bool = True,
-                         loc_merged: bool = False):
+                         loc_merged: bool = False,
+                         drop_hash=None):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -566,9 +691,19 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
     # (relu(x_j + t0)) and the factored/hub machinery applies
     single_type = with_table and edge_table.shape[0] == 1
     relu_residual = relu_residual and relu and layout.perm_s2r is not None
+    drop_seed, drop_p = (None, 0.0) if drop_hash is None else drop_hash
+    if drop_hash is not None:
+        # ``drop_hash`` = (seed, p): per-step pair-hash edge dropout — the
+        # hub-preserving form of a runtime edge mask (see _make's drop
+        # helpers).  Requires the factored path; mutually exclusive with a
+        # materialized ``edge_keep``.
+        assert edge_keep is None, "edge_keep and drop_hash are exclusive"
+        assert relu and (not with_table or single_type), \
+            "drop_hash requires the factored (relu, T<=1) configuration"
+        drop_seed = jnp.asarray(drop_seed, jnp.int32)
     fn = _make(reduce, relu, with_table, fast or bf16_messages, interpret,
                bf16_messages, relu_residual, pipeline, bf16_out, slots,
-               single_type, hub_bf16_acc, loc_merged)
+               single_type, hub_bf16_acc, loc_merged, float(drop_p))
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
-    return fn(x, edge_table, layout, edge_keep)
+    return fn(x, edge_table, layout, edge_keep, drop_seed)

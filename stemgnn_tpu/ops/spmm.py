@@ -64,7 +64,7 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
                    num_nodes: Optional[int] = None, reduce: str = "mean",
                    relu: bool = True, layout=None, edge_table=None,
                    bf16_messages: bool = True, shard_axis: Optional[str] = None,
-                   dynamic_edge_mask: bool = False):
+                   dynamic_edge_mask: bool = False, drop_hash=None):
     """Dispatching front-end for the fused SAGE aggregation.
 
     ``layout`` is an :class:`stemgnn_tpu.ops.edge_layout.EdgeLayout`
@@ -73,6 +73,12 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
     per-edge-type features gathered on the fly.  Without it, the portable XLA
     gather + segment-reduce path runs (with ``edge_feat`` [E, D] materialized
     features).
+
+    ``drop_hash`` = (seed, p): pair-hash per-step edge dropout
+    (train/augment.dropout_edges_undirected's decisions as a closed form)
+    — the hub-preserving alternative to ``dynamic_edge_mask`` for the
+    fused path (ops/fused_sage.py); non-fused paths derive the identical
+    per-edge keep from the hash and fold it into ``edge_mask``.
     """
     num_nodes = num_nodes or x.shape[0]
     if shard_axis is not None:
@@ -89,6 +95,19 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
     # never take it when only materialized edge_feat carries them
     fused_ok = (layout is not None and on_tpu and reduce in ("mean", "sum")
                 and not (edge_feat is not None and edge_table is None))
+    hash_ok = (drop_hash is not None and relu
+               and (edge_table is None or edge_table.shape[0] == 1))
+    if drop_hash is not None and not (fused_ok and hash_ok):
+        # derive the per-edge keep (identical decisions) and fall back to
+        # the materialized-mask plumbing below
+        from stemgnn_tpu.ops.pairhash import pair_hash_uniform
+        seed, p = drop_hash
+        keep = pair_hash_uniform(jnp.asarray(seed, jnp.int32), senders,
+                                 receivers) >= p
+        edge_mask = keep if edge_mask is None else \
+            jnp.logical_and(edge_mask, keep)
+        dynamic_edge_mask = True
+        drop_hash = None
     if fused_ok:
         from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
         # NOTE: a static layout bakes the edge validity mask; a RUNTIME
@@ -98,7 +117,8 @@ def sage_aggregate(x, senders, receivers, edge_feat=None, edge_mask=None,
         return fused_sage_aggregate(
             x, layout, edge_table, reduce=reduce, relu=relu,
             bf16_messages=bf16_messages,
-            edge_keep=edge_mask if dynamic_edge_mask else None)
+            edge_keep=edge_mask if dynamic_edge_mask else None,
+            drop_hash=drop_hash)
     if edge_feat is None and edge_table is not None:
         # layout-only graphs (edge_feat never materialized) must not fall
         # back silently without their per-edge type features

@@ -373,8 +373,11 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
         # balance is whatever the community structure gives
         from stemgnn_tpu.train.graph_setup import reorder_dataset
         ds = reorder_dataset(ds, order, task=cfg.task)
+    import time as _time
+
     moe = any(cfg.encoder.moe_layer_flags())
     layouts = edge_table = None
+    t_build0 = _time.perf_counter()
     if fused:
         node_block = min(128, pad_multiple)
         sg, nb, sg_rev, layouts, edge_table = prepare_halo_graph(
@@ -385,6 +388,7 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
         sg, nb, sg_rev = prepare_halo_graph(ds, n_shards,
                                             pad_multiple=pad_multiple,
                                             with_reversed=moe)
+    t_build = _time.perf_counter() - t_build0
     n, n_pad = ds.num_nodes, n_shards * nb
     y_np = np.zeros(n_pad, np.int32)
     y_np[:n] = np.asarray(ds.labels)[:n]
@@ -438,12 +442,16 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
         # cfg.eval_every thins the eval dispatches like the graph task's
         # (r4 item 12).  The loss scalar is read only at eval epochs.
         eval_every = max(int(getattr(cfg, "eval_every", 1) or 1), 1)
+        epoch_walls = []
         for epoch in range(cfg.epochs):
+            t_ep = _time.perf_counter()
             key, k_step = jax.random.split(key)
             trainable, opt_state, state, loss = train_step(
                 trainable, frozen, opt_state, state, k_step, train_mask, y,
                 sg, *rev_args)
             if (epoch + 1) % eval_every and epoch + 1 < cfg.epochs:
+                # no readback: train dispatches pipeline asynchronously
+                epoch_walls.append(_time.perf_counter() - t_ep)
                 continue
             accs = np.asarray(metrics_step(trainable, frozen, state, y,
                                            masks3, sg, *rev_args))
@@ -451,12 +459,18 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
                       "test": float(accs[2]),
                       "metric": task2metric[cfg.task]}
             logger.log(idx, epoch, {"loss": float(loss)}, result)
+            epoch_walls.append(_time.perf_counter() - t_ep)
             if stopper(result):
                 break
         if verbose:
             b = logger.get_single_best(idx)
+            steady = (np.median(epoch_walls[2:]) if len(epoch_walls) > 4
+                      else float("nan"))
             print(f"[halo split {idx}] best val={b['val']:.2f} "
-                  f"test={b['test']:.2f}")
+                  f"test={b['test']:.2f} | build {t_build:.2f}s, "
+                  f"first epoch {epoch_walls[0]:.2f}s (incl. compile), "
+                  f"steady median {steady * 1e3:.0f} ms/epoch "
+                  f"({len(epoch_walls)} epochs)")
     return logger
 
 

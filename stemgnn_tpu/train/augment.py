@@ -25,25 +25,22 @@ def mask_feature(key, x, p: float):
     return jnp.where(keep[None, :], x, 0.0)
 
 
-def _pair_hash_uniform(seed, a, b):
-    """Deterministic per-undirected-pair uniform in [0, 1).
+from stemgnn_tpu.ops.pairhash import pair_hash_uniform as _pair_hash_uniform
 
-    Both directions of an edge hash identically (key = (min, max)), so a
-    single Bernoulli draw drops or keeps the whole undirected pair — the
-    ``force_undirected=True`` semantics — without any pair-matching pass.
-    Uses a 32-bit finalizer-style integer mix; quality is ample for
-    augmentation purposes.
-    """
-    lo = jnp.minimum(a, b).astype(jnp.uint32)
-    hi = jnp.maximum(a, b).astype(jnp.uint32)
-    h = lo * jnp.uint32(0x85EBCA6B) ^ hi * jnp.uint32(0xC2B2AE35)
-    h = h ^ (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x7FEB352D)
-    h = h ^ (h >> 15)
-    h = h * jnp.uint32(0x846CA68B)
-    h = h ^ (h >> 16)
-    return h.astype(jnp.float32) / jnp.float32(4294967296.0)
+
+def dropout_edge_seed(key):
+    """The int32 seed feeding the per-pair hash — shared between the
+    materialized-mask path below and the fused kernels' dense-mask
+    ``drop_hash`` path (ops/fused_sage.py) so both produce IDENTICAL
+    per-pair decisions for the same rng key."""
+    return jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+
+
+def dropout_edges_undirected_seeded(seed, senders, receivers, edge_mask,
+                                    p: float):
+    """Materialized keep mask from an explicit seed (see dropout_edge_seed)."""
+    u = _pair_hash_uniform(seed, senders, receivers)
+    return jnp.logical_and(edge_mask, u >= p)
 
 
 def dropout_edges_undirected(key, senders, receivers, edge_mask, p: float):
@@ -51,7 +48,5 @@ def dropout_edges_undirected(key, senders, receivers, edge_mask, p: float):
 
     Matches dropout_adj(force_undirected=True): one coin per undirected pair.
     """
-    seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
-    u = _pair_hash_uniform(seed, senders, receivers)
-    keep = u >= p
-    return jnp.logical_and(edge_mask, keep)
+    return dropout_edges_undirected_seeded(dropout_edge_seed(key), senders,
+                                           receivers, edge_mask, p)

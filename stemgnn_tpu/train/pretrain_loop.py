@@ -58,15 +58,17 @@ def make_pretrain_step(cfg: PretrainConfig, tx, *, bs: int,
             g = materialize_graph(g, node_table, edge_table)
         k_aug_feat, k_aug_edge, k_fwd = jax.random.split(rng, 3)
         aug_feat = augment.mask_feature(k_aug_feat, g.node_feat, cfg.feat_p)
-        aug_mask = augment.dropout_edges_undirected(
-            k_aug_edge, g.senders, g.receivers, g.edge_mask, cfg.edge_p)
+        drop_seed = augment.dropout_edge_seed(k_aug_edge)
+        aug_mask = augment.dropout_edges_undirected_seeded(
+            drop_seed, g.senders, g.receivers, g.edge_mask, cfg.edge_p)
         aug_g = g.replace(node_feat=aug_feat, edge_mask=aug_mask)
 
         def loss_fn(params):
             return pretrain_forward(params, teacher, state, cfg, aug_g, g,
                                     bs=bs, rng=k_fwd, training=True,
                                     axis_name=axis_name, layout=layout,
-                                    edge_table=edge_table)
+                                    edge_table=edge_table,
+                                    drop_seed=drop_seed)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -108,14 +110,16 @@ def make_pretrain_loop_step(cfg: PretrainConfig, tx, *, bs: int,
             g = materialize_graph(g, node_table, edge_table)
         k_aug_feat, k_aug_edge, k_fwd = jax.random.split(k_step, 3)
         aug_feat = augment.mask_feature(k_aug_feat, g.node_feat, cfg.feat_p)
-        aug_mask = augment.dropout_edges_undirected(
-            k_aug_edge, g.senders, g.receivers, g.edge_mask, cfg.edge_p)
+        drop_seed = augment.dropout_edge_seed(k_aug_edge)
+        aug_mask = augment.dropout_edges_undirected_seeded(
+            drop_seed, g.senders, g.receivers, g.edge_mask, cfg.edge_p)
         aug_g = g.replace(node_feat=aug_feat, edge_mask=aug_mask)
 
         def loss_fn(params):
             return pretrain_forward(params, teacher, state, cfg, aug_g, g,
                                     bs=bs, rng=k_fwd, training=True,
-                                    layout=layout, edge_table=edge_table)
+                                    layout=layout, edge_table=edge_table,
+                                    drop_seed=drop_seed)
 
         (loss, (aux, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

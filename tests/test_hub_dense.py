@@ -474,3 +474,93 @@ def test_loc_split_merged_single_kernel(rng):
         np.testing.assert_allclose(np.asarray(got, np.float32)[:n],
                                    np.asarray(want, np.float32)[:n],
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("hub_size,sc_hub,with_table", [
+    (64, 0, False), (64, 64, False), (0, 0, False), (64, 64, True)])
+def test_fused_drop_hash_matches_masked_reference(rng, hub_size, sc_hub,
+                                                  with_table):
+    """drop_hash (r5): the pair-hash per-step edge dropout through the
+    hub-preserving fused path == the XLA gather/segment reference with the
+    SAME keep decisions materialized as an edge mask — values and grads,
+    fwd mean over KEPT in-edges only."""
+    from stemgnn_tpu.ops.pairhash import pair_hash_uniform
+    from stemgnn_tpu.ops.spmm import gather_scatter_aggregate
+
+    n_pad, p = 512, 0.3
+    s, r = _skewed_graph(rng)
+    seed = jnp.asarray(12345, jnp.int32)
+    keep = np.asarray(pair_hash_uniform(seed, jnp.asarray(s),
+                                        jnp.asarray(r)) >= p)
+    table = (jnp.asarray(rng.standard_normal((1, 96)).astype(np.float32))
+             if with_table else None)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128,
+                            hub_size=hub_size, sc_hub_size=sc_hub,
+                            hub_min_coverage=0.0,
+                            num_edge_types=1,
+                            xe_ids=np.zeros(len(s), np.int32)
+                            if with_table else None)
+    if hub_size:
+        assert lay.hub_r is not None
+    x = jnp.asarray(rng.standard_normal((n_pad, 96)).astype(np.float32))
+
+    def loss_drop(x):
+        out = fused_sage_aggregate(x, lay, table, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True,
+                                   drop_hash=(seed, p))
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    ef = None if table is None else jnp.broadcast_to(table[0],
+                                                     (len(s), 96))
+
+    def loss_ref(x):
+        out = gather_scatter_aggregate(
+            x.astype(jnp.bfloat16), jnp.asarray(s), jnp.asarray(r),
+            edge_feat=None if ef is None else ef.astype(jnp.bfloat16),
+            edge_mask=jnp.asarray(keep), num_nodes=n_pad, reduce="mean",
+            relu=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, out_d), g_d = jax.value_and_grad(loss_drop, has_aux=True)(x)
+    (_, out_r), g_r = jax.value_and_grad(loss_ref, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(out_d, np.float32),
+                               np.asarray(out_r, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(g_d, np.float32),
+                               np.asarray(g_r, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_drop_hash_matches_materialized_keep_path(rng):
+    """drop_hash == the existing edge_keep path (identical decisions from
+    the shared seed) through the SAME fused kernels, no-hub layout."""
+    n_pad, p = 512, 0.25
+    s, r = _skewed_graph(rng)
+    seed = jnp.asarray(777, jnp.int32)
+    from stemgnn_tpu.ops.pairhash import pair_hash_uniform
+    keep = pair_hash_uniform(seed, jnp.asarray(s), jnp.asarray(r)) >= p
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128)
+    e_pad = lay.senders_r.shape[0]
+    keep_pad = jnp.concatenate([keep, jnp.zeros(e_pad - len(s), bool)])
+    x = jnp.asarray(rng.standard_normal((n_pad, 96)).astype(np.float32))
+
+    def f_drop(x):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True,
+                                   drop_hash=(seed, p))
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    def f_keep(x):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True,
+                                   edge_keep=keep_pad)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, out_d), g_d = jax.value_and_grad(f_drop, has_aux=True)(x)
+    (_, out_k), g_k = jax.value_and_grad(f_keep, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(out_d, np.float32),
+                               np.asarray(out_k, np.float32),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_d, np.float32),
+                               np.asarray(g_k, np.float32),
+                               rtol=1e-5, atol=1e-5)
