@@ -155,7 +155,9 @@ def main():
             codebook_dim=args.code_dim, heads=args.codebook_head,
             decay=args.codebook_decay, commitment_weight=args.commit_weight,
             orthogonal_reg_weight=args.ortho_reg_weight,
-            orthogonal_reg_max_codes=args.ortho_reg_max_codes),
+            orthogonal_reg_max_codes=args.ortho_reg_max_codes,
+            compute_dtype="bfloat16" if args.mixed_precision
+            else "float32"),
         epochs=args.pretrain_epochs, lr=args.pretrain_lr,
         weight_decay=args.pretrain_weight_decay,
         batch_size=args.pretrain_batch_size, fanout=args.fanout,

@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
+    ap.add_argument("--eval_bf16", type=int, default=0, choices=[0, 1],
+                    help="bf16 eval forward (r5, cfg.eval_bf16)")
+    ap.add_argument("--eval_every", type=int, default=1)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -134,7 +137,9 @@ def main():
         vq=VQConfig(dim=d, codebook_size=128, codebook_dim=d, heads=4,
                     commitment_weight=0.25, kmeans_init=True),
         task="graph", epochs=args.epochs, early_stop=args.epochs,
-        batch_size=args.batch_size, lr=1e-3, repeat=1, num_classes=args.num_tasks)
+        batch_size=args.batch_size, lr=1e-3, repeat=1,
+        num_classes=args.num_tasks, eval_bf16=bool(args.eval_bf16),
+        eval_every=args.eval_every)
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.perf_counter()
     logger = run_finetune((graphs, labels, split), cfg, verbose=True)

@@ -183,6 +183,7 @@ def main():
         cfg_mp_d = dataclasses.replace(
             cfg, encoder=dataclasses.replace(cfg.encoder,
                                              compute_dtype="bfloat16"),
+            vq=dataclasses.replace(cfg.vq, compute_dtype="bfloat16"),
             teacher_bf16=True, loss_bf16=True)
         res["full_step_mp_drop_hash"] = time_full_step(
             cfg_mp_d, "full_step_mp_drop_hash", drop_hash=True)
@@ -224,6 +225,7 @@ def main():
         cfg_mp = dataclasses.replace(
             cfg, encoder=dataclasses.replace(cfg.encoder,
                                              compute_dtype="bfloat16"),
+            vq=dataclasses.replace(cfg.vq, compute_dtype="bfloat16"),
             teacher_bf16=True, loss_bf16=True)
         cfg_mp_static = dataclasses.replace(cfg_mp, edge_p=0.0)
         res["full_step_mp"] = time_full_step(cfg_mp, "full_step_mp")
@@ -363,6 +365,52 @@ def main():
                                            iters=args.iters)
         print(f"losses_fwd_bwd (incl. topo_sem): "
               f"{res['losses_fwd_bwd'] * 1e3:.2f} ms", flush=True)
+
+    if "mixed_comp" in want:
+        # post-optimization composition: the f32 components re-measured
+        # under the mixed-precision configuration
+        import dataclasses as _dc
+        enc_bf = _dc.replace(cfg.encoder, compute_dtype="bfloat16")
+        x0_bf = x0.astype(jnp.bfloat16)
+
+        def enc_fwd_bwd_mp(x, g):
+            def f(x):
+                z, _, _ = encoder_apply(
+                    params["encoder"], state["encoder"], enc_bf, x,
+                    g.senders, g.receivers, edge_mask=g.edge_mask,
+                    node_mask=g.node_mask, training=True,
+                    rng=jax.random.PRNGKey(2), layout=g.layout,
+                    edge_table=g.edge_table)
+                return jnp.sum(z.astype(jnp.float32) ** 2)
+            return jax.grad(f)(x)
+
+        dt = bench_scan(enc_fwd_bwd_mp, x0_bf, g, iters=args.iters)
+        print(f"encoder_fwd_bwd_mp: {dt * 1e3:.2f} ms", flush=True)
+
+        def vq_fwd_bwd_mp(x, g):
+            def f(x):
+                r = vq_apply(params["vq"], state["vq"], cfg.vq,
+                             x.astype(jnp.bfloat16), training=True,
+                             rng=jax.random.PRNGKey(4), mask=g.node_mask)
+                return jnp.sum(r["quantize"] ** 2) + r["loss"]
+            return jax.grad(f)(x)
+
+        dt = bench_scan(vq_fwd_bwd_mp, x0, g, iters=args.iters)
+        print(f"vq_fwd_bwd_mp (bf16 projections): {dt * 1e3:.2f} ms",
+              flush=True)
+
+        vq_bf = _dc.replace(cfg.vq, compute_dtype="bfloat16")
+
+        def vq_fwd_bwd_bf16pipe(x, g):
+            def f(x):
+                r = vq_apply(params["vq"], state["vq"], vq_bf,
+                             x.astype(jnp.bfloat16), training=True,
+                             rng=jax.random.PRNGKey(4), mask=g.node_mask)
+                return jnp.sum(r["quantize"] ** 2) + r["loss"]
+            return jax.grad(f)(x)
+
+        dt = bench_scan(vq_fwd_bwd_bf16pipe, x0, g, iters=args.iters)
+        print(f"vq_fwd_bwd_bf16_pipeline: {dt * 1e3:.2f} ms", flush=True)
 
     if "optimizer" in want:
         grads_fix = jax.tree_util.tree_map(

@@ -76,6 +76,12 @@ class VQConfig:
     orthogonal_reg_max_codes: Optional[int] = 32
     orthogonal_reg_active_codes_only: bool = False
     use_cosine_sim: bool = True
+    # r5 mixed precision: "bfloat16" runs the per-head pipeline (the
+    # [H, N, d] l2norm / distance / one-hot-quantize / straight-through
+    # intermediates — the VQ's HBM-bound bulk; the projections measured
+    # neutral) in bf16.  Distance scores accumulate f32 (argmax-stable);
+    # commitment/orthogonal reductions and EMA statistics stay f32.
+    compute_dtype: str = "float32"
     kmeans_init: bool = False
     kmeans_iters: int = 10
     ema_update: bool = False

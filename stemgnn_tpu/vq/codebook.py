@@ -16,9 +16,11 @@ import jax.numpy as jnp
 
 
 def l2norm(t, eps: float = 1e-12):
-    """F.normalize(p=2, dim=-1) semantics (vq.py:28-29)."""
-    n = jnp.linalg.norm(t, axis=-1, keepdims=True)
-    return t / jnp.maximum(n, eps)
+    """F.normalize(p=2, dim=-1) semantics (vq.py:28-29).  The norm reduce
+    always accumulates in f32 (a 768-term bf16 sum would lose ~7 bits);
+    the divide runs in t's dtype."""
+    n = jnp.linalg.norm(t.astype(jnp.float32), axis=-1, keepdims=True)
+    return t / jnp.maximum(n, eps).astype(t.dtype)
 
 
 def cosine_distances(xh, embed):

@@ -191,7 +191,13 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
     # (vector f32->i32 legalization bug).  The cosine distance einsum below
     # is already MXU-shaped; XLA fuses the l2norm and one-hot lookups.
 
-    xh = _to_heads(cfg, xp).astype(jnp.float32)
+    # Per-head pipeline dtype (VQConfig.compute_dtype): the [H, N, d]
+    # intermediates are the VQ's HBM-bound bulk at full-graph scale —
+    # bf16 halves every sweep; distance scores and loss/EMA reductions
+    # stay f32.  Cosine path only (euclidean needs the f32 cdist).
+    dt = (jnp.bfloat16 if (cfg.compute_dtype == "bfloat16"
+                           and cfg.use_cosine_sim) else jnp.float32)
+    xh = _to_heads(cfg, xp).astype(dt)
     if cfg.use_cosine_sim:
         xh = cb.l2norm(xh)
 
@@ -214,7 +220,7 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
         embed = cb.affine_transform_embed(new_state, embed)
 
     if cfg.use_cosine_sim:
-        dist = cb.cosine_distances(xh, embed)
+        dist = cb.cosine_distances(xh, embed.astype(dt))
     else:
         dist = cb.euclidean_distances(xh, embed)
 
@@ -226,10 +232,12 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
     if training:
         # Differentiable one-hot matmul (vq.py:655-657): gradients reach the
         # (learnable) codebook through the selected rows.
-        quantize_h = jnp.einsum("hnc,hcd->hnd", one_hot, embed)
+        quantize_h = jnp.einsum("hnc,hcd->hnd", one_hot.astype(dt),
+                                embed.astype(dt),
+                                preferred_element_type=dt)
     else:
         # Pure gather in eval (batched_embedding, vq.py:224-228,659).
-        quantize_h = jax.vmap(lambda e, i: e[i])(embed, ind)
+        quantize_h = jax.vmap(lambda e, i: e[i])(embed, ind).astype(dt)
 
     if training and cfg.ema_update and not freeze_codebook:
         hmask = None if mask is None else mask[None, :] if cfg.separate_codebook_per_head \
@@ -239,12 +247,14 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
         # distribution: inverse-map the batch first (vq.py:485-487).
         xh_stats = cb.affine_inverse_transform(new_state, xh) \
             if cfg.affine_param else xh
+        # EMA statistics always accumulate in f32
         new_state, new_embed = cb.ema_codebook_update(
-            new_state, xh_stats, one_hot, decay=cfg.decay, eps=cfg.eps,
+            new_state, xh_stats.astype(jnp.float32), one_hot,
+            decay=cfg.decay, eps=cfg.eps,
             use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask,
             axis_name=axis_name)
         new_state, new_embed = cb.expire_dead_codes(
-            k_expire, new_state, new_embed, xh,
+            k_expire, new_state, new_embed, xh.astype(jnp.float32),
             threshold=cfg.threshold_ema_dead_code,
             reset_cluster_size=cfg.threshold_ema_dead_code,
             use_cosine_sim=cfg.use_cosine_sim, mask=stats_mask)
@@ -257,7 +267,8 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
         # Straight-through in per-head space (vq.py:937).
         quantize_h = xh + jax.lax.stop_gradient(quantize_h - xh)
         if cfg.commitment_weight > 0:
-            se = (commit_q - xh) ** 2
+            # diff in the pipeline dtype; square+reduce in f32
+            se = (commit_q - xh).astype(jnp.float32) ** 2
             if mask is not None:
                 m = (mask[None, :, None] if cfg.separate_codebook_per_head
                      else jnp.repeat(mask, cfg.heads)[None, :, None])

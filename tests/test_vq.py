@@ -187,3 +187,30 @@ def test_affine_param_rejects_cosine():
                    use_cosine_sim=True, affine_param=True)
     with pytest.raises(ValueError):
         vq_init(jax.random.PRNGKey(0), cfg)
+
+
+def test_vq_bf16_pipeline_parity():
+    """VQConfig.compute_dtype='bfloat16' (r5): the bf16 per-head pipeline
+    selects (nearly) the same codes — disagreements only at near-ties —
+    and reproduces the f32 commitment loss to bf16 noise."""
+    import dataclasses
+
+    cfg = VQConfig(dim=64, codebook_size=16, codebook_dim=64, heads=4,
+                   commitment_weight=1.0)
+    params, state = vq_init(jax.random.PRNGKey(0), cfg)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (300, 64)).astype(np.float32))
+    r32 = vq_apply(params, state, cfg, z, training=True,
+                   rng=jax.random.PRNGKey(1))
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    r16 = vq_apply(params, state, cfg16, z, training=True,
+                   rng=jax.random.PRNGKey(1))
+    agree = float(jnp.mean((r32["indices"] == r16["indices"])
+                           .astype(jnp.float32)))
+    assert agree > 0.97, agree
+    l32, l16 = float(r32["loss"]), float(r16["loss"])
+    assert abs(l32 - l16) < 0.05 * max(abs(l32), 1e-6), (l32, l16)
+    # rows whose codes agree differ only by bf16 rounding
+    m = np.asarray(r32["indices"] == r16["indices"]).all(axis=1)
+    dq = np.abs(np.asarray(r32["quantize"]) - np.asarray(r16["quantize"]))
+    assert dq[m].max() < 0.05, dq[m].max()
