@@ -736,6 +736,7 @@ def test_run_pretrain_halo_mixed_precision(rng, tmp_path):
     cfg_mp = dataclasses.replace(
         cfg, encoder=dataclasses.replace(cfg.encoder,
                                          compute_dtype="bfloat16"),
+        vq=dataclasses.replace(cfg.vq, compute_dtype="bfloat16"),
         teacher_bf16=True, loss_bf16=True)
     _, _, _, hist16 = run_pretrain_halo(
         merged, cfg_mp, mesh, weights=[1.0], save_root=None, verbose=False,
