@@ -94,6 +94,10 @@ def get_args():
     p.add_argument("--eval_bf16", type=int, default=0, choices=[0, 1],
                    help="graph task: bf16 eval forward (training stays "
                         "f32; AUC is a rank statistic — parity-tested)")
+    p.add_argument("--eval_batch_size", type=int, default=0,
+                   help="graph task: eval batch size (0 = batch_size; "
+                        "larger eval batches cut the compute-bound AUC "
+                        "pass's dispatch/padding overhead)")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -238,7 +242,8 @@ def main():
         num_classes=num_classes, eval_chunked=bool(args.eval_chunked),
         use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size,
         reorder=args.reorder, eval_every=args.eval_every,
-        eval_bf16=bool(args.eval_bf16))
+        eval_bf16=bool(args.eval_bf16),
+        eval_batch_size=args.eval_batch_size)
 
     if args.halo_shards:
         if task != "node":

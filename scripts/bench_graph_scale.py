@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--eval_bf16", type=int, default=0, choices=[0, 1],
                     help="bf16 eval forward (r5, cfg.eval_bf16)")
     ap.add_argument("--eval_every", type=int, default=1)
+    ap.add_argument("--eval_batch_size", type=int, default=0,
+                    help="eval batches larger than train (0 = batch_size)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -139,7 +141,7 @@ def main():
         task="graph", epochs=args.epochs, early_stop=args.epochs,
         batch_size=args.batch_size, lr=1e-3, repeat=1,
         num_classes=args.num_tasks, eval_bf16=bool(args.eval_bf16),
-        eval_every=args.eval_every)
+        eval_every=args.eval_every, eval_batch_size=args.eval_batch_size)
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.perf_counter()
     logger = run_finetune((graphs, labels, split), cfg, verbose=True)

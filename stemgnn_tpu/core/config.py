@@ -227,6 +227,12 @@ class FinetuneConfig:
     # Applies to the graph task's 3-split eval (the compute-bound stage at
     # chempcba scale, BASELINE r4 row).  Default off (reference-faithful).
     eval_bf16: bool = False
+    # Graph-task EVAL batch size (0 = batch_size).  The eval forward has
+    # no optimizer state, so batches can be much larger than training's —
+    # fewer dispatches and less per-batch padding waste for the
+    # compute-bound 3-split AUC pass.  Predictions are per-graph, so the
+    # metric is exactly invariant to the batch partition.
+    eval_batch_size: int = 0
     # Node reordering for gather locality (ops/reorder.py): "auto" applies
     # RCM when the windowed-gather break-even gate says the reordered graph
     # wins (full-batch fused path only); "rcm"/"degree" force a method;

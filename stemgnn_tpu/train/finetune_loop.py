@@ -1026,29 +1026,40 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
     else:
         eval_cfg = cfg
 
-    def _predict_impl(trainable, frozen, state, g):
-        g = _prep(g)
-        params = _merge(trainable, frozen)
-        z, state2, _ = task_model.encode(params, state, eval_cfg, g,
-                                         training=False)
-        pooled = task_model.pool_graph(z, g, "mean",
-                                       num_segments=batch_size)
-        logits, _, _ = task_model.task_logits(params, state2, eval_cfg,
-                                              pooled, training=False)
-        return jnp.mean(logits, axis=1).astype(jnp.float32)
+    # Eval batches may be LARGER than train batches (cfg.eval_batch_size;
+    # the eval fwd has no optimizer state and is the compute-bound stage
+    # at chempcba scale — bigger batches cut per-batch fixed costs and
+    # padding waste).  0 = same as batch_size (reference protocol shape).
+    eval_bs = int(getattr(cfg, "eval_batch_size", 0) or 0) or batch_size
 
-    predict = jax.jit(_predict_impl)
+    def _make_predict(n_seg):
+        def _predict_impl(trainable, frozen, state, g):
+            g = _prep(g)
+            params = _merge(trainable, frozen)
+            z, state2, _ = task_model.encode(params, state, eval_cfg, g,
+                                             training=False)
+            pooled = task_model.pool_graph(z, g, "mean",
+                                           num_segments=n_seg)
+            logits, _, _ = task_model.task_logits(params, state2, eval_cfg,
+                                                  pooled, training=False)
+            return jnp.mean(logits, axis=1).astype(jnp.float32)
 
-    @jax.jit
-    def predict_many(trainable, frozen, state, gs):
-        """lax.scan over a stack of same-shape eval batches — ONE dispatch
-        per stack instead of one per batch (each dispatch costs a 3-15 ms
-        round trip on tunneled transports; a chempcba-scale AUC pass is
-        ~780 batches x 3 splits per epoch)."""
-        def body(c, g):
-            return c, _predict_impl(trainable, frozen, state, g)
-        _, out = jax.lax.scan(body, 0, gs)
-        return out
+        predict_one = jax.jit(_predict_impl)
+
+        @jax.jit
+        def predict_stack(trainable, frozen, state, gs):
+            """lax.scan over a stack of same-shape eval batches — ONE
+            dispatch per stack instead of one per batch (each dispatch
+            costs a 3-15 ms round trip on tunneled transports; a
+            chempcba-scale AUC pass is ~780 batches x 3 splits/epoch)."""
+            def body(c, g):
+                return c, _predict_impl(trainable, frozen, state, g)
+            _, out = jax.lax.scan(body, 0, gs)
+            return out
+
+        return predict_one, predict_stack
+
+    predict, predict_many = _make_predict(eval_bs)
 
     STACK = 64
 
@@ -1083,7 +1094,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             pend.clear()
 
         for g, lab, n in _batch_graph_list(graphs, labels, idxs,
-                                           batch_size):
+                                           eval_bs):
             if pend and (len(pend) >= STACK
                          or _shape_of(g) != _shape_of(pend[0])):
                 close()
@@ -1125,16 +1136,14 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
             encoder_state=None if pretrained is None else _copy(pretrained["encoder_state"]),
             vq_state=None if pretrained is None else _copy(pretrained["vq_state"]))
         if dev_eval is not None:
-            eval_batches = {k: (lambda k=k: make_batches(
-                split[k], cfg.batch_size or 64))
+            eval_batches = {k: (lambda k=k: make_batches(split[k], eval_bs))
                 for k in ["train", "valid", "test"]}
         elif cache_eval:
-            cached = {k: list(make_batches(split[k], cfg.batch_size or 64))
+            cached = {k: list(make_batches(split[k], eval_bs))
                       for k in ["train", "valid", "test"]}
             eval_batches = {k: (lambda k=k: cached[k]) for k in cached}
         else:
-            eval_batches = {k: (lambda k=k: make_batches(
-                split[k], cfg.batch_size or 64))
+            eval_batches = {k: (lambda k=k: make_batches(split[k], eval_bs))
                 for k in ["train", "valid", "test"]}
         first_train = next(iter(eval_batches["train"]()), None)
         if first_train is not None:
@@ -1178,7 +1187,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                             lambda *xs: np.stack(xs), *pend)
                         out = predict_many(trainable, frozen, state, gs)
                         dev.append(out.reshape(-1, out.shape[-1])
-                                   [:k * batch_size])
+                                   [:k * eval_bs])
                     pend.clear()
 
                 def flush():
@@ -1186,7 +1195,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                     if not dev:
                         return
                     flat = np.asarray(jnp.concatenate(dev, axis=0))
-                    bs = batch_size
+                    bs = eval_bs
                     preds.extend(flat[i * bs: i * bs + n]
                                  for i, n in enumerate(ns))
                     dev.clear()
@@ -1212,7 +1221,7 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                 outs = [predict_many(trainable, frozen, state, gs)
                         for gs in stacks]
                 preds = jnp.concatenate(
-                    [o.reshape(-1, o.shape[-1])[:k * batch_size]
+                    [o.reshape(-1, o.shape[-1])[:k * eval_bs]
                      for o, k in zip(outs, ks)])[:g_total]
                 return float(auc_scalar(preds, y_dev, valid_dev)) * 100
 

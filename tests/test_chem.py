@@ -334,3 +334,30 @@ def test_graph_eval_bf16_parity():
                      dataclasses.replace(cfg, eval_bf16=True)).get_best()
     assert abs(a["test"]["mean"] - b["test"]["mean"]) < 3.0, (a, b)
     assert abs(a["val"]["mean"] - b["val"]["mean"]) < 3.0, (a, b)
+
+
+def test_graph_eval_batch_size_invariance():
+    """cfg.eval_batch_size (r5): per-graph predictions are exactly
+    invariant to the eval batch partition, so bigger eval batches change
+    nothing but the dispatch count."""
+    from stemgnn_tpu.core.config import (EncoderConfig, FinetuneConfig,
+                                         VQConfig)
+    from stemgnn_tpu.data.synthetic import synthetic_graph_dataset
+    from stemgnn_tpu.train.finetune_loop import run_finetune
+    import dataclasses
+
+    bundle = synthetic_graph_dataset(num_graphs=120, num_tasks=2,
+                                     feat_dim=32, seed=4)
+    enc = EncoderConfig(input_dim=32, hidden_dim=32, num_layers=2,
+                        normalize="batch", dropout=0.0)
+    vq = VQConfig(dim=32, codebook_size=8, codebook_dim=8, heads=2,
+                  commitment_weight=0.25)
+    cfg = FinetuneConfig(encoder=enc, vq=vq, task="graph", epochs=6,
+                         early_stop=10, lr=1e-2, repeat=1, batch_size=16,
+                         num_classes=2, freeze_vq=False)
+    a = run_finetune(bundle, cfg).get_best()
+    b = run_finetune(bundle, dataclasses.replace(
+        cfg, eval_batch_size=64)).get_best()
+    # same training stream (eval does not touch the rng/opt state), same
+    # per-graph predictions -> identical best metrics
+    assert a == b, (a, b)
