@@ -1145,7 +1145,12 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
         else:
             eval_batches = {k: (lambda k=k: make_batches(split[k], eval_bs))
                 for k in ["train", "valid", "test"]}
-        first_train = next(iter(eval_batches["train"]()), None)
+        # kmeans-init from the first TRAIN-SIZED batch — independent of
+        # eval_batch_size, so the training trajectory is invariant to the
+        # eval partition (caught at 400K scale: an eval-sized init batch
+        # changed the VQ seeding and with it the whole run)
+        first_train = next(
+            iter(make_batches(split["train"], batch_size)), None)
         if first_train is not None:
             params, state = task_model.maybe_kmeans_init_vq(
                 params, state, cfg, _prep(first_train[0]), rng=k_init)

@@ -351,7 +351,7 @@ def test_graph_eval_batch_size_invariance():
     enc = EncoderConfig(input_dim=32, hidden_dim=32, num_layers=2,
                         normalize="batch", dropout=0.0)
     vq = VQConfig(dim=32, codebook_size=8, codebook_dim=8, heads=2,
-                  commitment_weight=0.25)
+                  commitment_weight=0.25, kmeans_init=True)
     cfg = FinetuneConfig(encoder=enc, vq=vq, task="graph", epochs=6,
                          early_stop=10, lr=1e-2, repeat=1, batch_size=16,
                          num_classes=2, freeze_vq=False)
