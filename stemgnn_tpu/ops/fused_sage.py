@@ -62,47 +62,73 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
     # in place and the hub-dense decomposition SURVIVES the dynamic mask
     # (the per-edge ``keep`` path must bypass the hubs entirely, which
     # costs ~110 ms/step at bench scale — scripts/pretrain_step_probe.py).
+    #
+    # ``ids`` = optional (src_ids, dst_ids) GLOBAL-id tables mapping this
+    # layout's local row indices to the hash's node vocabulary — the halo
+    # per-shard layouts index local blocks / halo slots, but the dropout
+    # decision must be a pure function of the GLOBAL pair so every shard
+    # (and the single-device reference) draws identical masks.  None =
+    # identity (single-device layouts).
+    def _id_doms(layout, ids, order):
+        """(row_dom, col_dom) id arrays for a direction: rows are the
+        scatter/output domain, cols the gather domain."""
+        if ids is None:
+            iota = jnp.arange(layout.num_nodes_padded, dtype=jnp.int32)
+            return iota, iota
+        src_ids, dst_ids = ids
+        return (dst_ids, src_ids) if order == "r" else (src_ids, dst_ids)
+
     def _keep_edges(seed, a, b):
-        """Per-edge keep in the arrays' own (sorted) order."""
+        """Per-edge keep from two id arrays (already in hash vocabulary)."""
         return pair_hash_uniform(seed, a, b) >= drop_p
+
+    def _keep_edges_dir(layout, seed, ids, order):
+        """Per-edge keep for a direction's sorted arrays."""
+        row_dom, col_dom = _id_doms(layout, ids, order)
+        gather = layout.senders_r if order == "r" else layout.receivers_s
+        scatter = layout.receivers_r if order == "r" else layout.senders_s
+        return _keep_edges(seed,
+                           jnp.take(col_dom, gather, axis=0, mode="clip"),
+                           jnp.take(row_dom, scatter, axis=0, mode="clip"))
 
     def _keep_dense(seed, rows, cols):
         """[R, C] keep mask over a (row-id, col-id) grid."""
         u = pair_hash_uniform(seed, rows[:, None], cols[None, :])
         return u >= drop_p
 
-    def _masked_hub_mats(hub, seed, n_rows):
-        """(cnt, sc_cnt) with dropped pairs zeroed."""
-        ids = jnp.arange(n_rows, dtype=jnp.int32)
-        cnt = hub.cnt * _keep_dense(seed, ids, hub.hub_ids).astype(
-            hub.cnt.dtype)
+    def _masked_hub_mats(hub, seed, row_dom, col_dom):
+        """(cnt, sc_cnt) with dropped pairs zeroed; ids per _id_doms."""
+        cnt = hub.cnt * _keep_dense(
+            seed, row_dom, jnp.take(col_dom, hub.hub_ids, axis=0,
+                                    mode="clip")).astype(hub.cnt.dtype)
         sc_cnt = hub.sc_cnt
         if sc_cnt is not None:
-            sc_cnt = sc_cnt * _keep_dense(seed, hub.sc_ids, ids).astype(
-                sc_cnt.dtype)
+            sc_cnt = sc_cnt * _keep_dense(
+                seed, jnp.take(row_dom, hub.sc_ids, axis=0, mode="clip"),
+                col_dom).astype(sc_cnt.dtype)
         return cnt, sc_cnt
 
-    def _drop_inv_deg(layout, seed):
+    def _drop_inv_deg(layout, seed, ids=None):
         """1 / (# kept in-edges per receiver) under the pair-hash drop —
         assembled from the same decomposition the kernels execute."""
         n_pad = layout.num_nodes_padded
         hub = layout.hub_r
+        row_dom, col_dom = _id_doms(layout, ids, "r")
         if hub is not None and hub.hub_xe is None:
-            cnt, sc_cnt = _masked_hub_mats(hub, seed, n_pad)
+            cnt, sc_cnt = _masked_hub_mats(hub, seed, row_dom, col_dom)
             deg = jnp.einsum("nh->n", cnt.astype(jnp.float32))
             if sc_cnt is not None:
                 sc_deg = jnp.sum(sc_cnt.astype(jnp.float32), axis=1)
                 deg = deg.at[hub.sc_ids].add(sc_deg)
             t = hub.tail
             kt = jnp.logical_and(
-                t.mask_r, _keep_edges(seed, t.senders_r, t.receivers_r))
+                t.mask_r, _keep_edges_dir(t, seed, ids, "r"))
             deg = deg + jax.ops.segment_sum(kt.astype(jnp.float32),
                                             t.receivers_r,
                                             num_segments=n_pad)
         else:
             kt = jnp.logical_and(
-                layout.mask_r,
-                _keep_edges(seed, layout.senders_r, layout.receivers_r))
+                layout.mask_r, _keep_edges_dir(layout, seed, ids, "r"))
             deg = jax.ops.segment_sum(kt.astype(jnp.float32),
                                       layout.receivers_r,
                                       num_segments=n_pad)
@@ -250,7 +276,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             out_dtype=out_dtype, interpret=interpret)
 
     def _hub_split(src, hub, order, layout, relu_msgs: bool = False, t0=None,
-                   scale=None, gate=None, out_dtype=jnp.float32, seed=None):
+                   scale=None, gate=None, out_dtype=jnp.float32, seed=None,
+                   ids=None):
         """Hub-dense decomposition, FINAL output: the gather-side hub part
         is a dense CNT @ f(src[hub_ids]) MXU matmul (HubDense docstring),
         the optional scatter-side hub part a transposed dense
@@ -271,7 +298,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         in-kernel window DMA reconstruction)."""
         t = hub.tail
         m_cnt, m_sc = (hub.cnt, hub.sc_cnt) if seed is None else \
-            _masked_hub_mats(hub, seed, src.shape[0])
+            _masked_hub_mats(hub, seed, *_id_doms(layout, ids, order))
 
         # Gather-hub partial-sum dtype: when the aggregate output is bf16
         # anyway, emit the [N, D] hub matmul in bf16 — the MXU still
@@ -331,9 +358,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         if seed is not None:
             # keep * relu(m) == relu(keep * m): fold the tail keep into the
             # pre-activation so the kernel's relu/gate epilogues still apply
-            ts, tr = (t.senders_r, t.receivers_r) if order == "r" else \
-                (t.senders_s, t.receivers_s)
-            m = m * _keep_edges(seed, ts, tr).astype(m.dtype)[:, None]
+            m = m * _keep_edges_dir(t, seed, ids,
+                                    order).astype(m.dtype)[:, None]
         return scatter_rows_sorted(
             m, lrow, block_ptr, num_nodes_padded=layout.num_nodes_padded,
             node_block=layout.node_block, edge_chunk=layout.edge_chunk,
@@ -341,8 +367,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             relu=relu_msgs, slots=slots,
             init=hub_out, scale=scale, gate=gate, out_dtype=out_dtype)
 
-    def fwd_impl(x, table, layout: EdgeLayout, keep=None, seed=None, *,
-                 want_mask: bool = False):
+    def fwd_impl(x, table, layout: EdgeLayout, keep=None, seed=None,
+                 ids=None, *, want_mask: bool = False):
         n_pad = layout.num_nodes_padded
         assert seed is None or factored, \
             "drop_hash needs the factored (relu, T<=1) path"
@@ -357,23 +383,22 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 return _hub_split(
                     x.astype(mdtype), layout.hub_r, "r", layout,
                     relu_msgs=True, t0=_t0(table),
-                    scale=(_drop_inv_deg(layout, seed)
+                    scale=(_drop_inv_deg(layout, seed, ids)
                            if reduce == "mean" else None),
-                    out_dtype=out_dt, seed=seed)
+                    out_dtype=out_dt, seed=seed, ids=ids)
             if seed is not None:
                 # no hub block: per-edge keep in receiver order, dynamic
                 # kept-degree mean
                 pre = messages(x, table, layout, "r")
-                pre = pre * _keep_edges(
-                    seed, layout.senders_r,
-                    layout.receivers_r).astype(mdtype)[:, None]
+                pre = pre * _keep_edges_dir(
+                    layout, seed, ids, "r").astype(mdtype)[:, None]
                 sums = scatter_rows_sorted(
                     pre, layout.lrow_r, layout.block_ptr_r,
                     num_nodes_padded=n_pad, node_block=layout.node_block,
                     edge_chunk=layout.edge_chunk, fast=fast,
                     interpret=interpret, pipeline=pipeline, relu=True,
                     slots=slots,
-                    scale=(_drop_inv_deg(layout, seed)
+                    scale=(_drop_inv_deg(layout, seed, ids)
                            if reduce == "mean" else None),
                     out_dtype=out_dt)
                 return sums
@@ -504,25 +529,25 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
         return sums
 
     @jax.custom_vjp
-    def f(x, table, layout, keep, seed):
-        return fwd_impl(x, table, layout, keep, seed)
+    def f(x, table, layout, keep, seed, ids):
+        return fwd_impl(x, table, layout, keep, seed, ids)
 
-    def f_fwd(x, table, layout, keep, seed):
+    def f_fwd(x, table, layout, keep, seed, ids):
         if relu and relu_residual and not factored:
-            out, packed = fwd_impl(x, table, layout, keep, seed,
+            out, packed = fwd_impl(x, table, layout, keep, seed, ids,
                                    want_mask=True)
-            return out, (packed, table, layout, keep, seed)
-        return fwd_impl(x, table, layout, keep, seed), (x, table, layout,
-                                                        keep, seed)
+            return out, (packed, table, layout, keep, seed, ids)
+        return fwd_impl(x, table, layout, keep, seed, ids), \
+            (x, table, layout, keep, seed, ids)
 
     def f_bwd(res, g):
-        first, table, layout, keep, seed = res
+        first, table, layout, keep, seed, ids = res
         n_pad = layout.num_nodes_padded
         if factored:
             # one fused [N, D] pass: mean scaling + bf16 narrowing of g
             gp = g.astype(jnp.float32)
             if reduce == "mean":
-                gp = gp * (_drop_inv_deg(layout, seed)
+                gp = gp * (_drop_inv_deg(layout, seed, ids)
                            if seed is not None
                            else _dyn_inv_deg(layout, keep)
                            if keep is not None else _inv_deg(layout))
@@ -535,16 +560,15 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             if (layout.hub_s is not None and mdtype == jnp.bfloat16
                     and keep is None and seed is not None):
                 dx = _hub_split(gp, layout.hub_s, "s", layout, gate=gate,
-                                out_dtype=first.dtype, seed=seed)
+                                out_dtype=first.dtype, seed=seed, ids=ids)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep), _zero_cot(seed))
+                        _zero_cot(keep), _zero_cot(seed), _zero_cot(ids))
             if seed is not None:
                 # no hub block: per-edge keep in sender order
                 dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
                 dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
-                dm = dm * _keep_edges(
-                    seed, layout.senders_s,
-                    layout.receivers_s).astype(mdtype)[:, None]
+                dm = dm * _keep_edges_dir(
+                    layout, seed, ids, "s").astype(mdtype)[:, None]
                 dx = scatter_rows_sorted(
                     dm, layout.lrow_s, layout.block_ptr_s,
                     num_nodes_padded=n_pad, node_block=layout.node_block,
@@ -552,20 +576,22 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                     interpret=interpret, pipeline=pipeline, gate=gate,
                     out_dtype=first.dtype, slots=slots)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep), _zero_cot(seed))
+                        _zero_cot(keep), _zero_cot(seed), _zero_cot(ids))
             if (layout.hub_s is not None and mdtype == jnp.bfloat16
                     and keep is None):
                 # relu gate fused into the tail kernel's epilogue
                 dx = _hub_split(gp, layout.hub_s, "s", layout, gate=gate,
                                 out_dtype=first.dtype)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep), _zero_cot(seed))
+                        _zero_cot(keep), _zero_cot(seed),
+                        _zero_cot(ids))
             if (layout.split_s is not None and mdtype == jnp.bfloat16
                     and keep is None):
                 dx = _stray_then_windowed(gp, layout.split_s, "s",
                                           gate=gate, out_dtype=first.dtype)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep), _zero_cot(seed))
+                        _zero_cot(keep), _zero_cot(seed),
+                        _zero_cot(ids))
             if (layout.use_gwin_s and layout.gwin_w
                     and mdtype == jnp.bfloat16 and keep is None):
                 # gather-free factored backward: upstream grads rebuilt
@@ -581,7 +607,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                     edge_chunk=layout.edge_chunk, gate=gate,
                     out_dtype=first.dtype, interpret=interpret)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep), _zero_cot(seed))
+                        _zero_cot(keep), _zero_cot(seed),
+                        _zero_cot(ids))
             dm = jnp.take(gp, layout.receivers_s, axis=0, mode="clip")
             dm = jnp.where(layout.mask_s[:, None], dm, mdtype(0))
             if keep is not None:
@@ -593,7 +620,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                 pipeline=pipeline, gate=gate, out_dtype=first.dtype,
                 slots=slots)
             return (dx, _zero_cot(table), _zero_cot(layout),
-                    _zero_cot(keep), _zero_cot(seed))
+                    _zero_cot(keep), _zero_cot(seed),
+                    _zero_cot(ids))
         if reduce == "mean":
             g = g * (_dyn_inv_deg(layout, keep) if keep is not None
                      else 1.0 / jnp.maximum(layout.in_degree, 1.0)[:, None])
@@ -627,7 +655,8 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
                     edge_chunk=layout.edge_chunk, out_dtype=first.dtype,
                     interpret=interpret)
                 return (dx, _zero_cot(table), _zero_cot(layout),
-                        _zero_cot(keep), _zero_cot(seed))
+                        _zero_cot(keep), _zero_cot(seed),
+                        _zero_cot(ids))
             else:
                 pre_s = messages(first, table, layout, "s")
                 dm = jnp.where(pre_s > 0, dm, mdtype(0))
@@ -638,7 +667,7 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
             pipeline=pipeline)
         dtable = _zero_cot(table)
         return (dx, dtable, _zero_cot(layout), _zero_cot(keep),
-                _zero_cot(seed))
+                _zero_cot(seed), _zero_cot(ids))
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -653,7 +682,7 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          slots: int = 2, edge_keep=None,
                          hub_bf16_acc: bool = True,
                          loc_merged: bool = False,
-                         drop_hash=None):
+                         drop_hash=None, drop_ids=None):
     """TPU-fused aggregation.  ``x`` [N_pad, D] with N_pad == layout's padded
     node count; ``edge_table`` [T, D] per-edge-type features or None.
 
@@ -706,4 +735,10 @@ def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                single_type, hub_bf16_acc, loc_merged, float(drop_p))
     if not with_table:
         edge_table = jnp.zeros((1, x.shape[1]), x.dtype)
-    return fn(x, edge_table, layout, edge_keep, drop_seed)
+    if drop_ids is not None:
+        # (src_ids, dst_ids): local row index -> global node id for the
+        # pair hash (halo per-shard layouts; see _make's drop helpers)
+        assert drop_hash is not None, "drop_ids needs drop_hash"
+        drop_ids = (jnp.asarray(drop_ids[0], jnp.int32),
+                    jnp.asarray(drop_ids[1], jnp.int32))
+    return fn(x, edge_table, layout, edge_keep, drop_seed, drop_ids)

@@ -336,6 +336,38 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
     return lay_loc, lay_rem
 
 
+def build_halo_drop_gids(part, nb: int, R: int, num_shards: int,
+                         m_rem: int):
+    """GLOBAL-id tables for the hub-preserving pair-hash edge dropout
+    (ops/fused_sage.py ``drop_hash``): local layout row index -> global
+    node id, per shard.
+
+      * loc layouts: both sides index the owned block ``[0, nb)`` of
+        shard ``i`` -> global ``i*nb + local``.
+      * rem layouts: senders index halo slots (slot ``j*R + k`` on shard
+        ``me`` = owner ``j``'s ``send_idx[j, me, k]``-th local node),
+        receivers the owned block; both padded to the rem layouts' node
+        space ``m_rem`` with a sentinel id (never referenced by a valid
+        edge or a nonzero count-matrix entry).
+
+    Returns ``(gid_loc [S, nb], gid_rem_src [S, m_rem],
+    gid_rem_dst [S, m_rem])`` int32 numpy arrays.
+    """
+    S = num_shards
+    sentinel = np.int32(S * nb)
+    gid_loc = (np.arange(S, dtype=np.int64)[:, None] * nb
+               + np.arange(nb, dtype=np.int64)[None, :]).astype(np.int32)
+    send_idx = np.asarray(part["send_idx"])              # [S(own), S, R]
+    gid_rem_src = np.full((S, m_rem), sentinel, np.int32)
+    gid_rem_dst = np.full((S, m_rem), sentinel, np.int32)
+    for me in range(S):
+        for j in range(S):
+            gid_rem_src[me, j * R:(j + 1) * R] = (
+                j * nb + send_idx[j, me]).astype(np.int32)
+        gid_rem_dst[me, :nb] = gid_loc[me]
+    return gid_loc, gid_rem_src, gid_rem_dst
+
+
 def _shard_layout(lay):
     """Strip the leading shard axis from a stacked layout pytree."""
     import jax.tree_util as jtu
@@ -347,7 +379,8 @@ def halo_sage_aggregate_fused(x_local, part, lay_loc, lay_rem,
                               reduce: str = "mean", relu: bool = True,
                               interpret: bool = False,
                               bf16_messages: bool = True,
-                              keep_loc=None, keep_rem=None):
+                              keep_loc=None, keep_rem=None,
+                              drop_hash=None, gids=None):
     """Fused-kernel variant of :func:`halo_sage_aggregate`.
 
     Local and remote edge shards each run the Pallas one-hot MXU scatter
@@ -362,6 +395,7 @@ def halo_sage_aggregate_fused(x_local, part, lay_loc, lay_rem,
     (padded, pre-sort) edge order — the pretrain edge-dropout augmentation.
     """
     from stemgnn_tpu.ops.fused_sage import fused_sage_aggregate
+    from stemgnn_tpu.ops.pairhash import pair_hash_uniform
 
     nb, d = x_local.shape
     halo = halo_exchange(x_local, part["send_idx"], axis)
@@ -371,14 +405,21 @@ def halo_sage_aggregate_fused(x_local, part, lay_loc, lay_rem,
     if dynamic and (keep_loc is None or keep_rem is None):
         raise ValueError("runtime edge masks must cover both edge shards: "
                          "pass keep_loc AND keep_rem")
+    # drop_hash = (seed, p) + gids = ((src,dst)_loc, (src,dst)_rem)
+    # GLOBAL-id tables: the hub-preserving pair-hash dropout — every shard
+    # hashes global pairs, so S-shard == single-device masks exactly
+    if drop_hash is not None:
+        assert not dynamic, "drop_hash and keep_* are exclusive"
+        assert gids is not None, "drop_hash in halo mode needs gids"
+    ids_loc, ids_rem = gids if gids is not None else (None, None)
     sum_loc = fused_sage_aggregate(
         x_local, lay_loc, edge_table, reduce="sum", relu=relu,
         interpret=interpret, bf16_messages=bf16_messages,
-        edge_keep=keep_loc)
+        edge_keep=keep_loc, drop_hash=drop_hash, drop_ids=ids_loc)
     sum_rem = fused_sage_aggregate(
         halo_p, lay_rem, edge_table, reduce="sum", relu=relu,
         interpret=interpret, bf16_messages=bf16_messages,
-        edge_keep=keep_rem)
+        edge_keep=keep_rem, drop_hash=drop_hash, drop_ids=ids_rem)
     agg = sum_loc.astype(jnp.float32) + sum_rem[:nb].astype(jnp.float32)
     if reduce == "sum":
         return agg
@@ -392,6 +433,21 @@ def halo_sage_aggregate_fused(x_local, part, lay_loc, lay_rem,
                                        )[:n_out]
         deg = kept_deg(lay_loc, keep_loc, nb) + \
             kept_deg(lay_rem, keep_rem, nb)
+    elif drop_hash is not None:
+        seed, p = drop_hash
+
+        def hash_deg(lay, ids, n_out):
+            src_ids, dst_ids = ids
+            ka = jnp.take(src_ids, lay.senders_r, axis=0, mode="clip")
+            kb = jnp.take(dst_ids, lay.receivers_r, axis=0, mode="clip")
+            k = jnp.logical_and(lay.mask_r,
+                                pair_hash_uniform(seed, ka, kb) >= p)
+            return jax.ops.segment_sum(k.astype(jnp.float32),
+                                       lay.receivers_r,
+                                       num_segments=lay.num_nodes_padded
+                                       )[:n_out]
+        deg = hash_deg(lay_loc, ids_loc, nb) + \
+            hash_deg(lay_rem, ids_rem, nb)
     else:
         deg = lay_loc.in_degree[:nb] + lay_rem.in_degree[:nb]
     return agg / jnp.maximum(deg, 1.0)[:, None]
@@ -554,7 +610,8 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                        node_mask=None, part_rev=None, lay_loc=None,
                        lay_rem=None, edge_table=None,
                        interpret: bool = False, stat_axes=None,
-                       keep_loc=None, keep_rem=None):
+                       keep_loc=None, keep_rem=None,
+                       drop_hash=None, gids=None):
     """Encoder forward over the node-sharded halo layout.
 
     Semantics of :func:`stemgnn_tpu.nn.encoder.encoder_apply` for every
@@ -607,6 +664,9 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
     # too: routing is a per-node decision).
     for ax in stat_axes:
         rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+    if drop_hash is not None and lay_loc is None:
+        raise ValueError("drop_hash needs the fused halo layouts; use "
+                         "keep_loc/keep_rem on the XLA halo path")
     if keep_loc is not None and lay_loc is None:
         # XLA path: fold the runtime edge mask into the partition masks —
         # halo_sage_aggregate derives both the messages and the mean's
@@ -681,7 +741,8 @@ def halo_encoder_apply(params, state, cfg: EncoderConfig, x_local, part, *,
                     z, part, lay_loc, lay_rem, edge_table, axis=axis,
                     reduce="mean", relu=True, interpret=interpret,
                     bf16_messages=cfg.fused_bf16_messages,
-                    keep_loc=keep_loc, keep_rem=keep_rem)
+                    keep_loc=keep_loc, keep_rem=keep_rem,
+                    drop_hash=drop_hash, gids=gids)
                 agg = agg.astype(z.dtype)
             else:
                 agg = halo_sage_aggregate(z, part, axis=axis, reduce="mean",

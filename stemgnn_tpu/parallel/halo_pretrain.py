@@ -108,8 +108,16 @@ def prepare_halo_pretrain_graph(node_feat: np.ndarray, edge_index: np.ndarray,
     feats[:n] = node_feat
     node_mask = np.zeros(S * nb, bool)
     node_mask[:n] = True
+    from stemgnn_tpu.parallel.halo import build_halo_drop_gids
+    # stacked pytree: num_nodes_padded reads the SHARD axis; take the
+    # per-shard node-space size from the trailing in_degree dim instead
+    gid_loc, gid_rem_src, gid_rem_dst = build_halo_drop_gids(
+        part, nb, R, S, int(np.asarray(lay_rem.in_degree).shape[-1]))
     sg = {k: jnp.asarray(v) for k, v in part.items()
           if k not in ("xe_loc", "xe_rem", "ef_loc", "ef_rem")}
+    sg["gid_loc"] = jnp.asarray(gid_loc)
+    sg["gid_rem_src"] = jnp.asarray(gid_rem_src)
+    sg["gid_rem_dst"] = jnp.asarray(gid_rem_dst)
     sg["cs"] = jnp.asarray(cs)
     sg["cr"] = jnp.asarray(cr)
     sg["cm"] = jnp.asarray(cm)
@@ -148,20 +156,31 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
     # here is per-data-replica and is NOT folded by the node-shard index.
     x_aug = mask_feature(k_aug_f, x_loc, cfg.feat_p) if cfg.feat_p > 0 \
         else x_loc
-    keep_loc = keep_rem = None
+    keep_loc = keep_rem = drop_hash = gids = None
     if cfg.edge_p > 0:
-        el = part["s_loc"].shape[0]
         seed = jax.random.randint(k_aug_e, (), 0, jnp.iinfo(jnp.int32).max)
-        u = _pair_hash_uniform(seed, part["cgs"], part["cgr"])
-        keepc = u >= cfg.edge_p
-        keep_loc, keep_rem = keepc[:el], keepc[el:]
+        # hub-preserving pair-hash dropout on the fused path (r5): same
+        # global-pair hash as the materialized path below, so the masks —
+        # and therefore the S-shard vs single-device parity — are identical
+        use_hash = (lay_loc is not None and "gid_loc" in part
+                    and (edge_table is None or edge_table.shape[0] == 1))
+        if use_hash:
+            drop_hash = (seed, cfg.edge_p)
+            gids = ((part["gid_loc"], part["gid_loc"]),
+                    (part["gid_rem_src"], part["gid_rem_dst"]))
+        else:
+            el = part["s_loc"].shape[0]
+            u = _pair_hash_uniform(seed, part["cgs"], part["cgr"])
+            keepc = u >= cfg.edge_p
+            keep_loc, keep_rem = keepc[:el], keepc[el:]
 
     z, enc_state, enc_aux = halo_encoder_apply(
         params["encoder"], state["encoder"], cfg.encoder, x_aug, part,
         axis=node_axis, training=training, rng=k_enc,
         node_mask=node_mask_loc, lay_loc=lay_loc, lay_rem=lay_rem,
         edge_table=edge_table, interpret=interpret, stat_axes=axes,
-        keep_loc=keep_loc, keep_rem=keep_rem)
+        keep_loc=keep_loc, keep_rem=keep_rem, drop_hash=drop_hash,
+        gids=gids)
 
     # decorrelate per-shard gumbel/expiry draws
     k_vq = jax.random.fold_in(k_vq, jax.lax.axis_index(node_axis))
@@ -338,6 +357,7 @@ def make_halo_pretrain_step(cfg: PretrainConfig, tx, mesh, layouts,
     sg_spec = {k: P(node_axis) for k in
                ("s_loc", "r_loc", "m_loc", "s_rem", "r_rem", "m_rem",
                 "send_idx", "cs", "cr", "cm", "cxe", "cgs", "cgr",
+                "gid_loc", "gid_rem_src", "gid_rem_dst",
                 "node_feat", "node_mask")}
     lay_specs = tuple(jax.tree.map(lambda _: P(node_axis), lay)
                       for lay in layouts)

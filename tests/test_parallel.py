@@ -1185,3 +1185,68 @@ def test_halo_finetune_runner_backbones_and_unfrozen_vq(rng):
     best = run_finetune_halo_parallel(ds, cfg, mesh,
                                       pad_multiple=8).get_best()
     assert best["test"]["mean"] > 70, best
+
+
+def test_halo_fused_drop_hash_matches_single(rng):
+    """Halo drop_hash (r5): the hub-preserving pair-hash edge dropout on
+    per-shard layouts (GLOBAL-id tables) == single-device gather/scatter
+    with the SAME hash materialized as an edge mask — the S-shard masks
+    are identical to the single-device ones by construction."""
+    from stemgnn_tpu.ops.pairhash import pair_hash_uniform
+    from stemgnn_tpu.parallel.halo import (_local, _shard_layout,
+                                           build_halo_drop_gids,
+                                           build_halo_layouts,
+                                           build_halo_partition,
+                                           halo_sage_aggregate_fused)
+
+    n, e, S, p = 96, 1024, 8, 0.3
+    hubs = rng.integers(0, 8, size=e)
+    tail = rng.integers(0, n, size=e)
+    s = np.where(rng.random(e) < 0.7, hubs, tail).astype(np.int32)
+    r = rng.integers(0, n, size=e).astype(np.int32)
+    x = rng.standard_normal((n, D)).astype(np.float32)
+    part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8)
+    lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
+                                          edge_chunk=128, hub_size=8,
+                                          hub_min_coverage=0.05)
+    assert lay_loc.hub_r is not None or lay_rem.hub_r is not None
+    m_rem = int(np.asarray(lay_rem.in_degree).shape[-1])
+    gid_loc, gid_rem_src, gid_rem_dst = build_halo_drop_gids(
+        part, nb, R, S, m_rem)
+    n_pad = S * nb
+    x_pad = np.zeros((n_pad, D), np.float32)
+    x_pad[:n] = x
+
+    seed = jnp.asarray(31337, jnp.int32)
+    keep = np.asarray(pair_hash_uniform(seed, jnp.asarray(s),
+                                        jnp.asarray(r)) >= p)
+    want = gather_scatter_aggregate(
+        jnp.asarray(x_pad).astype(jnp.bfloat16), jnp.asarray(s),
+        jnp.asarray(r), None, edge_mask=jnp.asarray(keep),
+        num_nodes=n_pad, reduce="mean")
+    mesh = make_mesh(axis_names=("edge",))
+
+    def f(x_loc, part, gl, grs, grd, ll, lr):
+        out = halo_sage_aggregate_fused(
+            x_loc[0], _local(part), _shard_layout(ll), _shard_layout(lr),
+            None, axis="edge", interpret=True, bf16_messages=True,
+            drop_hash=(seed, p),
+            gids=((gl[0], gl[0]), (grs[0], grd[0])))
+        return jax.lax.all_gather(out, "edge", tiled=True)
+
+    part_dev = {k: jnp.asarray(v) for k, v in part.items()}
+    spec = {k: P("edge") for k in part_dev}
+    lls = jax.tree.map(jnp.asarray, lay_loc)
+    lrs = jax.tree.map(jnp.asarray, lay_rem)
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P("edge"), spec, P("edge"), P("edge"), P("edge"),
+                  jax.tree.map(lambda _: P("edge"), lls),
+                  jax.tree.map(lambda _: P("edge"), lrs)),
+        out_specs=P(), check_vma=False))(
+            jnp.asarray(x_pad.reshape(S, nb, D)), part_dev,
+            jnp.asarray(gid_loc), jnp.asarray(gid_rem_src),
+            jnp.asarray(gid_rem_dst), lls, lrs)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
