@@ -48,6 +48,9 @@ def get_args():
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 encoder activations/messages (params, "
                         "BatchNorm stats, VQ and losses stay f32)")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every K epochs (1 = reference "
+                        "per-epoch protocol; final epoch always saves)")
     p.add_argument("--mixed_precision", "--mp", action="store_true",
                    help="full mixed-precision pretrain (r5): --bf16 plus "
                         "bf16 EMA-teacher pass and bf16 loss-decoder "
@@ -168,7 +171,7 @@ def main():
         sem_encoder_decay=args.sem_encoder_decay,
         lamda_env=args.lamda_env, use_scheduler=bool(args.use_schedular),
         teacher_bf16=args.mixed_precision, loss_bf16=args.mixed_precision,
-        seed=args.seed)
+        save_every=args.save_every, seed=args.seed)
 
     run_id = args.pretrain_run_id or "default"
     save_root = osp.join(ROOT, "ckpts", "pretrain_model", run_id)

@@ -166,6 +166,11 @@ class PretrainConfig:
     # tests/test_end_to_end.py.
     teacher_bf16: bool = False
     loss_bf16: bool = False
+    # Checkpoint every K epochs (the reference saves every epoch,
+    # pretrain.py:160-165 — K=1 keeps that protocol; the final epoch
+    # always saves).  At full-graph scale the per-epoch param fetch is a
+    # measurable share of the 0.7 s halo epoch (BASELINE r5).
+    save_every: int = 1
 
 
 @dataclass(frozen=True)

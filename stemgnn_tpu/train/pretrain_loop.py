@@ -388,12 +388,14 @@ def run_pretrain(merged, cfg: PretrainConfig, *, weights: Sequence[float],
                 print(f"[pretrain] epoch {epoch}/{cfg.epochs} "
                       f"({time.time()-t0:.1f}s, {steps_epoch} steps) "
                       f"{msg}")
-            if save_root is not None:
+            if save_root is not None and (
+                    epoch % max(cfg.save_every, 1) == 0
+                    or epoch == cfg.epochs):
                 # per-epoch checkpoint (crash/preemption recovery,
-                # reference pretrain.py:160-165).  Async when buffers are
-                # not donated: the D2H readback (~seconds over tunneled
-                # transports) streams in a writer thread while the next
-                # epoch dispatches.
+                # reference pretrain.py:160-165; cfg.save_every thins it).
+                # Async when buffers are not donated: the D2H readback
+                # (~seconds over tunneled transports) streams in a writer
+                # thread while the next epoch dispatches.
                 save_checkpoint(save_root, epoch, params, teacher,
                                 state, opt_state=opt_state,
                                 rng_key=key, async_save=not donate)
