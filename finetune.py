@@ -98,6 +98,10 @@ def get_args():
                    help="graph task: eval batch size (0 = batch_size; "
                         "larger eval batches cut the compute-bound AUC "
                         "pass's dispatch/padding overhead)")
+    p.add_argument("--eval_train_auc", type=int, default=1, choices=[0, 1],
+                   help="graph task: evaluate the train split's AUC each "
+                        "eval (1 = reference protocol; 0 skips ~80%% of "
+                        "the eval compute, train metric reports NaN)")
     p.add_argument("--donate", action="store_true",
                    help="donate train-state buffers (long TPU runs)")
     p.add_argument("--eval_chunked", type=int, default=0, choices=[0, 1],
@@ -243,7 +247,8 @@ def main():
         use_fused_layout=bool(args.use_fused_layout), hub_size=args.hub_size,
         reorder=args.reorder, eval_every=args.eval_every,
         eval_bf16=bool(args.eval_bf16),
-        eval_batch_size=args.eval_batch_size)
+        eval_batch_size=args.eval_batch_size,
+        eval_train_auc=bool(args.eval_train_auc))
 
     if args.halo_shards:
         if task != "node":

@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--eval_every", type=int, default=1)
     ap.add_argument("--eval_batch_size", type=int, default=0,
                     help="eval batches larger than train (0 = batch_size)")
+    ap.add_argument("--eval_train_auc", type=int, default=1,
+                    choices=[0, 1])
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -141,7 +143,8 @@ def main():
         task="graph", epochs=args.epochs, early_stop=args.epochs,
         batch_size=args.batch_size, lr=1e-3, repeat=1,
         num_classes=args.num_tasks, eval_bf16=bool(args.eval_bf16),
-        eval_every=args.eval_every, eval_batch_size=args.eval_batch_size)
+        eval_every=args.eval_every, eval_batch_size=args.eval_batch_size,
+        eval_train_auc=bool(args.eval_train_auc))
     print(f"devices: {jax.devices()}", flush=True)
     t0 = time.perf_counter()
     logger = run_finetune((graphs, labels, split), cfg, verbose=True)

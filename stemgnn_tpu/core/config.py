@@ -238,6 +238,12 @@ class FinetuneConfig:
     # compute-bound 3-split AUC pass.  Predictions are per-graph, so the
     # metric is exactly invariant to the batch partition.
     eval_batch_size: int = 0
+    # Evaluate the TRAIN split's AUC each eval (the reference's protocol,
+    # task/graph.py:80).  False skips it — at an 80/10/10 split that is
+    # ~80% of the eval forward compute for a diagnostic that no selection
+    # decision reads (early stop and best-snapshot use val only); the
+    # train metric then reports NaN.
+    eval_train_auc: bool = True
     # Node reordering for gather locality (ops/reorder.py): "auto" applies
     # RCM when the windowed-gather break-even gate says the reordered graph
     # wins (full-batch fused path only); "rcm"/"degree" force a method;

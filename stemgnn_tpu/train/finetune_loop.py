@@ -1118,8 +1118,10 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
     # MB per repeat over the tunnel is exactly the traffic they remove)
     dev_eval = None
     if indexed:
-        dev_eval = {k: build_device_eval(split[k])
-                    for k in ("train", "valid", "test")}
+        ev_splits = (("train", "valid", "test")
+                     if getattr(cfg, "eval_train_auc", True)
+                     else ("valid", "test"))
+        dev_eval = {k: build_device_eval(split[k]) for k in ev_splits}
         if any(v is None for v in dev_eval.values()):
             dev_eval = None
 
@@ -1243,13 +1245,21 @@ def _run_graph_task(graphs, labels, split, cfg: FinetuneConfig,
                           f"{t_train:.1f} s (eval skipped, every {k_ev})",
                           flush=True)
                 continue
+            # eval_train_auc=False skips the TRAIN-split AUC pass — at an
+            # 80/10/10 split that's 80% of the eval forward compute for a
+            # diagnostic no selection decision reads (early stop + best
+            # snapshot use val only); the reference evaluates all three
+            # (task/graph.py:80), so the default keeps that protocol
+            want_train = getattr(cfg, "eval_train_auc", True)
             if dev_eval is not None:
-                result = {"train": auc_of_device(dev_eval["train"]),
+                result = {"train": (auc_of_device(dev_eval["train"])
+                                    if want_train else float("nan")),
                           "val": auc_of_device(dev_eval["valid"]),
                           "test": auc_of_device(dev_eval["test"]),
                           "metric": "auc"}
             else:
-                result = {"train": auc_of(eval_batches["train"]),
+                result = {"train": (auc_of(eval_batches["train"])
+                                    if want_train else float("nan")),
                           "val": auc_of(eval_batches["valid"]),
                           "test": auc_of(eval_batches["test"]),
                           "metric": "auc"}

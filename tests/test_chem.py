@@ -361,3 +361,28 @@ def test_graph_eval_batch_size_invariance():
     # same training stream (eval does not touch the rng/opt state), same
     # per-graph predictions -> identical best metrics
     assert a == b, (a, b)
+
+
+def test_graph_eval_train_auc_skip():
+    """eval_train_auc=False (r5): val/test AUCs and the selected best
+    epoch are unchanged (selection reads val only); train reports NaN."""
+    from stemgnn_tpu.core.config import (EncoderConfig, FinetuneConfig,
+                                         VQConfig)
+    from stemgnn_tpu.data.synthetic import synthetic_graph_dataset
+    from stemgnn_tpu.train.finetune_loop import run_finetune
+    import dataclasses
+
+    bundle = synthetic_graph_dataset(num_graphs=100, num_tasks=2,
+                                     feat_dim=32, seed=5)
+    enc = EncoderConfig(input_dim=32, hidden_dim=32, num_layers=2,
+                        normalize="batch", dropout=0.0)
+    vq = VQConfig(dim=32, codebook_size=8, codebook_dim=8, heads=2,
+                  commitment_weight=0.25, kmeans_init=True)
+    cfg = FinetuneConfig(encoder=enc, vq=vq, task="graph", epochs=6,
+                         early_stop=10, lr=1e-2, repeat=1, batch_size=16,
+                         num_classes=2, freeze_vq=False)
+    a = run_finetune(bundle, cfg).get_best()
+    b = run_finetune(bundle, dataclasses.replace(
+        cfg, eval_train_auc=False)).get_best()
+    assert a["val"] == b["val"] and a["test"] == b["test"], (a, b)
+    assert np.isnan(b["train"]["mean"]), b
