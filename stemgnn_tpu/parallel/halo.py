@@ -228,6 +228,7 @@ def relabel_dataset_balanced(ds, num_shards: int, pad_multiple: int = 128):
 def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                        node_block: int = 128, edge_chunk: int = 512,
                        hub_size: int = 0, hub_min_coverage: float = 0.1,
+                       sc_hub_size: int = 0,
                        feat_dim_hint: int = 768, num_edge_types: int = 1):
     """Per-shard :class:`~stemgnn_tpu.ops.edge_layout.EdgeLayout` pairs for
     the fused Pallas aggregation, stacked along a leading shard axis.
@@ -263,10 +264,13 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
     e_rem = part["s_rem"].shape[1]
 
     def build_all(senders, receivers, masks, xes, n_pad, e_pad_to, hub):
-        def one(i, win_floor=0):
+        sc = sc_hub_size if (hub and num_edge_types <= 1) else 0
+
+        def one(i, win_floor=0, sc_size=None):
             # hubs built unconditionally per shard (min_coverage -1); the
             # keep/strip decision below is global so every shard has the
-            # same pytree structure
+            # same pytree structure.  Scatter-side hubs (r5): only for
+            # single-type tables, mirroring fused_full_graph's gate.
             return build_edge_layout(
                 senders[i], receivers[i], n_pad,
                 xe_ids=None if xes is None else xes[i],
@@ -275,9 +279,24 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                 hub_min_coverage=-1.0, to_device=False,
                 win_floor=win_floor, e_pad_to=e_pad_to,
                 hub_tail_e_pad_to=e_pad_to,
+                sc_hub_size=sc if sc_size is None else sc_size,
                 feat_dim_hint=feat_dim_hint,
                 num_edge_types=num_edge_types)
         lays = [one(i) for i in range(S)]
+        if sc:
+            # structural uniformity: every shard's hub must agree on
+            # having (or not having) the sc block — the two forms carry
+            # DIFFERENT tails, so on a mismatch REBUILD the family without
+            # sc (stripping fields would drop the sc-covered edges)
+            def sc_state(lay):
+                return tuple(
+                    (None if (getattr(lay, s) is None
+                              or getattr(lay, s).sc_cnt is None)
+                     else tuple(getattr(lay, s).sc_cnt.shape))
+                    for s in ("hub_r", "hub_s"))
+            if len({sc_state(lay) for lay in lays}) > 1:
+                sc = 0
+                lays = [one(i, sc_size=0) for i in range(S)]
         win = max(lay.win_w for lay in lays)
         lays = [lay if lay.win_w == win else one(i, win_floor=win)
                 for i, lay in enumerate(lays)]
@@ -312,7 +331,11 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
 
             def norm(lay):
                 def fix(h):
-                    return h.replace(coverage=0.0,
+                    # zero the per-shard static metadata (coverage stats,
+                    # sc_size) so the stacked pytree has ONE treedef
+                    return h.replace(coverage=0.0, sc_coverage=0.0,
+                                     sc_size=0 if h.sc_cnt is None
+                                     else int(h.sc_cnt.shape[0]),
                                      tail=h.tail.replace(win_w=win))
                 return lay.replace(
                     hub_r=fix(lay.hub_r) if keep_r else None,

@@ -48,7 +48,8 @@ def prepare_halo_pretrain_graph(node_feat: np.ndarray, edge_index: np.ndarray,
                                 num_shards: int, xe_ids=None, edge_table=None,
                                 *, pad_multiple: int = 128,
                                 node_block: int = 128, edge_chunk: int = 512,
-                                hub_size: int = 0):
+                                hub_size: int = 0,
+                                sc_hub_size: Optional[int] = None):
     """Host prep for halo pretraining.
 
     Beyond :func:`prepare_halo_graph`'s entries, the partition carries the
@@ -78,6 +79,8 @@ def prepare_halo_pretrain_graph(node_feat: np.ndarray, edge_index: np.ndarray,
     lay_loc, lay_rem = build_halo_layouts(
         part, nb, R, S, node_block=node_block, edge_chunk=edge_chunk,
         hub_size=hub_size if num_types <= 32 else 0,
+        sc_hub_size=(hub_size if sc_hub_size is None else sc_hub_size)
+        if num_types <= 1 else 0,
         num_edge_types=num_types,
         feat_dim_hint=int(node_feat.shape[1]))
 

@@ -1187,7 +1187,8 @@ def test_halo_finetune_runner_backbones_and_unfrozen_vq(rng):
     assert best["test"]["mean"] > 70, best
 
 
-def test_halo_fused_drop_hash_matches_single(rng):
+@pytest.mark.parametrize("sc_hub", [0, 8])
+def test_halo_fused_drop_hash_matches_single(rng, sc_hub):
     """Halo drop_hash (r5): the hub-preserving pair-hash edge dropout on
     per-shard layouts (GLOBAL-id tables) == single-device gather/scatter
     with the SAME hash materialized as an edge mask — the S-shard masks
@@ -1208,6 +1209,7 @@ def test_halo_fused_drop_hash_matches_single(rng):
     part, nb, R = build_halo_partition(s, r, n, S, pad_multiple=8)
     lay_loc, lay_rem = build_halo_layouts(part, nb, R, S, node_block=8,
                                           edge_chunk=128, hub_size=8,
+                                          sc_hub_size=sc_hub,
                                           hub_min_coverage=0.05)
     assert lay_loc.hub_r is not None or lay_rem.hub_r is not None
     m_rem = int(np.asarray(lay_rem.in_degree).shape[-1])
