@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--feat_p", type=float, default=0.2)
     ap.add_argument("--topo_ratio", type=float, default=0.1)
     ap.add_argument("--sem_lambda", type=float, default=1.0)
+    ap.add_argument("--dataset", default="arxiv_synthetic")
     args = ap.parse_args()
 
     import dataclasses
@@ -62,7 +63,7 @@ def main():
         edge_p=args.edge_p, feat_p=args.feat_p,
         topo_recon_ratio=args.topo_ratio, sem_lambda=args.sem_lambda)
 
-    ds = load_dataset("arxiv_synthetic", feat_dim=768, seed=42)
+    ds = load_dataset(args.dataset, feat_dim=768, seed=42)
     merged = merge_datasets([ds])
     node_feat = np.asarray(merged["node_text_feat"],
                            np.float32)[np.asarray(merged["x"])]

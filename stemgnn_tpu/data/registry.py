@@ -35,7 +35,7 @@ class _Dataset2Task(dict):
 dataset2task: Dict[str, str] = _Dataset2Task({
     "cora": "node", "pubmed": "node", "arxiv": "node", "wikics": "node",
     "cora_synthetic": "node", "arxiv_synthetic": "node",
-    "arxiv_synthetic_fragile": "node",
+    "arxiv_synthetic_fragile": "node", "arxiv_synthetic_pl": "node",
     "WN18RR": "link", "FB15K237": "link", "kg_synthetic": "link",
     "chemhiv": "graph", "chempcba": "graph", "chemblpre": "graph",
     "mol_synthetic": "graph",
@@ -52,6 +52,16 @@ def load_dataset(name: str, feat_dim: int = 768, seed: int = 0,
             name=name, num_nodes=kw.pop("num_nodes", 169_343),
             num_classes=kw.pop("num_classes", 40), feat_dim=feat_dim,
             avg_degree=kw.pop("avg_degree", 14), num_splits=1, seed=seed, **kw)
+    if name == "arxiv_synthetic_pl":
+        # power-law variant (r5): preferential-attachment skew so the
+        # degree distribution — and therefore the hub-dense aggregation
+        # path — matches real citation graphs (ogbn-arxiv is power-law;
+        # the plain arxiv_synthetic is homophilous-uniform, BASELINE r5)
+        return synthetic.synthetic_node_dataset(
+            name=name, num_nodes=kw.pop("num_nodes", 169_343),
+            num_classes=kw.pop("num_classes", 40), feat_dim=feat_dim,
+            avg_degree=kw.pop("avg_degree", 14), num_splits=1,
+            pref_attach=kw.pop("pref_attach", 1.1), seed=seed, **kw)
     if name == "arxiv_synthetic_fragile":
         # perturbation-SENSITIVE arxiv-scale variant (r4 VERDICT item 5):
         # sparse signal subspace + half the nodes signal-free (class

@@ -33,6 +33,7 @@ def synthetic_node_dataset(name: str = "cora_synthetic", num_nodes: int = 2708,
                            noise: float = 1.0, num_splits: int = 10,
                            train_per_split: int = 140, val_per_split: int = 500,
                            signal_dims: int = 0, structure_frac: float = 0.0,
+                           pref_attach: float = 0.0,
                            seed: int = 0) -> TAGDataset:
     """``signal_dims > 0`` concentrates ALL class signal in that many
     feature dims (the rest pure noise), and ``structure_frac > 0`` zeroes
@@ -64,15 +65,36 @@ def synthetic_node_dataset(name: str = "cora_synthetic", num_nodes: int = 2708,
     e = num_nodes * avg_degree // 2
     src = rng.integers(0, num_nodes, e)
     same = rng.random(e) < homophily
-    # homophilous edges: pick a same-class destination; else random
+    # ``pref_attach`` > 0: Zipf popularity weights (rank^-alpha with
+    # alpha = pref_attach, random rank assignment) skew DESTINATION
+    # choice — within the class for homophilous edges, globally otherwise
+    # — so the degree distribution matches real citation graphs
+    # (power-law) while homophily survives.  The default 0 keeps the
+    # legacy uniform-degree graph (BASELINE r5: without skew the
+    # hub-dense aggregation path never engages on synthetic e2e flows).
+    wt = None
+    if pref_attach > 0:
+        ranks = 1.0 + rng.permutation(num_nodes).astype(np.float64)
+        wt = ranks ** (-float(pref_attach))
+    # homophilous edges: pick a same-class destination; else random —
+    # vectorized per class via inverse-CDF sampling
     dst = np.empty(e, dtype=np.int64)
     by_class = [np.where(y == c)[0] for c in range(num_classes)]
-    for i in range(e):
-        if same[i]:
-            pool = by_class[y[src[i]]]
-            dst[i] = pool[rng.integers(0, len(pool))]
-        else:
-            dst[i] = rng.integers(0, num_nodes)
+
+    def draw(pool, k):
+        if k == 0:
+            return np.empty(0, np.int64)
+        if wt is None:
+            return pool[rng.integers(0, len(pool), k)]
+        cdf = np.cumsum(wt[pool])
+        return pool[np.searchsorted(cdf / cdf[-1], rng.random(k))]
+
+    src_cls = y[src]
+    for c in range(num_classes):
+        sel = same & (src_cls == c)
+        dst[sel] = draw(by_class[c], int(sel.sum()))
+    rnd = ~same
+    dst[rnd] = draw(np.arange(num_nodes), int(rnd.sum()))
     edge_index = _undirected(src, dst)
 
     edge_text_feat = rng.standard_normal((1, feat_dim)).astype(np.float32)

@@ -265,6 +265,7 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
 
     def build_all(senders, receivers, masks, xes, n_pad, e_pad_to, hub):
         sc = sc_hub_size if (hub and num_edge_types <= 1) else 0
+        tail_pad = [e_pad_to]
 
         def one(i, win_floor=0, sc_size=None):
             # hubs built unconditionally per shard (min_coverage -1); the
@@ -278,7 +279,7 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
                 edge_chunk=edge_chunk, hub_size=hub,
                 hub_min_coverage=-1.0, to_device=False,
                 win_floor=win_floor, e_pad_to=e_pad_to,
-                hub_tail_e_pad_to=e_pad_to,
+                hub_tail_e_pad_to=tail_pad[0],
                 sc_hub_size=sc if sc_size is None else sc_size,
                 feat_dim_hint=feat_dim_hint,
                 num_edge_types=num_edge_types)
@@ -297,6 +298,32 @@ def build_halo_layouts(part, nb: int, R: int, num_shards: int, *,
             if len({sc_state(lay) for lay in lays}) > 1:
                 sc = 0
                 lays = [one(i, sc_size=0) for i in range(S)]
+        if hub:
+            # Tails padded to e_pad_to waste the hub win — the kernels
+            # would scan full-size masked arrays (measured: hubs NET
+            # NEGATIVE at 29% coverage, BASELINE r5).  Rebuild with the
+            # family-max ACTUAL tail size instead (uniform across shards,
+            # so the stacked pytree still has one treedef per leaf).
+            def tails(lay):
+                for s_ in ("hub_r", "hub_s"):
+                    h = getattr(lay, s_)
+                    if h is not None:
+                        yield int(h.tail.senders_r.shape[0])
+                        # LocSplit sub-tails share the same pad; their
+                        # arrays derive from the tail build
+            sizes = [t for lay in lays for t in tails(lay)]
+            real = []
+            for lay in lays:
+                for s_ in ("hub_r", "hub_s"):
+                    h = getattr(lay, s_)
+                    if h is not None:
+                        m = h.tail.mask_r
+                        real.append(int(np.asarray(m).sum()))
+            if sizes and real:
+                need = _round_up(max(real) + 1, edge_chunk)
+                if need < max(sizes):
+                    tail_pad[0] = need
+                    lays = [one(i) for i in range(S)]
         win = max(lay.win_w for lay in lays)
         lays = [lay if lay.win_w == win else one(i, win_floor=win)
                 for i, lay in enumerate(lays)]

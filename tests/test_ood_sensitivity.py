@@ -79,3 +79,22 @@ def test_default_generator_remains_immune():
                                   seed=3, perturb="valtest")
     perturbed = evaluate_snapshot_on(pert, cfg, best)["test"]
     assert clean - perturbed < 5, (clean, perturbed)
+
+
+def test_power_law_variant_skew_and_learnability():
+    """arxiv_synthetic_pl (r5): Zipf destination popularity gives real
+    hub coverage (the hub-dense path's precondition) while homophily and
+    feature-label signal survive."""
+    from stemgnn_tpu.data.registry import load_dataset
+
+    ds = load_dataset("arxiv_synthetic_pl", feat_dim=D, seed=0,
+                      num_nodes=3000, num_classes=5, avg_degree=10,
+                      train_per_split=300, val_per_split=300)
+    ei = np.asarray(ds.edge_index)
+    e = ei.shape[1]
+    top = np.sort(np.bincount(ei[0], minlength=ds.num_nodes))[::-1]
+    assert top[:64].sum() / e > 0.15, top[:64].sum() / e   # real skew
+    y = np.asarray(ds.labels)
+    assert (y[ei[0]] == y[ei[1]]).mean() > 0.6             # homophily kept
+    _, best = _train(ds)
+    assert best["split_acc"]["test"] > 70, best["split_acc"]
