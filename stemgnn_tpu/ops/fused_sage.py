@@ -673,6 +673,99 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
     return f
 
 
+def drop_mask_layout(layout: EdgeLayout, seed, p: float, ids=None):
+    """Bake a pair-hash edge dropout INTO a layout — the hoisted form of
+    ``drop_hash``: callers with several aggregations over the same
+    dropped view (the encoder's layers) compute the dense hub masks,
+    tail keeps, and kept in-degrees ONCE per step and run the plain
+    static path, instead of recomputing them inside every fused call
+    (measured ~84 ms/step for the 2-layer halo pretrain at 169K/2.37M vs
+    ~near-free hoisted; BASELINE r5).
+
+    ``ids`` = optional (src_ids, dst_ids) global-id tables (halo
+    per-shard layouts).  Returns a NEW layout pytree (traced arrays are
+    fine — layouts are jit arguments everywhere).  Requires the factored
+    configuration; refuses layouts whose windowed-gather or loc-split
+    paths are enabled (those kernels rebuild messages from window DMAs
+    and never read the edge masks)."""
+    from stemgnn_tpu.ops.pairhash import pair_hash_uniform
+
+    if layout.use_gwin_r or layout.use_gwin_s or \
+            layout.split_r is not None or layout.split_s is not None:
+        raise ValueError("drop_mask_layout: windowed/split layouts cannot "
+                         "bake runtime keeps (use drop_hash instead)")
+    seed = jnp.asarray(seed, jnp.int32)
+    if ids is None:
+        src_ids = dst_ids = jnp.int32(0)       # affine identity
+    else:
+        src_ids = jnp.asarray(ids[0], jnp.int32)
+        dst_ids = jnp.asarray(ids[1], jnp.int32)
+
+    def _map(dom, idx):
+        """Local index -> global id.  A SCALAR dom is an affine offset
+        (id = dom + idx) — the halo loc layouts' contiguous ownership —
+        which skips the per-edge table gather entirely (measured: the
+        table-lookup form's gathers were most of the halo drop cost)."""
+        if dom.ndim == 0:
+            return dom + idx.astype(jnp.int32)
+        return jnp.take(dom, idx, axis=0, mode="clip")
+
+    def _full(dom, n):
+        if dom.ndim == 0:
+            return dom + jnp.arange(n, dtype=jnp.int32)
+        return dom
+
+    def keep_edges(gather_idx, scatter_idx, order):
+        a = src_ids if order == "r" else dst_ids
+        b = dst_ids if order == "r" else src_ids
+        u = pair_hash_uniform(seed, _map(a, gather_idx),
+                              _map(b, scatter_idx))
+        return u >= p
+
+    def mask_plain(lay: EdgeLayout):
+        m_r = jnp.logical_and(lay.mask_r,
+                              keep_edges(lay.senders_r, lay.receivers_r,
+                                         "r"))
+        m_s = jnp.logical_and(lay.mask_s,
+                              keep_edges(lay.receivers_s, lay.senders_s,
+                                         "s"))
+        deg = jax.ops.segment_sum(m_r.astype(jnp.float32), lay.receivers_r,
+                                  num_segments=lay.num_nodes_padded)
+        # the windowed-gather kernels rebuild messages from window DMAs
+        # and never read the edge masks — a baked keep would be silently
+        # ignored (caught by the sc-tail grad parity test): force the
+        # masked sub-layout onto the gather path
+        return lay.replace(mask_r=m_r, mask_s=m_s, in_degree=deg,
+                           use_gwin_r=False, use_gwin_s=False)
+
+    def mask_hub(hub, order):
+        if hub is None:
+            return None
+        row_dom = dst_ids if order == "r" else src_ids
+        col_dom = src_ids if order == "r" else dst_ids
+        rows = _full(row_dom, hub.cnt.shape[0])
+        k = pair_hash_uniform(
+            seed, rows[:, None], _map(col_dom, hub.hub_ids)[None, :]) >= p
+        cnt = hub.cnt * k.astype(hub.cnt.dtype)
+        sc_cnt = hub.sc_cnt
+        if sc_cnt is not None:
+            cols = _full(col_dom, sc_cnt.shape[1])
+            k2 = pair_hash_uniform(
+                seed, _map(row_dom, hub.sc_ids)[:, None],
+                cols[None, :]) >= p
+            sc_cnt = sc_cnt * k2.astype(sc_cnt.dtype)
+        return hub.replace(cnt=cnt, sc_cnt=sc_cnt,
+                           tail=mask_plain(hub.tail))
+
+    new = mask_plain(layout)
+    hub_r = mask_hub(layout.hub_r, "r")
+    hub_s = mask_hub(layout.hub_s, "s")
+    # kept in-degree from the decomposition the kernels execute (the
+    # full-array segment sum above already equals it; the hub tails'
+    # degrees are per-sub-layout and consistent by construction)
+    return new.replace(hub_r=hub_r, hub_s=hub_s)
+
+
 def fused_sage_aggregate(x, layout: EdgeLayout, edge_table=None, *,
                          reduce: str = "mean", relu: bool = True,
                          fast: bool = False, interpret: bool = False,

@@ -564,3 +564,47 @@ def test_drop_hash_matches_materialized_keep_path(rng):
     np.testing.assert_allclose(np.asarray(g_d, np.float32),
                                np.asarray(g_k, np.float32),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_drop_mask_layout_matches_drop_hash(rng):
+    """drop_mask_layout (the hoisted/baked form, incl. the affine-offset
+    id fast path) == the in-kernel drop_hash — values and grads."""
+    from stemgnn_tpu.ops.fused_sage import drop_mask_layout
+
+    n_pad, p = 512, 0.3
+    s, r = _skewed_graph(rng)
+    seed = jnp.asarray(999, jnp.int32)
+    lay = build_edge_layout(s, r, n_pad, edge_chunk=128, hub_size=64,
+                            sc_hub_size=64, hub_min_coverage=0.0)
+    x = jnp.asarray(rng.standard_normal((n_pad, 96)).astype(np.float32))
+
+    def f_kernel(x):
+        out = fused_sage_aggregate(x, lay, None, reduce="mean", relu=True,
+                                   bf16_messages=True, interpret=True,
+                                   drop_hash=(seed, p))
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    def f_baked(x):
+        baked = drop_mask_layout(lay, seed, p)     # affine identity ids
+        out = fused_sage_aggregate(x, baked, None, reduce="mean",
+                                   relu=True, bf16_messages=True,
+                                   interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    def f_baked_table(x):
+        iota = jnp.arange(n_pad, dtype=jnp.int32)
+        baked = drop_mask_layout(lay, seed, p, ids=(iota, iota))
+        out = fused_sage_aggregate(x, baked, None, reduce="mean",
+                                   relu=True, bf16_messages=True,
+                                   interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+    (_, o1), g1 = jax.value_and_grad(f_kernel, has_aux=True)(x)
+    for f in (f_baked, f_baked_table):
+        (_, o2), g2 = jax.value_and_grad(f, has_aux=True)(x)
+        np.testing.assert_allclose(np.asarray(o2, np.float32),
+                                   np.asarray(o1, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g2, np.float32),
+                                   np.asarray(g1, np.float32),
+                                   rtol=1e-5, atol=1e-5)
