@@ -673,6 +673,22 @@ def _make(reduce: str, relu: bool, with_table: bool, fast: bool,
     return f
 
 
+def can_bake_drop(layout: EdgeLayout) -> bool:
+    """Static check (host-decidable, no tracing): can drop_mask_layout
+    bake runtime keeps into this layout?  False when any execution path —
+    top level OR a hub tail — routes through a LocSplit (the split
+    sub-layouts' windowed chain never reads the edge masks).  Top-level /
+    tail windowed-gather flags are handled by the bake itself (it forces
+    masked sub-layouts onto the gather path), so only splits refuse."""
+    if layout.split_r is not None or layout.split_s is not None:
+        return False
+    for h in (layout.hub_r, layout.hub_s):
+        if h is not None and (h.tail.split_r is not None
+                              or h.tail.split_s is not None):
+            return False
+    return True
+
+
 def drop_mask_layout(layout: EdgeLayout, seed, p: float, ids=None):
     """Bake a pair-hash edge dropout INTO a layout — the hoisted form of
     ``drop_hash``: callers with several aggregations over the same
@@ -690,10 +706,11 @@ def drop_mask_layout(layout: EdgeLayout, seed, p: float, ids=None):
     and never read the edge masks)."""
     from stemgnn_tpu.ops.pairhash import pair_hash_uniform
 
-    if layout.use_gwin_r or layout.use_gwin_s or \
-            layout.split_r is not None or layout.split_s is not None:
-        raise ValueError("drop_mask_layout: windowed/split layouts cannot "
-                         "bake runtime keeps (use drop_hash instead)")
+    if not can_bake_drop(layout):
+        raise ValueError("drop_mask_layout: LocSplit layouts (including "
+                         "hub tails') cannot bake runtime keeps — their "
+                         "windowed chain never reads the edge masks (use "
+                         "drop_hash instead)")
     seed = jnp.asarray(seed, jnp.int32)
     if ids is None:
         src_ids = dst_ids = jnp.int32(0)       # affine identity

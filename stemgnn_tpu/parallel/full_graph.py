@@ -462,15 +462,16 @@ def run_finetune_halo_parallel(ds: TAGDataset, cfg: FinetuneConfig, mesh,
             epoch_walls.append(_time.perf_counter() - t_ep)
             if stopper(result):
                 break
-        if verbose:
+        if verbose and epoch_walls:
             b = logger.get_single_best(idx)
-            steady = (np.median(epoch_walls[2:]) if len(epoch_walls) > 4
-                      else float("nan"))
+            timing = f"first epoch {epoch_walls[0]:.2f}s (incl. compile)"
+            if len(epoch_walls) > 4:
+                timing += (f", steady median "
+                           f"{np.median(epoch_walls[2:]) * 1e3:.0f} "
+                           f"ms/epoch")
             print(f"[halo split {idx}] best val={b['val']:.2f} "
                   f"test={b['test']:.2f} | build {t_build:.2f}s, "
-                  f"first epoch {epoch_walls[0]:.2f}s (incl. compile), "
-                  f"steady median {steady * 1e3:.0f} ms/epoch "
-                  f"({len(epoch_walls)} epochs)")
+                  f"{timing} ({len(epoch_walls)} epochs)")
     return logger
 
 

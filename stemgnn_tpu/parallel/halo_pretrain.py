@@ -174,8 +174,9 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
             # kept degrees, instead of recomputing dense masks/keeps in
             # every fused call (~84 ms/step at 169K/2.37M).  Falls back
             # to the in-kernel drop_hash on windowed/split layouts.
-            from stemgnn_tpu.ops.fused_sage import drop_mask_layout
-            try:
+            from stemgnn_tpu.ops.fused_sage import (can_bake_drop,
+                                                    drop_mask_layout)
+            if can_bake_drop(lay_loc) and can_bake_drop(lay_rem):
                 # NOTE: new names — the teacher pass below must read the
                 # CLEAN lay_loc/lay_rem.  The loc layout's ownership is a
                 # contiguous global range, so its id map is the AFFINE
@@ -188,7 +189,9 @@ def halo_pretrain_forward(params, teacher_params, state, cfg: PretrainConfig,
                 aug_lay_rem = drop_mask_layout(
                     lay_rem, seed, cfg.edge_p,
                     ids=(part["gid_rem_src"], off))
-            except ValueError:
+            else:
+                # LocSplit layouts: fall back to the in-kernel drop_hash
+                # (a genuine tracing error must surface, not degrade)
                 drop_hash = (seed, cfg.edge_p)
                 gids = ((part["gid_loc"], part["gid_loc"]),
                         (part["gid_rem_src"], part["gid_rem_dst"]))

@@ -170,17 +170,14 @@ def _stream_aggregate(h, senders, receivers, xe, edge_valid, table,
     ``reverse=True`` selects the MoE direction (receiver features at the
     sender).  Returns the SUM table [N_pad, D]; callers divide by degree.
     """
-    n_blk = _blocks(senders.shape[0], edge_block)
-    e_pad = n_blk * edge_block
-
-    def pad(a, fill=0):
-        out = np.full(e_pad, fill, dtype=a.dtype)
-        out[: a.shape[0]] = a
-        return out
-
-    s_p, r_p = pad(senders), pad(receivers)
-    v_p = pad(edge_valid.astype(np.bool_), fill=False)
-    xe_p = pad(xe) if xe is not None else np.zeros(e_pad, np.int32)
+    if xe is None:
+        n_blk, (s_p, r_p, v_p) = _pad_edges(senders, receivers, edge_valid,
+                                            edge_block)
+        xe_p = np.zeros(n_blk * edge_block, np.int32)
+    else:
+        n_blk, (s_p, r_p, v_p, xe_p) = _pad_edges(senders, receivers,
+                                                  edge_valid, edge_block,
+                                                  extra=xe)
 
     acc = jnp.zeros_like(h)
     if reverse:

@@ -287,9 +287,12 @@ def vq_apply(params, state, cfg: VQConfig, z, *, training: bool = False,
                 * cfg.orthogonal_reg_weight
 
     codes = _from_heads(cfg, quantize_h)
+    # 'quantize' is f32 by contract in BOTH branches (consumers — loss
+    # decoders, straight-through reads — rely on it; the bf16 pipeline
+    # narrows only the internals)
     out = linear_apply(params["project_out"],
                        codes.astype(xp.dtype)).astype(jnp.float32) \
-        if cfg.requires_projection else codes
+        if cfg.requires_projection else codes.astype(jnp.float32)
     indices = _ind_to_bn(cfg, ind)
     return {"quantize": out, "indices": indices, "loss": loss, "codes": codes,
             "distances": dist, "state": new_state}
